@@ -1,0 +1,18 @@
+"""LLM-scale data-pipeline extensions (BASELINE.json north star):
+deduplication (exact / MinHash-LSH / n-gram Jaccard / embedding cosine),
+similarity search (brute-force + LSH-bucketed ANN), text analysis, and
+multimodal binary-column plumbing.
+
+These are first-class engine operators, designed shuffle-aware for
+100 TB: blocking keys bound pairwise work, LSH turns O(n²) candidate
+generation into an equi-join Catalyst can shuffle-partition, and every
+hot path is built-in-function (JVM) or Arrow-vectorized.
+"""
+
+from arrow_spark.llm.dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_near_dup_pairs,
+    minhash_lsh_candidates,
+    simhash_signatures,
+)
+from arrow_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401

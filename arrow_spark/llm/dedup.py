@@ -1,0 +1,211 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, matching large-corpus practice:
+  exact          — hash group-by on normalized content (one shuffle);
+  jaccard        — token-set Jaccard within blocking keys (bounded pairs);
+  minhash-LSH    — shingle → seeded minhash signature → banded bucket
+                   join → verified candidate pairs (the 100 TB path:
+                   candidate generation is an equi-join, never O(n²));
+  simhash        — 64-bit weighted sign fingerprint for hamming near-dup.
+
+Everything is built-in-function Spark: xxhash64 for seeded hashing,
+explode/groupBy for signatures, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Whitespace/case normalization applied before fingerprinting."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = True
+) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+
+    One hash-shuffle on the fingerprint; map-side partial aggregation
+    makes this linear at any scale.
+    """
+    content = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        docs.select(F.col(id_col), F.md5(content).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def jaccard_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple = (),
+) -> DataFrame:
+    """Token-set Jaccard pairs (a<b) above threshold, within blocks.
+
+    Blocking keys (e.g. language + length bucket) bound the pair count;
+    at 100 TB use minhash_lsh_candidates instead — this is the exact
+    verifier applied to candidate pairs.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        *[F.col(c) for c in block_cols],
+    )
+    a = d.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), *[F.col(c) for c in block_cols]
+    )
+    b = d.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), *[F.col(c) for c in block_cols]
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    pairs = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
+    pairs = pairs.where(cond)
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    jac = inter * 1.0 / union
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (F.floor(jac * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles via JVM sliding window (transform over
+    token indices — no UDF)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    return F.when(cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", *[
+        F.element_at(toks, (i + j).cast("int")) for j in range(n)
+    ]))).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs.
+
+    Pipeline (all relational): explode shingles → xxhash64(seed, shingle)
+    per hash index → groupBy(doc, hash index) min → collect signature →
+    band → groupBy(band, band-signature) → emit intra-bucket pairs.
+    Distributed cost: two shuffles (signature agg, bucket join) — no
+    pairwise scan of the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    sh = docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"))
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    hashed = sh.select(
+        "id",
+        F.posexplode(F.transform(seeds, lambda s: F.xxhash64(s, F.col("sh")))).alias(
+            "hid", "hv"
+        ),
+    )
+    sig = hashed.groupBy("id", "hid").agg(F.min("hv").alias("mh"))
+    banded = sig.withColumn("band", (F.col("hid") / rows_per_band).cast("int"))
+    band_sig = (
+        banded.groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("hid", "mh"))).alias("sig_rows"))
+        .select("id", "band", F.md5(F.to_json(F.col("sig_rows"))).alias("bsig"))
+    )
+    left = band_sig.select("band", "bsig", F.col("id").alias("id_a"))
+    right = band_sig.select("band", "bsig", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bsig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidates from LSH, verified with exact shingle Jaccard."""
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n, id_col, text_col)
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            (F.floor(inter * 1.0 / union * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash: per-token 64-bit hash, weighted bit-vote, sign → bits.
+
+    Computed relationally: explode tokens → per-bit vote via shiftright/
+    bitwiseAND → sum votes per doc → reassemble bit string.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toked.select(
+        "id",
+        *[
+            (
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = votes.groupBy("id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    bit_cols = [F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    return agg.select("id", F.concat(*bit_cols).alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a<b) above threshold."""
+    from arrow_spark.llm.similarity import _as_double, cosine_similarity
+
+    d = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return pairs.select(
+        "id_a", "id_b", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos")
+    ).where(F.col("cos") >= threshold)

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched pandas
+iterators (mapInPandas) so decode work distributes with the data.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED behind ``DecoderRegistry`` — either a clearly-marked
+NotImplementedError or a deterministic fake (for tests). Everything
+around the stub — schema contract, batch iteration, partition-parallel
+execution, metadata propagation — is real and tested.
+
+At 100 TB: binary payloads stay in executor memory one Arrow batch at a
+time (maxRecordsPerBatch bounds peak), feature outputs are columnar, and
+no payload ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def fake_image_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real image decoder: 8 'pixels' from
+    the byte content. Real deployments register an actual codec."""
+    if payload is None:
+        return []
+    n = len(payload)
+    return [float(payload[i % n]) / 255.0 if n else 0.0 for i in range(8)]
+
+
+def unavailable_decode(payload: bytes) -> list[float]:
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; register a "
+        "real decoder via DecoderRegistry.register('mime', fn)"
+    )
+
+
+class DecoderRegistry:
+    """mime-prefix → decode callable; mirrors Arrow's extension-type
+    registration posture (cpp/src/arrow/extension_type.h)."""
+
+    def __init__(self) -> None:
+        self._decoders: dict[str, Callable[[bytes], list[float]]] = {}
+
+    def register(self, mime_prefix: str, fn: Callable[[bytes], list[float]]) -> None:
+        self._decoders[mime_prefix] = fn
+
+    def resolve(self, mime: str | None) -> Callable[[bytes], list[float]]:
+        if mime:
+            for prefix, fn in self._decoders.items():
+                if mime.startswith(prefix):
+                    return fn
+        return unavailable_decode
+
+
+DEFAULT_REGISTRY = DecoderRegistry()
+DEFAULT_REGISTRY.register("image/fake", fake_image_decode)
+
+
+def attach_binary_meta(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
+    """Wrap a binary column into the engine's media contract."""
+    return df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    media: DataFrame, registry: DecoderRegistry = DEFAULT_REGISTRY, feature_len: int = 8
+) -> DataFrame:
+    """Decode → feature-extract via mapInPandas (Arrow batch iterator).
+
+    The iterator shape keeps one batch of payloads in memory at a time;
+    the decoder runs executor-side, per partition, vectorized over the
+    batch.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes = pdf["meta"].map(lambda m: m.get("mime") if m is not None else None)
+            feats = [
+                registry.resolve(mime)(payload)
+                for mime, payload in zip(mimes, pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["meta"].map(
+                        lambda m: m.get("n_bytes") if m is not None else None
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,90 @@
+"""Deduplication oracle queries over documents + embeddings.
+
+Engine path: arrow_spark.llm.dedup. Oracles reproduce the exact same
+math in DuckDB SQL where expressible; the MinHash/SimHash paths hash
+with Spark's xxhash64 (not available in DuckDB) so they get rows-only
+checks plus unit-test verification against the exact Jaccard results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.llm.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_near_dup_pairs,
+    minhash_near_dups,
+    simhash_signatures,
+)
+from arrow_spark.queries.base import query
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keeper,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", oracle=EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup on normalized content hash (keep min doc_id)."""
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+JACCARD_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       floor((len(list_intersect(a.toks, b.toks)) * 1.0
+              / len(list_distinct(list_concat(a.toks, b.toks)))) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.id < b.id
+WHERE (len(list_intersect(a.toks, b.toks)) * 1.0
+       / len(list_distinct(list_concat(a.toks, b.toks)))) >= 0.5
+"""
+
+
+@query("dedup_jaccard_pairs", oracle=JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token-set Jaccard near-dup pairs, blocked by language."""
+    return jaccard_near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, block_cols=("lang",)
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by shingle Jaccard
+    (rows-only: xxhash64 seeds aren't reproducible in the oracle;
+    recall vs exact Jaccard asserted in unit tests)."""
+    return minhash_near_dups(
+        table(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=4
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures per document (rows-only check)."""
+    return simhash_signatures(table(spark, sf_dir, "documents"))
+
+
+EMB_NEAR_DUP_ORACLE = """
+WITH d AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 AS cos
+FROM d a JOIN d b ON a.id < b.id
+WHERE floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 >= 0.95
+"""
+
+
+@query("dedup_embedding_cosine", oracle=EMB_NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-dup pairs above 0.95."""
+    return embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.95)

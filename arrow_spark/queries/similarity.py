@@ -1,0 +1,67 @@
+"""Similarity-search oracle queries over the embeddings fixture.
+
+Engine path: arrow_spark.llm.similarity (broadcast cross join + JVM fold
+cosine + per-query top-k window; LSH-bucketed variant for the scale
+path). Oracle: DuckDB list_cosine_similarity over the same pairs, both
+sides computing in float64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.llm.similarity import (
+    brute_force_topk,
+    deterministic_planes,
+    lsh_bucketed_topk,
+)
+from arrow_spark.queries.base import query
+
+TOPK_COS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM pairs
+)
+SELECT qid, nid, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("similarity_topk_cosine", oracle=TOPK_COS_ORACLE)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact brute-force cosine top-10 for sampled query vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query("similarity_lsh_topk", oracle=None)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; rows-only check —
+    bucketing is seeded-random and not SQL-expressible). Recall vs the
+    exact path is asserted in unit tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    planes = deterministic_planes(6, 64, seed=42)
+    out = lsh_bucketed_topk(emb, queries, planes, k=10)
+    return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")

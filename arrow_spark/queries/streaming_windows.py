@@ -1,0 +1,125 @@
+"""Event-time window aggregations (tumbling / sliding / session) as
+batch-checkable queries.
+
+Arrow has no watermark/event-time window semantics (SURVEY §2.4) —
+these are Spark-native engine extensions. Structured Streaming's unified
+model means the exact same helper produces the streaming plan; the batch
+run here is what the DuckDB oracle verifies (and tests/test_streaming.py
+re-runs the same helper as an actual stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.queries.base import query
+from arrow_spark.streaming import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+TUMBLING_ORACLE = """
+SELECT event_type,
+       date_trunc('hour', ts)                   AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       round(sum(value), 2)                     AS sum_value,
+       count(*)                                 AS n
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_tumbling_window", oracle=TUMBLING_ORACLE)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tumbling windows per event_type."""
+    e = table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select("event_type", "window_start", "window_end", "sum_value", "n")
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT event_type, value, date_trunc('hour', ts) AS w FROM events
+  UNION ALL
+  SELECT event_type, value, date_trunc('hour', ts) - INTERVAL 1 HOUR AS w FROM events
+)
+SELECT event_type,
+       w                     AS window_start,
+       w + INTERVAL 2 HOUR   AS window_end,
+       round(sum(value), 2)  AS sum_value,
+       count(*)              AS n
+FROM starts
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_sliding_window", oracle=SLIDING_ORACLE)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding every 1h (each event lands in two windows)."""
+    e = table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        e,
+        "ts",
+        "2 hours",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select("event_type", "window_start", "window_end", "sum_value", "n")
+
+
+SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts)                        AS window_start,
+       max(ts) + INTERVAL 30 MINUTE   AS window_end,
+       round(sum(value), 2)           AS sum_value,
+       count(*)                       AS n
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@query("stream_session_window", oracle=SESSION_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session windows per user with a 30-minute gap."""
+    e = table(spark, sf_dir, "events")
+    out = session_window_agg(
+        e,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select("user_id", "window_start", "window_end", "sum_value", "n")

@@ -1,0 +1,6 @@
+from arrow_spark.streaming.windows import (  # noqa: F401
+    session_window_agg,
+    sliding_window_agg,
+    stream_from_directory,
+    tumbling_window_agg,
+)

@@ -1,0 +1,108 @@
+"""Unit tests for the as-of join operator: tolerance signs, directions,
+empty sides, tie-breaks (reference semantics: asof_join_node.cc,
+AsofJoinNodeOptions options.h:692-738)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from arrow_spark.operators.asof import asof_join, asof_join_arrow, sorted_merge
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["a", "a", "a", "b", "b", "c"],
+                "t": [1, 5, 10, 3, 7, 4],
+                "qty": [100, 200, 300, 10, 20, 5],
+            }
+        )
+    )
+    quotes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["a", "a", "a", "b", "d"],
+                "t": [0, 4, 9, 8, 1],
+                "px": [1.0, 1.1, 1.2, 9.0, 5.0],
+            }
+        )
+    )
+    return trades, quotes
+
+
+def test_backward_no_tolerance(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="t", by=["sym"]).orderBy("sym", "t")
+    rows = {(r.sym, r.t): r.px for r in out.collect()}
+    assert rows[("a", 1)] == 1.0
+    assert rows[("a", 5)] == 1.1
+    assert rows[("a", 10)] == 1.2
+    assert rows[("b", 3)] is None  # quote at t=8 is in the future
+    assert rows[("b", 7)] is None
+    assert rows[("c", 4)] is None  # no quotes for sym c at all
+
+
+def test_backward_with_tolerance(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="t", by=["sym"], tolerance=1)
+    rows = {(r.sym, r.t): r.px for r in out.collect()}
+    assert rows[("a", 1)] == 1.0  # |1-0| ≤ 1
+    assert rows[("a", 5)] == 1.1  # |5-4| ≤ 1
+    assert rows[("a", 10)] == 1.2
+    assert rows[("b", 3)] is None
+
+
+def test_forward(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="t", by=["sym"], direction="forward")
+    rows = {(r.sym, r.t): r.px for r in out.collect()}
+    assert rows[("a", 1)] == 1.1  # next quote at t=4
+    assert rows[("a", 5)] == 1.2
+    assert rows[("a", 10)] is None
+    assert rows[("b", 3)] == 9.0
+
+
+def test_arrow_signed_tolerance(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    back = asof_join_arrow(trades, quotes, on="t", by=["sym"], tolerance=-1)
+    fwd = asof_join_arrow(trades, quotes, on="t", by=["sym"], tolerance=4)
+    brows = {(r.sym, r.t): r.px for r in back.collect()}
+    frows = {(r.sym, r.t): r.px for r in fwd.collect()}
+    assert brows[("a", 5)] == 1.1  # backward within 1
+    assert brows[("a", 10)] == 1.2
+    assert frows[("a", 1)] == 1.1  # forward within 4 → t=4
+    assert frows[("b", 7)] == 9.0  # t=8 within +4
+
+
+def test_exact_match_allowed(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [5], "v": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [5], "w": [9]}))
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    assert out[0].w == 9
+
+
+def test_left_rows_always_survive(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(trades, quotes, on="t", by=["sym"])
+    assert out.count() == trades.count()
+
+
+def test_global_asof_no_by(spark):
+    left = spark.createDataFrame(pd.DataFrame({"t": [1, 5, 9], "v": [1, 2, 3]}))
+    right = spark.createDataFrame(pd.DataFrame({"t": [0, 6], "w": [10, 20]}))
+    out = asof_join(left, right, on="t")
+    rows = {r.t: r.w for r in out.collect()}
+    assert rows[1] == 10 and rows[5] == 10 and rows[9] == 20
+
+
+def test_sorted_merge_is_sorted(spark):
+    a = spark.createDataFrame(pd.DataFrame({"t": [1, 4, 7], "s": ["a"] * 3}))
+    b = spark.createDataFrame(pd.DataFrame({"t": [2, 3, 9], "s": ["b"] * 3}))
+    out = sorted_merge([a, b], on="t").collect()
+    ts = [r.t for r in out]
+    assert ts == sorted(ts) and len(ts) == 6

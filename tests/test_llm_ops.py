@@ -1,0 +1,123 @@
+"""Unit tests for dedup + similarity extensions: LSH recall vs exact,
+signature sanity, blocking behavior."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.llm.dedup import (
+    exact_dedup,
+    jaccard_near_dup_pairs,
+    minhash_near_dups,
+    simhash_signatures,
+)
+from arrow_spark.llm.similarity import (
+    brute_force_topk,
+    deterministic_planes,
+    lsh_bucketed_topk,
+)
+
+
+def test_exact_dedup_groups_identical_docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["hello  world", "Hello world", "unique doc", "hello world "],
+            }
+        )
+    )
+    out = {r.keeper: r.n_copies for r in exact_dedup(df).collect()}
+    assert out[1] == 3  # 1, 2, 4 normalize identically
+    assert out[3] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over a lazy dog",
+                    "completely different content here entirely",
+                ],
+            }
+        )
+    )
+    pairs = {(r.id_a, r.id_b) for r in jaccard_near_dup_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    from itertools import combinations
+
+    docs = table(spark, sf_dir, "documents")
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(docs, threshold=0.7, num_hashes=16, bands=8).collect()
+    }
+    # Documents with identical normalized content have identical shingle
+    # sets → identical minhash signatures in every band → LSH MUST emit
+    # them, and the Jaccard verifier scores them 1.0.
+    from pyspark.sql import functions as FF
+
+    dup_groups = (
+        docs.groupBy(FF.md5(FF.lower(FF.regexp_replace(FF.trim("text"), r"\s+", " "))).alias("fp"))
+        .agg(FF.collect_list("doc_id").alias("ids"))
+        .where(FF.size("ids") >= 2)
+        .collect()
+    )
+    must_pairs = {
+        (min(a, b), max(a, b))
+        for row in dup_groups
+        for a, b in combinations(sorted(row.ids), 2)
+    }
+    missing = must_pairs - approx
+    assert not missing, f"LSH missed exact duplicates: {sorted(missing)[:5]}"
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["same words here", "same words here"]})
+    )
+    sigs = [r.simhash for r in simhash_signatures(df).collect()]
+    assert sigs[0] == sigs[1] and len(sigs[0]) == 64
+
+
+def test_lsh_topk_finds_clustered_neighbors(spark):
+    """Seeded clustered corpus: members of a tight cluster (cos ≈ 0.9999)
+    share every hyperplane sign with overwhelming probability, so LSH
+    must return intra-cluster neighbors as top-1."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16))
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(10):
+            v = c + rng.standard_normal(16) * 1e-3
+            rows.append((vid, [float(x) for x in v], ci))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    planes = deterministic_planes(6, 16, seed=7)
+    out = lsh_bucketed_topk(df, queries, planes, k=3)
+    got = {(r.qid, r.nid) for r in out.collect() if r.rank == 1}
+    label_of = {r.vec_id: r.label for r in df.collect()}
+    assert len(got) == 4  # every query found same-bucket neighbors
+    for qid, nid in got:
+        assert label_of[qid] == label_of[nid]  # top-1 is intra-cluster
+    # scored cosines must equal the exact ones for the returned pairs
+    exact = brute_force_topk(df, queries, k=39)
+    ex = {(r.qid, r.nid): r.cos for r in exact.collect()}
+    for r in out.collect():
+        assert abs(ex[(r.qid, r.nid)] - r.cos) < 1e-12

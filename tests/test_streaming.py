@@ -1,0 +1,45 @@
+"""Structured Streaming: the same windowed-agg helpers run as a real
+stream (file source, availableNow trigger, memory sink) and must equal
+the batch result — Spark's unified-model guarantee, verified."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.streaming import stream_from_directory, tumbling_window_agg
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    events = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_stream_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+
+    aggs = [F.round(F.sum("value"), 2).alias("sum_value"), F.count(F.lit(1)).alias("n")]
+    batch = tumbling_window_agg(static, "ts", "1 hour", keys=["event_type"], aggs=aggs)
+    expected = {
+        (r.event_type, r.window_start): (r.sum_value, r.n) for r in batch.collect()
+    }
+
+    stream = stream_from_directory(spark, src_dir, static.schema)
+    out = tumbling_window_agg(
+        stream, "ts", "1 hour", keys=["event_type"], aggs=aggs, watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.window_start): (r.sum_value, r.n)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got == expected
