@@ -94,6 +94,17 @@ def shingles(col, n: int = 3):
     ]))).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _minhash_constants(n: int) -> tuple[list[int], list[int]]:
+    """Deterministic odd multipliers + offsets for the affine hash family
+    (fixed seed; wrapping 64-bit arithmetic keeps them in-range)."""
+    import random
+
+    rng = random.Random(42)
+    a = [rng.randrange(1, 1 << 30) | 1 for _ in range(n)]
+    b = [rng.randrange(0, 1 << 30) for _ in range(n)]
+    return a, b
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -112,20 +123,42 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    sh = docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"))
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    # One row per (doc, shingle), then num_hashes seeded-hash COLUMNS and a
+    # single groupBy computing every min — one shuffle, no 16× row blowup,
+    # map-side partial mins keep the shuffle tiny at any corpus size.
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    # Universal hashing: one string hash per shingle, then cheap affine
+    # mixes per signature slot — avoids num_hashes string hashes per
+    # shingle. Ranges chosen so a·h+b ≤ 2^61 (ANSI mode errors on long
+    # overflow): base reduced to 31 bits, constants to 30.
+    base = F.pmod(F.xxhash64(F.col("sh")), F.lit(1 << 31))
+    a_consts, b_consts = _minhash_constants(num_hashes)
     hashed = sh.select(
         "id",
-        F.posexplode(F.transform(seeds, lambda s: F.xxhash64(s, F.col("sh")))).alias(
-            "hid", "hv"
-        ),
+        *[
+            (F.lit(a_consts[i]) * base + F.lit(b_consts[i])).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    sig = hashed.groupBy("id", "hid").agg(F.min("hv").alias("mh"))
-    banded = sig.withColumn("band", (F.col("hid") / rows_per_band).cast("int"))
-    band_sig = (
-        banded.groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("hid", "mh"))).alias("sig_rows"))
-        .select("id", "band", F.md5(F.to_json(F.col("sig_rows"))).alias("bsig"))
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        )
+        for b in range(bands)
+    ]
+    # Both self-join sides shuffle the identical upstream on the same keys
+    # → Catalyst reuses one exchange (ReusedExchange); no cache needed, and
+    # no cache entries leak into the caller's long-lived session.
+    band_sig = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bsig")
     )
     left = band_sig.select("band", "bsig", F.col("id").alias("id_a"))
     right = band_sig.select("band", "bsig", F.col("id").alias("id_b"))

@@ -81,10 +81,17 @@ DEFAULT_REGISTRY = DecoderRegistry()
 DEFAULT_REGISTRY.register("image/fake", fake_image_decode)
 
 
-def attach_binary_meta(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
-    """Wrap a binary column into the engine's media contract."""
+def attach_binary_meta(
+    df: DataFrame, payload_col: str, mime: str, id_col: str | None = None
+) -> DataFrame:
+    """Wrap a binary column into the engine's media contract.
+
+    Pass ``id_col`` to carry a stable upstream id; otherwise a
+    partition-local synthetic id is generated (fine for pipelines,
+    non-deterministic across runs).
+    """
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("media_id"),
         F.col(payload_col).alias("payload"),
         F.struct(
             F.lit(mime).alias("mime"),

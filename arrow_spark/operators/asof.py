@@ -45,8 +45,19 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     right_tiebreak: Sequence[str] = (),
+    strategy: str = "auto",
 ) -> DataFrame:
     """Time-series as-of join (Arrow `asofjoin` node, re-expressed Spark-first).
+
+    Two physical strategies, chosen like a planner would:
+
+    - ``range``: equi-join on `by` + range condition on `on`, then a
+      pick-nearest window per left row. All JVM/codegen, and the join
+      output is bounded by the tolerance window — the fast path whenever
+      ``tolerance`` is set (default under ``auto``).
+    - ``merge``: cogrouped vectorized pandas.merge_asof per `by` group —
+      linear per group, the right choice for unbounded as-of where a
+      range join would be quadratic in group size.
 
     Parameters mirror AsofJoinNodeOptions: ``on`` is the ordered key
     (numeric or timestamp), ``by`` the equi keys, ``tolerance`` a
@@ -61,9 +72,15 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
+    if strategy not in ("auto", "range", "merge"):
+        raise ValueError(f"bad strategy {strategy!r}")
     by = list(by)
-    if not by:
-        return _asof_join_nogroup(left, right, on, tolerance, direction, suffix)
+    if strategy == "range" or (strategy == "auto" and (tolerance is not None or not by)):
+        return _asof_join_range(
+            left, right, on, by, tolerance, direction, suffix, right_tiebreak
+        )
+    if not by:  # merge strategy explicitly requested without by-keys
+        return _asof_join_range(left, right, on, [], tolerance, direction, suffix, right_tiebreak)
 
     # Output schema: all left columns + right's non-by columns (suffixed on clash).
     left_names = set(left.columns)
@@ -146,47 +163,70 @@ def asof_join(
     return cg.applyInPandas(merge, schema=out_schema)
 
 
-def _asof_join_nogroup(
-    left: DataFrame, right: DataFrame, on: str, tolerance, direction: str, suffix: str
-) -> DataFrame:
-    """No by-keys: declarative range-join + pick-nearest window plan.
+def _tolerance_delta(tolerance):
+    """Normalize a tolerance into something Column arithmetic accepts."""
+    if hasattr(tolerance, "total_seconds"):  # pd.Timedelta / datetime.timedelta
+        return F.expr(f"INTERVAL {int(tolerance.total_seconds() * 1e6)} MICROSECOND")
+    return F.lit(tolerance)
 
-    A single cogroup group would serialize; this stays a join Catalyst can
-    parallelize (AQE splits skew).
+
+def _asof_join_range(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list,
+    tolerance,
+    direction: str,
+    suffix: str,
+    right_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Declarative plan: equi(by) + range(on) join, pick-nearest window.
+
+    Join output is bounded by the tolerance window, the window shuffles
+    on the (synthetic) left row id, and everything stays in codegen —
+    at 100 TB this is a plain shuffled join AQE can rebalance.
     """
     left_names = set(left.columns)
     rename = {c: (c + suffix if c in left_names else c) for c in right.columns}
     r = right.select([F.col(c).alias(rename[c]) for c in right.columns])
-    ron = F.col(rename[on])
-    lon = F.col(on)
-    conds = []
+    ron, lon = F.col(rename[on]), F.col(on)
+    tie = [F.col(rename.get(c, c)) for c in right_tiebreak]
+    conds = [F.col(rename.get(b, b)) == F.col(b) for b in by]
+    delta = _tolerance_delta(tolerance) if tolerance is not None else None
     if direction == "backward":
         conds.append(ron <= lon)
-        if tolerance is not None:
-            conds.append(ron >= lon - tolerance)
-        order = [ron.desc()]
+        if delta is not None:
+            conds.append(ron >= lon - delta)
+        order = [ron.desc()] + [t.desc() for t in tie]
     elif direction == "forward":
         conds.append(ron >= lon)
-        if tolerance is not None:
-            conds.append(ron <= lon + tolerance)
-        order = [ron.asc()]
-    else:  # nearest
-        if tolerance is not None:
-            conds.append(ron.between(lon - tolerance, lon + tolerance))
-        order = [F.abs(ron.cast("double") - lon.cast("double")).asc(), ron.desc()]
+        if delta is not None:
+            conds.append(ron <= lon + delta)
+        order = [ron.asc()] + [t.asc() for t in tie]
+    else:  # nearest: |Δ| asc, backward wins ties (pandas convention)
+        if delta is not None:
+            conds.append(ron.between(lon - delta, lon + delta))
+        order = [
+            F.abs(ron.cast("double") - lon.cast("double")).asc(),
+            ron.asc(),
+        ] + [t.desc() for t in tie]
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
     lid = "__asof_lid__"
     lft = left.withColumn(lid, F.monotonically_increasing_id())
     joined = lft.join(r, cond, "left")
+    # drop the duplicated right by-key columns (left's values win, as in merge)
+    for b in by:
+        rb = rename.get(b, b)
+        if rb != b:
+            joined = joined.drop(rb)
     w = W.partitionBy(lid).orderBy(*order)
-    out = (
+    return (
         joined.withColumn("__rn__", F.row_number().over(w))
         .where(F.col("__rn__") == 1)
         .drop("__rn__", lid)
     )
-    return out
 
 
 def asof_join_arrow(

@@ -25,6 +25,7 @@ _MODULES = (
     "similarity",
     "dedup",
     "streaming_windows",
+    "extras",
 )
 
 

