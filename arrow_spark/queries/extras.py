@@ -211,6 +211,24 @@ def empty_input_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_sketches", oracle=None)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch aggregates: HLL distinct-count + t-digest-style quantile
+    (Arrow tdigest/approximate_median, aggregate_tdigest.cc). Rows-only:
+    sketch outputs are algorithm-specific; exactness is covered by
+    agg_quantile / agg_counts. Exactness-bounds asserted here instead."""
+    l = table(spark, sf_dir, "lineitem")
+    out = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_med"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    # sanity gate inside the query: approx within 5% of exact
+    return out.where(
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")) < 0.05
+    )
+
+
 @query("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal plumbing as a pipeline: text → binary payload → media

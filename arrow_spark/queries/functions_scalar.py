@@ -25,7 +25,7 @@ SELECT
   round(l_extendedprice / nullif(l_quantity, 0), 6) AS div_v,
   round(-l_quantity, 6)                             AS neg_v,
   abs(l_quantity - 25)                              AS abs_v,
-  sign(l_discount - 0.05)                           AS sign_v,
+  CAST(sign(l_discount - 0.05) AS INT)              AS sign_v,
   round(power(l_quantity, 2), 6)                    AS pow_v,
   round(sqrt(l_extendedprice), 6)                   AS sqrt_v,
   round(exp(l_discount), 6)                         AS exp_v,
@@ -59,15 +59,16 @@ def scalar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ep / F.nullif(qt, F.lit(0)), 6).alias("div_v"),
         F.round(-qt, 6).alias("neg_v"),
         F.abs(qt - 25).alias("abs_v"),
-        F.signum(dc - 0.05).alias("sign_v"),
+        F.signum(dc - 0.05).cast("int").alias("sign_v"),
         F.round(F.pow(qt, 2), 6).alias("pow_v"),
         F.round(F.sqrt(ep), 6).alias("sqrt_v"),
         F.round(F.exp(dc), 6).alias("exp_v"),
         F.round(F.log(ep), 6).alias("ln_v"),
         F.round(F.log10(ep), 6).alias("log10_v"),
         F.round(F.log2(ep), 6).alias("log2_v"),
-        F.floor(ep).alias("floor_v"),
-        F.ceil(ep).alias("ceil_v"),
+        # Spark floor/ceil return LONG, DuckDB return DOUBLE — align on double
+        F.floor(ep).cast("double").alias("floor_v"),
+        F.ceil(ep).cast("double").alias("ceil_v"),
         F.expr("double(bigint(l_extendedprice - (l_extendedprice % 1)))").alias("trunc_v"),
         F.round(F.sin(dc), 6).alias("sin_v"),
         F.round(F.cos(dc), 6).alias("cos_v"),
@@ -271,6 +272,57 @@ def scalar_set_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.col("p_brand").isin(brands).alias("is_in_v"),
         F.when(idx > 0, (idx - 1).cast("int")).alias("index_in_v"),
+    )
+
+
+KLEENE_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(a AND b AS INT)                           AS and_kleene,
+  CAST(a OR b AS INT)                            AS or_kleene,
+  CAST(NOT a AS INT)                             AS not_v,
+  CAST(CASE WHEN a IS NULL OR b IS NULL THEN NULL
+       ELSE a AND b END AS INT)                  AS and_propagating,
+  CAST(a IS NOT DISTINCT FROM b AS INT)          AS null_safe_eq
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice > 100000 END AS a,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus = 'F'  END AS b
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+"""
+
+
+@query("scalar_kleene_logic", oracle=KLEENE_ORACLE)
+def scalar_kleene_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleene (SQL three-valued) AND/OR vs Arrow's null-propagating
+    non-Kleene variants (scalar_boolean.cc), plus null-safe equality.
+
+    NULL AND FALSE = FALSE under Kleene; NULL under the propagating
+    variant — both semantics expressed and oracle-checked."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
+    o = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice") > 100000)
+        .alias("a"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderstatus") == "F")
+        .alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    # nullable booleans bridge to pandas asymmetrically across engines
+    # (None vs NaN) — int-typed output is NaN on both sides
+    return o.select(
+        "o_orderkey",
+        (a & b).cast("int").alias("and_kleene"),
+        (a | b).cast("int").alias("or_kleene"),
+        (~a).cast("int").alias("not_v"),
+        F.when(a.isNull() | b.isNull(), None)
+        .otherwise(a & b)
+        .cast("int")
+        .alias("and_propagating"),
+        a.eqNullSafe(b).cast("int").alias("null_safe_eq"),
     )
 
 

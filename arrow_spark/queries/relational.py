@@ -74,6 +74,64 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+scalar-agg — every predicate reaches
+    the parquet scan, zero shuffle beyond the final reduce."""
+    l = table(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate")
+    ts_type = l.schema["l_shipdate"].dataType
+    return (
+        l.where(
+            (ship >= F.lit("1996-01-01 00:00:00").cast(ts_type))
+            & (ship < F.lit("1997-01-01 00:00:00").cast(ts_type))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, qty_sum
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         round(sum(l_quantity), 2) AS qty_sum
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, o_orderkey, o_totalprice
+)
+WHERE qty_sum > 150
+"""
+
+
+@query("q18_large_orders", oracle=Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + group + HAVING on the aggregate."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty_sum"))
+        .where(F.col("qty_sum") > 150)
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "qty_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates: variance/stddev/skew/kurtosis.
 # Arrow ref: aggregate_var_std.cc, SURVEY §2.2.1. Spark's skewness/kurtosis

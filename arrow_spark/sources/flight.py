@@ -1,0 +1,102 @@
+"""Arrow Flight RPC source/sink.
+
+Reference: cpp/src/arrow/flight/client.h (FlightClient), server.h:248-311
+(ListFlights/GetFlightInfo/DoGet/DoPut). Spark-first shape: GetFlightInfo
+returns N endpoints; each endpoint's ticket becomes one Spark task that
+opens its own DoGet stream inside mapInArrow — the natural mapping of
+Flight's horizontal-scalability contract onto Spark partitions.
+
+The container has no Flight server (and pyarrow.flight may be absent),
+so everything is import-guarded; the partition-parallel plumbing is the
+same pattern as the IPC reader (sources/ipc.py), which is fully tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _flight():
+    try:
+        import pyarrow.flight as flight  # noqa: PLC0415
+
+        return flight
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "pyarrow.flight is not available in this environment; "
+            "read_flight requires a pyarrow build with Flight enabled"
+        ) from e
+
+
+def read_flight(spark: SparkSession, location: str, descriptor_path: str) -> DataFrame:
+    """Read a Flight dataset: one Spark task per Flight endpoint.
+
+    GetFlightInfo happens on the driver (metadata only); each task opens
+    DoGet(ticket) against the endpoint's preferred location and streams
+    RecordBatches through mapInArrow.
+    """
+    flight = _flight()
+    client = flight.connect(location)
+    descriptor = flight.FlightDescriptor.for_path(descriptor_path)
+    info = client.get_flight_info(descriptor)
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    spark_schema = from_arrow_schema(info.schema)
+    endpoints = [
+        (
+            ep.ticket.serialize(),
+            ep.locations[0].uri.decode() if ep.locations else location,
+        )
+        for ep in info.endpoints
+    ]
+    eps_df = spark.createDataFrame(
+        endpoints,
+        T.StructType(
+            [
+                T.StructField("ticket", T.BinaryType(), False),
+                T.StructField("location", T.StringType(), False),
+            ]
+        ),
+    ).repartition(max(len(endpoints), 1))
+
+    def read_endpoint(batches):
+        import pyarrow.flight as fl
+
+        for b in batches:
+            tickets = b.column("ticket").to_pylist()
+            locs = b.column("location").to_pylist()
+            for raw, loc in zip(tickets, locs):
+                cl = fl.connect(loc)
+                reader = cl.do_get(fl.Ticket.deserialize(raw))
+                for chunk in reader:
+                    yield chunk.data
+
+    return eps_df.mapInArrow(read_endpoint, schema=spark_schema)
+
+
+def write_flight(df: DataFrame, location: str, descriptor_path: str) -> None:
+    """DoPut: one upload stream per partition."""
+    _flight()
+    schema_df = df
+
+    def put_partition(batches):
+        import pyarrow as pa
+        import pyarrow.flight as fl
+
+        client = fl.connect(location)
+        descriptor = fl.FlightDescriptor.for_path(descriptor_path)
+        writer = None
+        try:
+            for b in batches:
+                if writer is None:
+                    writer, _ = client.do_put(descriptor, b.schema)
+                writer.write_batch(b)
+        finally:
+            if writer is not None:
+                writer.close()
+        count_schema = pa.schema([pa.field("written", pa.int64())])
+        yield pa.RecordBatch.from_pylist([{"written": 1}], schema=count_schema)
+
+    sink_schema = T.StructType([T.StructField("written", T.LongType(), True)])
+    schema_df.mapInArrow(put_partition, schema=sink_schema).count()

@@ -1,0 +1,96 @@
+"""Hypothesis property tests mirroring the reference's randomized
+strategy (python/pyarrow/tests/strategies.py + the naive-reference
+comparisons in acero/hash_join_node_test.cc:252-506): random typed
+frames through engine operators, DuckDB as the naive oracle."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+)
+small_ints = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+frames = st.lists(
+    st.tuples(small_ints, st.one_of(st.none(), finite_doubles), st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=8
+    )),
+    min_size=1,
+    max_size=40,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _both(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    sdf = spark.createDataFrame(pdf.astype({"k": "int64"}))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+@given(rows=frames)
+@SETTINGS
+def test_groupby_agg_matches_duckdb(spark, rows):
+    sdf, con = _both(spark, rows)
+    got = {
+        (r.g, r.n, r.mn): True
+        for r in sdf.groupBy((F.col("k") % 4).alias("g"))
+        .agg(F.count("v").alias("n"), F.min("v").alias("mn"))
+        .collect()
+    }
+    want = {
+        (g, n, mn): True
+        for g, n, mn in con.sql(
+            "SELECT k % 4 AS g, count(v) AS n, min(v) AS mn FROM t GROUP BY 1"
+        ).fetchall()
+    }
+
+    def norm(keys):
+        return {
+            (g, n, None if mn is None or (isinstance(mn, float) and math.isnan(mn)) else round(mn, 9))
+            for (g, n, mn) in keys
+        }
+
+    assert norm(got) == norm(want)
+
+
+@given(rows=frames)
+@SETTINGS
+def test_filter_sort_limit_matches_duckdb(spark, rows):
+    sdf, con = _both(spark, rows)
+    got = [
+        (r.k, r.s)
+        for r in sdf.where(F.col("v").isNotNull() & (F.col("v") > 0))
+        .orderBy(F.col("k").asc(), F.col("s").asc())
+        .limit(10)
+        .select("k", "s")
+        .collect()
+    ]
+    want = con.sql(
+        "SELECT k, s FROM t WHERE v IS NOT NULL AND v > 0 "
+        "ORDER BY k ASC, s ASC LIMIT 10"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+@given(rows=frames)
+@SETTINGS
+def test_distinct_union_matches_duckdb(spark, rows):
+    sdf, con = _both(spark, rows)
+    got = sdf.select("k").union(sdf.select("k")).distinct().count()
+    want = con.sql("SELECT count(*) FROM (SELECT DISTINCT k FROM (SELECT k FROM t UNION ALL SELECT k FROM t))").fetchone()[0]
+    assert got == want
