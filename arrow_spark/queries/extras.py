@@ -211,6 +211,61 @@ def empty_input_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLECT_ORACLE = """
+SELECT
+  c_mktsegment,
+  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+  array_to_string(list_sort(list(c_nationkey))[1:5], ',')     AS first5_sorted
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("agg_collect_list_set", oracle=COLLECT_ORACLE)
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_list / hash_distinct (collect_list / collect_set) — sorted,
+    then string-joined: array cells bridge to pandas as numpy-array vs
+    list across engines and stringify differently, so the comparison is
+    done on a canonical scalar form."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias("nations"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("c_nationkey")), 1, 5), ","
+        ).alias("first5_sorted"),
+    )
+
+
+SUBQUERY_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 40)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+"""
+
+
+@query("subqueries", oracle=SUBQUERY_ORACLE)
+def subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scalar + correlated-EXISTS + IN subqueries — capabilities Catalyst
+    adds over the reference (Arrow has no subqueries, SURVEY §4);
+    decorrelation turns these into the joins/aggregates it does have."""
+    for t in ("orders", "lineitem", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"sq_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM sq_orders o
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM sq_orders)
+          AND EXISTS (SELECT 1 FROM sq_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 40)
+          AND o_custkey IN (SELECT c_custkey FROM sq_customer
+                            WHERE c_mktsegment = 'MACHINERY')
+        """
+    )
+
+
 @query("approx_sketches", oracle=None)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sketch aggregates: HLL distinct-count + t-digest-style quantile
