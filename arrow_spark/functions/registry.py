@@ -120,9 +120,14 @@ for _n, _f in {
     "floor": lambda a: F.floor(_c(a)).cast("double"),
     "ceil": lambda a: F.ceil(_c(a)).cast("double"),
     "trunc": lambda a: (_c(a) - (_c(a) % 1)).cast("double"),
-    "round": lambda a, ndigits=0: F.round(_c(a), ndigits),
-    "round_to_multiple": lambda a, multiple=1.0: F.round(_c(a) / multiple, 0) * multiple,
-    "round_binary": lambda a, s: F.round(_c(a), 0),  # per-row digits: expr fallback
+    "round": lambda a, ndigits=0, round_mode="half_to_even": _round_mode(
+        _c(a), ndigits, round_mode
+    ),
+    "round_to_multiple": lambda a, multiple=1.0, round_mode="half_to_even": _round_mode(
+        _c(a) / multiple, 0, round_mode
+    )
+    * multiple,
+    "round_binary": lambda a, s, round_mode="half_to_even": _round_binary(a, s, round_mode),
     "min_element_wise": lambda *cs: F.least(*[_c(x) for x in cs]),
     "max_element_wise": lambda *cs: F.greatest(*[_c(x) for x in cs]),
 }.items():
@@ -153,6 +158,60 @@ for _n in _CHECKED:
         "checked ⇒ ANSI mode raises; non-ANSI sessions overflow silently like the "
         "non-checked kernel (set spark.sql.ansi.enabled for raise-on-overflow)",
     )
+
+def _round_mode(col: Column, ndigits: int, mode: str) -> Column:
+    """Arrow's 10 RoundModes (compute/api_scalar.h RoundMode) as Catalyst
+    expressions. Spark natively has half_up (round) and half_to_even
+    (bround); the rest compose from floor/ceil/sign on the scaled value.
+    """
+    scale = float(10**ndigits)
+    x = col * scale
+    ax = F.abs(x)
+    sgn = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    floor_x, ceil_x = F.floor(x).cast("double"), F.ceil(x).cast("double")
+    frac_is_half = (ax - F.floor(ax)) == 0.5
+    if mode == "down":
+        r = floor_x
+    elif mode == "up":
+        r = ceil_x
+    elif mode == "towards_zero":
+        r = sgn * F.floor(ax).cast("double")
+    elif mode == "towards_infinity":
+        r = sgn * F.ceil(ax).cast("double")
+    elif mode == "half_down":
+        r = F.ceil(x - 0.5).cast("double")
+    elif mode == "half_up":
+        r = F.floor(x + 0.5).cast("double")
+    elif mode == "half_towards_zero":
+        r = sgn * F.ceil(ax - 0.5).cast("double")
+    elif mode == "half_towards_infinity":
+        r = sgn * F.floor(ax + 0.5).cast("double")
+    elif mode == "half_to_even":
+        r = F.bround(x, 0)
+    elif mode == "half_to_odd":
+        even = F.bround(x, 0)
+        # at exact .5 ties bround picked the even neighbor; the odd one
+        # is the other candidate (floor if even==ceil else ceil)
+        odd = F.when(even == floor_x, ceil_x).otherwise(floor_x)
+        r = F.when(frac_is_half, odd).otherwise(even)
+    else:
+        raise ValueError(f"unknown round_mode {mode!r}")
+    return r / scale
+
+
+def _round_binary(a, ndigits_col, round_mode="half_to_even"):
+    """round_binary: per-row digit counts (second input is a column)."""
+    x, d = _c(a), _c(ndigits_col)
+    scale = F.pow(F.lit(10.0), d)
+    scaled = x * scale
+    if round_mode == "half_to_even":
+        r = F.bround(scaled, 0)
+    elif round_mode == "half_up":
+        r = F.floor(scaled + 0.5).cast("double")
+    else:
+        raise ValueError("round_binary supports half_to_even / half_up")
+    return r / scale
+
 
 # --------------------------------------------------------------------------
 # Comparison / boolean / validity (scalar_compare.cc, scalar_boolean.cc,

@@ -59,8 +59,11 @@ def read_ipc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """
     import pyarrow as pa
 
+    from arrow_spark.types import normalize_arrow_schema, normalize_batch
+
     files = _expand_paths(path)
-    schema = _ipc_schema(files[0])
+    raw_schema = _ipc_schema(files[0])
+    schema, needs_normalize = normalize_arrow_schema(raw_schema)
     try:
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -81,15 +84,26 @@ def read_ipc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     def read_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.ipc as ipc
 
+        def emit(raw: pa.RecordBatch) -> pa.RecordBatch:
+            # normalize Arrow-only types (unsigned, time, half, views,
+            # dictionary) to the Spark-representable schema — SURVEY §1.2
+            return normalize_batch(raw, schema) if needs_normalize else raw
+
         for b in batches:
             for p in b.column("path").to_pylist():
+                # guard only the open: batch/cast errors must surface,
+                # not get misread as "try the stream format instead"
                 try:
                     reader = ipc.open_file(p)
-                    for i in range(reader.num_record_batches):
-                        yield reader.get_batch(i)
                 except pa.ArrowInvalid:
+                    reader = None
+                if reader is not None:
+                    for i in range(reader.num_record_batches):
+                        yield emit(reader.get_batch(i))
+                else:
                     with ipc.open_stream(p) as sr:
-                        yield from sr
+                        for raw in sr:
+                            yield emit(raw)
 
     return paths_df.mapInArrow(read_files, schema=spark_schema)
 

@@ -1,0 +1,49 @@
+"""take / row-index / inverse_permutation under explicit order."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from arrow_spark.operators.ordered import (
+    inverse_permutation,
+    take,
+    with_partitioned_row_index,
+    with_row_index,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"k": [10, 30, 20, 50, 40], "s": list("abcde")})
+    )
+
+
+def test_row_index_follows_order(df):
+    out = with_row_index(df, [F.col("k").asc()]).orderBy("__row_index__").collect()
+    assert [r.k for r in out] == [10, 20, 30, 40, 50]
+    assert [r["__row_index__"] for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_take_gathers_by_position(df):
+    out = take(df, [3, 0, 3], order_by=[F.col("k").asc()]).collect()
+    assert [r.k for r in out] == [40, 10, 40]  # repeats preserved, order kept
+
+
+def test_partitioned_row_index_is_dense(spark):
+    df = spark.range(0, 1000).repartition(7)
+    out = with_partitioned_row_index(df)
+    idx = sorted(r["__row_index__"] for r in out.collect())
+    assert idx == list(range(1000))
+
+
+def test_inverse_permutation(spark):
+    perm = spark.createDataFrame(
+        pd.DataFrame({"i": [0, 1, 2, 3], "p": [2, 0, 3, 1]})
+    )
+    inv = inverse_permutation(perm, "p", "i")
+    got = {r.i: r.p for r in inv.collect()}
+    assert got == {2: 0, 0: 1, 3: 2, 1: 3}
