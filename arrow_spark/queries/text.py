@@ -140,6 +140,28 @@ def string_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISTANCE_ORACLE = """
+WITH s AS (SELECT doc_id, substr(text, 1, 40) AS head, lang FROM documents WHERE doc_id % 50 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+"""
+
+
+@query("string_distance", oracle=DISTANCE_ORACLE)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """levenshtein edit distance between document heads (near-dup
+    scoring primitive; JVM builtin, lang-blocked pairs)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    s = d.select("doc_id", F.substring("text", 1, 40).alias("head"), "lang")
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("head").alias("ha"), "lang")
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("head").alias("hb"), F.col("lang").alias("lang_b"))
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.levenshtein("ha", "hb").alias("edit_dist"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline text analysis extensions (BASELINE.json north star).
 # ---------------------------------------------------------------------------

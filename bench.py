@@ -33,9 +33,15 @@ HEADLINE = [
     "select_k",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
     "similarity_topk_cosine",
     "text_quality_score",
     "text_token_count",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "subqueries",
+    "stream_tumbling_window",
+    "rank_quantile_normal",
 ]
 
 

@@ -66,6 +66,15 @@ def test_csv_json_round_trip(spark, sf_dir, tmp_path):
     assert backj.count() == src.count()
 
 
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    src = table(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    write_dataset(src, out, fmt="orc")
+    back = read_dataset(spark, out, fmt="orc")
+    assert back.count() == src.count()
+    assert dict(back.dtypes) == dict(src.dtypes)
+
+
 def test_parquet_pushdown_reaches_scan(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
     q = l.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
