@@ -479,13 +479,29 @@ for _n, _f in {
     "utf8_replace_slice": lambda a, start=0, stop=0, replacement="": F.overlay(
         _c(a), F.lit(replacement), start + 1, stop - start
     ),
-    "utf8_normalize": None,  # no JVM builtin NFC/NFD — deferred
+    "utf8_normalize": lambda a, form="NFC": _utf8_normalize(a, form),
     "strptime": lambda a, format="yyyy-MM-dd HH:mm:ss", **k: F.to_timestamp(_c(a), format),
     "strftime": lambda a, format="yyyy-MM-dd HH:mm:ss", **k: F.date_format(_c(a), format),
 }.items():
     if _f is not None:
         _reg(_n, "string", "mapped", _f)
-_reg("utf8_normalize", "string", "deferred", None, "unicode NFC/NFD needs an Arrow-vectorized UDF; planned")
+
+
+def _utf8_normalize(a, form="NFC"):
+    """Unicode NFC/NFD/NFKC/NFKD (utf8_normalize, scalar_string_ascii.cc).
+
+    No JVM builtin exists; Arrow-batched pandas UDF (pandas' .str.normalize
+    wraps unicodedata) — the sanctioned slow path, vectorized per batch.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"invalid normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    return _norm(_c(a))
 
 
 def _re_escape(s: str) -> str:
@@ -539,7 +555,7 @@ for _n, _f in {
     "day_of_week": lambda a, count_from_zero=True, week_start=1: _day_of_week(a, count_from_zero, week_start),
     "day_of_year": lambda a: F.dayofyear(_c(a)),
     "is_leap_year": lambda a: ((F.year(_c(a)) % 4 == 0) & ((F.year(_c(a)) % 100 != 0) | (F.year(_c(a)) % 400 == 0))),
-    "is_dst": None,
+    "is_dst": lambda a, timezone="UTC": _is_dst(a, timezone),
     "floor_temporal": lambda a, unit="day": F.date_trunc(unit, _c(a)),
     "ceil_temporal": lambda a, unit="day": _ceil_temporal(a, unit),
     "round_temporal": lambda a, unit="day": _round_temporal(a, unit),
@@ -558,15 +574,46 @@ for _n, _f in {
     "microseconds_between": lambda a, b: F.floor((_EPOCH(b) - _EPOCH(a)) * 1000000),
     "nanoseconds_between": lambda a, b: F.floor((_EPOCH(b) - _EPOCH(a)) * 1000000) * 1000,
     "day_time_interval_between": lambda a, b: (_c(b).cast("timestamp") - _c(a).cast("timestamp")),
-    "month_day_nano_interval_between": None,
+    "month_day_nano_interval_between": lambda a, b: _mdn_between(a, b),
 }.items():
     if _f is not None:
         _reg(_n, "temporal", "mapped", _f)
-_reg("is_dst", "temporal", "deferred", None, "DST flag needs zone-rules lookup; use from_utc_timestamp deltas")
-_reg(
-    "month_day_nano_interval_between", "temporal", "deferred", None,
-    "Spark has no month-day-nano interval; struct(months,days,nanos) compose planned",
-)
+
+
+def _tz_offset_sec(ts, timezone):
+    """UTC offset of `timezone` at instant `ts`, in seconds (JVM-side)."""
+    return F.from_utc_timestamp(ts, timezone).cast("double") - ts.cast("double")
+
+
+def _is_dst(a, timezone="UTC"):
+    """DST flag (is_dst, scalar_temporal_unary.cc): a zone observes DST at
+    instant t iff its UTC offset at t exceeds its standard offset. The
+    standard offset is the smaller of the offsets at Jan 1 / Jul 1 of t's
+    year (covers both hemispheres) — all from_utc_timestamp built-ins, no
+    Python zone-rules lookup.
+    """
+    ts = _c(a).cast("timestamp")
+    jan1 = F.trunc(ts.cast("date"), "year").cast("timestamp")
+    jul1 = F.add_months(jan1.cast("date"), 6).cast("timestamp")
+    off = _tz_offset_sec(ts, timezone)
+    std = F.least(_tz_offset_sec(jan1, timezone), _tz_offset_sec(jul1, timezone))
+    return off > std
+
+
+def _mdn_between(a, b):
+    """month_day_nano_interval_between: struct(months, days, nanoseconds)
+    with Arrow's independent-field semantics (each unit measured on its own
+    calendar component, no borrowing) — Spark lacks the MonthDayNano
+    interval type, so the struct is the engine's representation.
+    """
+    ta, tb = _c(a).cast("timestamp"), _c(b).cast("timestamp")
+    months = (F.year(tb) - F.year(ta)) * 12 + (F.month(tb) - F.month(ta))
+    days = F.dayofmonth(tb) - F.dayofmonth(ta)
+    day_sec = lambda t: t.cast("double") - F.date_trunc("day", t).cast("double")  # noqa: E731
+    nanos = ((day_sec(tb) - day_sec(ta)) * 1e9).cast("long")
+    return F.struct(
+        months.alias("months"), days.alias("days"), nanos.alias("nanoseconds")
+    )
 
 
 def _yearofweek(a):

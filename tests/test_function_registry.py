@@ -162,3 +162,50 @@ def test_temporal_kernels(spark):
 
 def test_physical_ops_are_identity(df):
     assert _one(df, call("dictionary_encode", "y"))[0].v == 2.0
+
+
+def test_utf8_normalize(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["Café", "café", "ﬁne", None]})
+    )
+    rows = df.select(
+        call("utf8_normalize", "s", form="NFC").alias("nfc"),
+        call("utf8_normalize", "s", form="NFKC").alias("nfkc"),
+    ).collect()
+    assert rows[0].nfc == "café".replace("c", "C", 1)  # composed
+    assert rows[1].nfc == "café"
+    assert rows[2].nfkc == "fine"  # ligature folded by compatibility form
+    assert rows[3].nfc is None
+    with pytest.raises(ValueError):
+        call("utf8_normalize", "s", form="XXX")
+
+
+def test_is_dst(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": pd.to_datetime(["2024-07-01 12:00:00", "2024-01-15 12:00:00"])})
+    )
+    rows = df.select(
+        call("is_dst", "t", timezone="America/New_York").alias("ny"),
+        call("is_dst", "t", timezone="Australia/Sydney").alias("syd"),
+        call("is_dst", "t", timezone="UTC").alias("utc"),
+        call("is_dst", "t", timezone="Asia/Tokyo").alias("tokyo"),
+    ).collect()
+    assert rows[0].ny is True and rows[1].ny is False  # northern summer
+    assert rows[0].syd is False and rows[1].syd is True  # southern summer
+    assert rows[0].utc is False and rows[1].utc is False
+    assert rows[0].tokyo is False and rows[1].tokyo is False  # no DST zone
+
+
+def test_month_day_nano_interval_between(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": pd.to_datetime(["2024-01-15 10:30:00"]),
+                "b": pd.to_datetime(["2024-03-10 09:15:30"]),
+            }
+        )
+    )
+    (r,) = df.select(call("month_day_nano_interval_between", "a", "b").alias("v")).collect()
+    assert r.v.months == 2
+    assert r.v.days == -5
+    assert r.v.nanoseconds == int(-4470 * 1e9)
