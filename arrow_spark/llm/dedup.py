@@ -49,30 +49,75 @@ def jaccard_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: tuple = (),
+    length_blocking: bool = True,
 ) -> DataFrame:
     """Token-set Jaccard pairs (a<b) above threshold, within blocks.
 
-    Blocking keys (e.g. language + length bucket) bound the pair count;
-    at 100 TB use minhash_lsh_candidates instead — this is the exact
-    verifier applied to candidate pairs.
+    Lossless length-bucket blocking (on by default): J(A,B) ≤
+    min(|A|,|B|)/max(|A|,|B|), so a pair above threshold t has token-set
+    sizes within a factor 1/t — bucketing by floor(log_{1/t}|toks|)
+    means matching pairs differ by at most one bucket. One side joins on
+    its own bucket, the other explodes {k-1,k,k+1}, so the bucket key is
+    a plain equi-join key (hash-shuffle, no theta join) and each
+    qualifying pair meets exactly once. Same result set as the
+    unblocked quadratic form — the DuckDB oracle checks that — but the
+    per-key pair blowup is bounded by bucket population, not corpus
+    size. At 100 TB use minhash_lsh_candidates for candidate generation;
+    this is the exact verifier.
     """
     d = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
         *[F.col(c) for c in block_cols],
     )
-    a = d.select(
-        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), *[F.col(c) for c in block_cols]
-    )
-    b = d.select(
-        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), *[F.col(c) for c in block_cols]
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    pairs = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
-    pairs = pairs.where(cond)
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     jac = inter * 1.0 / union
+    if length_blocking and 0.0 < threshold < 1.0:
+        import math
+
+        log_inv_t = math.log(1.0 / threshold)
+        # Snap-floor: when log(sz)/log(1/t) lands within 1e-9 of an integer
+        # (sizes at an exact bucket boundary, e.g. 8 vs 16 at t=0.5), plain
+        # floor() can disagree across the pair by 2 due to float error and
+        # the ±1-bucket join would miss a legitimate pair. Snapping
+        # near-integers to the integer keeps the diff ≤ 1 guarantee exact.
+        raw = F.log(F.size("toks").cast("double")) / F.lit(log_inv_t)
+        bucket = F.when(
+            F.abs(raw - F.round(raw, 0)) < 1e-9, F.round(raw, 0).cast("long")
+        ).otherwise(F.floor(raw))
+        a = d.select(
+            F.col("id").alias("id_a"),
+            F.col("toks").alias("toks_a"),
+            bucket.alias("__lb__"),
+            *[F.col(c) for c in block_cols],
+        )
+        b = d.select(
+            F.col("id").alias("id_b"),
+            F.col("toks").alias("toks_b"),
+            F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("__lb__"),
+            *[F.col(c) for c in block_cols],
+        )
+        pairs = a.join(b, [*block_cols, "__lb__"]).where(F.col("id_a") < F.col("id_b"))
+        # Size-ratio prefilter with slack: a false positive just reaches the
+        # exact-Jaccard check below; a float-tight bound could falsely drop
+        # a boundary pair (10*0.3 > 3 in doubles), so never filter tightly.
+        sz_a, sz_b = F.size("toks_a"), F.size("toks_b")
+        ratio_ok = F.least(sz_a, sz_b) >= F.greatest(sz_a, sz_b) * F.lit(threshold) - 1e-9
+        pairs = pairs.where(ratio_ok)
+    else:
+        a = d.select(
+            F.col("id").alias("id_a"),
+            F.col("toks").alias("toks_a"),
+            *[F.col(c) for c in block_cols],
+        )
+        b = d.select(
+            F.col("id").alias("id_b"),
+            F.col("toks").alias("toks_b"),
+            *[F.col(c) for c in block_cols],
+        )
+        pairs = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
+        pairs = pairs.where(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",

@@ -54,6 +54,20 @@ def test_jaccard_pairs_finds_near_dup(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_jaccard_length_blocking_boundary_pair(spark):
+    # |A|=8, A ⊂ B, |B|=16 → J = 8/16 = 0.5, exactly at threshold AND at
+    # the exact length-bucket boundary (log2 16/8 = 1.0) — the case a
+    # float-naive bucket floor or tight size-ratio filter silently drops.
+    a_toks = [f"w{i}" for i in range(8)]
+    b_toks = [f"w{i}" for i in range(16)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [" ".join(a_toks), " ".join(b_toks)]})
+    )
+    for blocked in (True, False):
+        rows = jaccard_near_dup_pairs(df, threshold=0.5, length_blocking=blocked).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 0.5)], blocked
+
+
 def test_minhash_recall_vs_exact(spark, sf_dir):
     from itertools import combinations
 

@@ -81,3 +81,44 @@ def test_parquet_pushdown_reaches_scan(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
     assert "ReadSchema" in plan and "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_ipc_intra_file_split_plan(spark, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from arrow_spark.sources.ipc import _plan_splits
+
+    src = table(spark, sf_dir, "orders").limit(400).toPandas()
+    t = pa.Table.from_pandas(src, preserve_index=False)
+    p = str(tmp_path / "one_big.arrow")
+    with ipc.new_file(p, t.schema) as w:
+        for b in t.to_batches(max_chunksize=25):  # 16 record batches
+            w.write_batch(b)
+    units = _plan_splits([p], target_tasks=8)
+    assert len(units) == 8  # one big file fans out, not one task
+    assert sorted(units) == units and units[0][1] == 0 and units[-1][2] == 16
+    covered = sum(e - s for _, s, e in units)
+    assert covered == 16
+    back = read_ipc(spark, p)
+    assert back.count() == 400
+    assert back.rdd.getNumPartitions() > 1
+
+
+def test_ipc_partitioned_write_read(spark, sf_dir, tmp_path):
+    import os
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = str(tmp_path / "orders_part")
+    write_ipc(src, out, partition_by=["o_orderpriority"])
+    dirs = sorted(d for d in os.listdir(out) if "=" in d)
+    assert all(d.startswith("o_orderpriority=") for d in dirs) and len(dirs) >= 2
+    back = read_ipc(spark, out)
+    assert set(back.columns) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
+    assert back.count() == src.count()
+    # partition column survives as the hive dir value (string-typed)
+    want = {r.o_orderpriority for r in src.select("o_orderpriority").distinct().collect()}
+    got = {r.o_orderpriority for r in back.select("o_orderpriority").distinct().collect()}
+    assert got == want
