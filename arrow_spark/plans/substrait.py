@@ -1,0 +1,509 @@
+"""Substrait plan consumer → Spark DataFrame.
+
+The reference consumes serialized ``substrait.Plan`` protobufs into
+Acero (cpp/src/arrow/engine/substrait/serde.h:106, relation_internal.cc;
+Python surface pyarrow.substrait.run_query). This is the Spark-first
+equivalent: a dependency-free protobuf wire-format decoder for the plan
+subset Acero executes (read/filter/project/join/aggregate/sort/fetch/
+set) that builds the same logical plan with the DataFrame API — so
+Catalyst, not a hand interpreter, picks the physical strategy.
+
+Wire format: every message is parsed with a generic field scanner
+(varint / 64-bit / length-delimited / 32-bit), then typed accessors
+pull the substrait field numbers (public substrait spec,
+substrait-io/substrait proto/). Correctness of the numbers is pinned by
+tests/test_substrait.py, which runs the SAME bytes through
+pyarrow.substrait.run_query (Acero) and this consumer and compares.
+
+Internally every relation's output is positional: columns are renamed
+``_f0.._fn`` at each step, mirroring substrait's index-based
+FieldReference semantics (join output = left fields ++ right fields,
+project output = input ++ expressions, then RelCommon.emit remaps).
+RelRoot.names applies the user-facing names at the end.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Generic protobuf wire-format scanner
+# ---------------------------------------------------------------------------
+
+
+def _scan(buf: bytes) -> dict[int, list[tuple[int, object]]]:
+    """field_number -> [(wire_type, raw_value), ...] in order."""
+    out: dict[int, list[tuple[int, object]]] = {}
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            val, i = _varint(buf, i)
+        elif wt == 1:
+            val, i = buf[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _varint(buf, i)
+            val, i = buf[i : i + ln], i + ln
+        elif wt == 5:
+            val, i = buf[i : i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} (field {field})")
+        out.setdefault(field, []).append((wt, val))
+    return out
+
+
+def _varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = result = 0
+    while True:
+        b = buf[i]
+        result |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return result, i
+        shift += 7
+
+
+def _signed(v: int, bits: int = 64) -> int:
+    return v - (1 << bits) if v >= 1 << (bits - 1) else v
+
+
+class _Msg:
+    """Typed accessors over a scanned message."""
+
+    def __init__(self, buf: bytes):
+        self.f = _scan(buf)
+
+    def msg(self, n: int) -> "_Msg | None":
+        vs = self.f.get(n)
+        return _Msg(vs[-1][1]) if vs else None
+
+    def msgs(self, n: int) -> list["_Msg"]:
+        return [_Msg(v) for _, v in self.f.get(n, [])]
+
+    def u64(self, n: int, default: int = 0) -> int:
+        vs = self.f.get(n)
+        return vs[-1][1] if vs else default
+
+    def i64(self, n: int, default: int = 0) -> int:
+        vs = self.f.get(n)
+        return _signed(vs[-1][1]) if vs else default
+
+    def s(self, n: int, default: str = "") -> str:
+        vs = self.f.get(n)
+        return vs[-1][1].decode("utf-8") if vs else default
+
+    def strs(self, n: int) -> list[str]:
+        return [v.decode("utf-8") for _, v in self.f.get(n, [])]
+
+    def raw(self, n: int) -> bytes | None:
+        vs = self.f.get(n)
+        return vs[-1][1] if vs else None
+
+    def ints(self, n: int) -> list[int]:
+        """Repeated varint field, packed or not."""
+        out: list[int] = []
+        for wt, v in self.f.get(n, []):
+            if wt == 0:
+                out.append(_signed(v, 64))
+            else:  # packed
+                i = 0
+                while i < len(v):
+                    x, i = _varint(v, i)
+                    out.append(_signed(x, 64))
+        return out
+
+    def fp64(self, n: int) -> float:
+        vs = self.f.get(n)
+        return _struct.unpack("<d", vs[-1][1])[0]
+
+    def fp32(self, n: int) -> float:
+        vs = self.f.get(n)
+        return _struct.unpack("<f", vs[-1][1])[0]
+
+    def has(self, n: int) -> bool:
+        return n in self.f
+
+
+# ---------------------------------------------------------------------------
+# Substrait type → Spark type  (substrait type.proto oneof field numbers)
+# ---------------------------------------------------------------------------
+
+_TYPE_FIELDS: dict[int, T.DataType] = {
+    1: T.BooleanType(),
+    2: T.ByteType(),
+    3: T.ShortType(),
+    5: T.IntegerType(),
+    7: T.LongType(),
+    10: T.FloatType(),
+    11: T.DoubleType(),
+    12: T.StringType(),
+    13: T.BinaryType(),
+    14: T.TimestampNTZType(),
+    16: T.DateType(),
+}
+
+
+def _decode_type(m: _Msg) -> T.DataType:
+    for n, t in _TYPE_FIELDS.items():
+        if m.has(n):
+            return t
+    if m.has(24):  # decimal { scale=1, precision=2 }
+        d = m.msg(24)
+        return T.DecimalType(d.u64(2, 38), d.u64(1, 0))
+    if m.has(27):  # list { Type type=1 }
+        return T.ArrayType(_decode_type(m.msg(27).msg(1)))
+    if m.has(25):  # struct { repeated Type types=1 } — anonymous fields
+        sub = m.msg(25)
+        return T.StructType(
+            [T.StructField(f"_{i}", _decode_type(t), True) for i, t in enumerate(sub.msgs(1))]
+        )
+    raise NotImplementedError(f"substrait type fields {sorted(m.f)} not supported")
+
+
+# ---------------------------------------------------------------------------
+# Expressions
+# ---------------------------------------------------------------------------
+
+_BINOPS: dict[str, Callable[[Column, Column], Column]] = {
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: a / b,
+    "modulus": lambda a, b: a % b,
+    "power": lambda a, b: F.pow(a, b),
+    "equal": lambda a, b: a == b,
+    "not_equal": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "gt": lambda a, b: a > b,
+    "lte": lambda a, b: a <= b,
+    "gte": lambda a, b: a >= b,
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "xor": lambda a, b: a ^ b,
+}
+
+_UNARY: dict[str, Callable[[Column], Column]] = {
+    "not": lambda a: ~a,
+    "negate": lambda a: -a,
+    "abs": F.abs,
+    "is_null": lambda a: a.isNull(),
+    "is_not_null": lambda a: a.isNotNull(),
+    "is_nan": F.isnan,
+    "upper": F.upper,
+    "lower": F.lower,
+    "sqrt": F.sqrt,
+    "exp": F.exp,
+    "ln": F.log,
+}
+
+_VARARG: dict[str, Callable[..., Column]] = {
+    "concat": F.concat,
+    "coalesce": F.coalesce,
+}
+
+
+class _Consumer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_provider: Callable[[Sequence[str]], DataFrame],
+        functions: dict[int, str],
+    ):
+        self.spark = spark
+        self.provider = table_provider
+        self.functions = functions  # anchor -> name (extension declarations)
+
+    # -- expressions --------------------------------------------------------
+
+    def expr(self, m: _Msg, cols: list[str]) -> Column:
+        if m.has(1):
+            return self.literal(m.msg(1))
+        if m.has(2):  # FieldReference
+            return F.col(cols[self.field_index(m.msg(2))])
+        if m.has(3):  # ScalarFunction
+            return self.scalar_fn(m.msg(3), cols)
+        if m.has(6):  # IfThen { ifs=1 {if=1 then=2}, else=2 }
+            it = m.msg(6)
+            clauses = it.msgs(1)
+            col = None
+            for c in clauses:
+                cond = self.expr(c.msg(1), cols)
+                then = self.expr(c.msg(2), cols)
+                col = F.when(cond, then) if col is None else col.when(cond, then)
+            if it.has(2):
+                col = col.otherwise(self.expr(it.msg(2), cols))
+            return col
+        if m.has(8):  # SingularOrList { value=1, options=2 } → IN
+            sl = m.msg(8)
+            v = self.expr(sl.msg(1), cols)
+            return v.isin([self.expr(o, cols) for o in sl.msgs(2)])
+        if m.has(11):  # Cast { type=1, input=2, failure_behavior=3 }
+            c = m.msg(11)
+            to = _decode_type(c.msg(1))
+            inp = self.expr(c.msg(2), cols)
+            # FAILURE_BEHAVIOR_RETURN_NULL=1 → try_cast; THROW(2)/unset → cast
+            return inp.try_cast(to) if c.u64(3) == 1 else inp.cast(to)
+        raise NotImplementedError(f"expression fields {sorted(m.f)} not supported")
+
+    def field_index(self, ref: _Msg) -> int:
+        seg = ref.msg(1)  # direct_reference: ReferenceSegment
+        if seg is None or not seg.has(2):
+            raise NotImplementedError("only direct struct-field references supported")
+        return seg.msg(2).u64(1)  # StructField.field
+
+    def literal(self, m: _Msg) -> Column:
+        if m.has(1):
+            return F.lit(bool(m.u64(1)))
+        for n, cast in ((2, "tinyint"), (3, "smallint"), (5, "int")):
+            if m.has(n):
+                return F.lit(_signed(m.u64(n), 32)).cast(cast)
+        if m.has(7):
+            return F.lit(m.i64(7)).cast("bigint")
+        if m.has(10):
+            return F.lit(m.fp32(10)).cast("float")
+        if m.has(11):
+            return F.lit(m.fp64(11))
+        if m.has(12):
+            return F.lit(m.s(12))
+        if m.has(13):
+            return F.lit(m.raw(13))
+        if m.has(16):  # date: days since epoch
+            return F.date_add(F.lit("1970-01-01").cast("date"), _signed(m.u64(16), 32))
+        if m.has(29):  # typed null
+            return F.lit(None).cast(_decode_type(m.msg(29)))
+        raise NotImplementedError(f"literal fields {sorted(m.f)} not supported")
+
+    def fn_name(self, anchor: int) -> str:
+        name = self.functions.get(anchor)
+        if name is None:
+            raise KeyError(f"function anchor {anchor} not declared in plan extensions")
+        return name.split(":", 1)[0]  # strip compound signature ("add:i64_i64")
+
+    def scalar_fn(self, m: _Msg, cols: list[str]) -> Column:
+        name = self.fn_name(m.u64(1))
+        args = [
+            self.expr(a.msg(3), cols)
+            for a in m.msgs(4)  # FunctionArgument.value
+            if a.has(3)
+        ] or [self.expr(a, cols) for a in m.msgs(2)]  # deprecated args field
+        if name in _BINOPS and len(args) == 2:
+            return _BINOPS[name](*args)
+        if name in _UNARY and len(args) == 1:
+            return _UNARY[name](*args)
+        if name in _VARARG:
+            return _VARARG[name](*args)
+        if name == "substring" and len(args) in (2, 3):
+            length = args[2] if len(args) == 3 else F.lit(1 << 30)
+            return F.substring(args[0], args[1], length)
+        if name == "like" and len(args) == 2:
+            return args[0].like(args[1])
+        raise NotImplementedError(f"scalar function {name!r}/{len(args)} not supported")
+
+    # -- relations ----------------------------------------------------------
+
+    def rel(self, m: _Msg) -> DataFrame:
+        handlers = {
+            1: self.read_rel,
+            2: self.filter_rel,
+            3: self.fetch_rel,
+            4: self.aggregate_rel,
+            5: self.sort_rel,
+            6: self.join_rel,
+            7: self.project_rel,
+            8: self.set_rel,
+            12: self.cross_rel,
+        }
+        for n, h in handlers.items():
+            if m.has(n):
+                return h(m.msg(n))
+        raise NotImplementedError(f"relation fields {sorted(m.f)} not supported")
+
+    @staticmethod
+    def _positional(df: DataFrame) -> DataFrame:
+        return df.toDF(*[f"_f{i}" for i in range(len(df.columns))])
+
+    def _emit(self, df: DataFrame, common: _Msg | None) -> DataFrame:
+        """RelCommon.emit.output_mapping remaps/projects output columns."""
+        if common is None or not common.has(2):
+            return self._positional(df)
+        mapping = common.msg(2).ints(1)
+        cols = df.columns
+        return df.select(
+            *[F.col(cols[j]).alias(f"_f{i}") for i, j in enumerate(mapping)]
+        )
+
+    def read_rel(self, m: _Msg) -> DataFrame:
+        base = m.msg(2)  # NamedStruct { names=1, struct=2 }
+        names = base.strs(1) if base else []
+        if m.has(7):  # NamedTable { names=1 }
+            df = self.provider(m.msg(7).strs(1))
+        else:
+            raise NotImplementedError("only named_table reads supported")
+        if names:
+            missing = [c for c in names if c not in df.columns]
+            if missing:
+                raise ValueError(f"table lacks base_schema columns {missing}")
+            df = df.select(*names)
+        df = self._positional(df)
+        if m.has(3):  # pushdown filter
+            df = df.where(self.expr(m.msg(3), df.columns))
+        return self._emit(df, m.msg(1)) if m.msg(1) and m.msg(1).has(2) else df
+
+    def filter_rel(self, m: _Msg) -> DataFrame:
+        df = self.rel(m.msg(2))
+        out = df.where(self.expr(m.msg(3), df.columns))
+        return self._emit(out, m.msg(1))
+
+    def project_rel(self, m: _Msg) -> DataFrame:
+        df = self.rel(m.msg(2))
+        cols = df.columns
+        exprs = [self.expr(e, cols) for e in m.msgs(3)]
+        # substrait project output = input fields ++ expressions
+        out = df.select(
+            *[F.col(c) for c in cols],
+            *[e.alias(f"_f{len(cols) + i}") for i, e in enumerate(exprs)],
+        )
+        return self._emit(out, m.msg(1))
+
+    def fetch_rel(self, m: _Msg) -> DataFrame:
+        df = self.rel(m.msg(2))
+        offset, count = m.i64(3), m.i64(4, -1)
+        if offset:
+            df = df.offset(offset)
+        if count >= 0:
+            df = df.limit(count)
+        return self._emit(df, m.msg(1))
+
+    def sort_rel(self, m: _Msg) -> DataFrame:
+        df = self.rel(m.msg(2))
+        orders = []
+        for s in m.msgs(3):  # SortField { expr=1, direction=2 }
+            e = self.expr(s.msg(1), df.columns)
+            d = s.u64(2, 1)
+            orders.append(
+                {1: e.asc_nulls_first(), 2: e.asc_nulls_last(),
+                 3: e.desc_nulls_first(), 4: e.desc_nulls_last()}[d]
+            )
+        return self._emit(df.orderBy(*orders), m.msg(1))
+
+    def join_rel(self, m: _Msg) -> DataFrame:
+        left, right = self.rel(m.msg(2)), self.rel(m.msg(3))
+        nl = len(left.columns)
+        right_r = right.toDF(*[f"_g{i}" for i in range(len(right.columns))])
+        combined = left.columns + right_r.columns
+        jtype = {1: "inner", 2: "full_outer", 3: "left_outer", 4: "right_outer",
+                 5: "left_semi", 6: "left_anti"}[m.u64(6, 1)]
+        cond = self.expr(m.msg(4), combined) if m.has(4) else F.lit(True)
+        out = left.join(right_r, cond, jtype)
+        if m.has(5):
+            out = out.where(self.expr(m.msg(5), combined))
+        if jtype in ("left_semi", "left_anti"):
+            out = out.select(*left.columns)
+        else:
+            out = out.toDF(*[f"_f{i}" for i in range(nl + len(right_r.columns))])
+        return self._emit(out, m.msg(1))
+
+    def cross_rel(self, m: _Msg) -> DataFrame:
+        left, right = self.rel(m.msg(2)), self.rel(m.msg(3))
+        right_r = right.toDF(*[f"_g{i}" for i in range(len(right.columns))])
+        out = self._positional(left.crossJoin(right_r))
+        return self._emit(out, m.msg(1))
+
+    def aggregate_rel(self, m: _Msg) -> DataFrame:
+        df = self.rel(m.msg(2))
+        cols = df.columns
+        groupings = m.msgs(3)
+        if len(groupings) > 1:
+            raise NotImplementedError("grouping sets not supported (single grouping only)")
+        keys = [self.expr(e, cols) for e in groupings[0].msgs(1)] if groupings else []
+        aggs = []
+        for i, meas in enumerate(m.msgs(4)):  # Measure { measure=1, filter=2 }
+            af = meas.msg(1)  # AggregateFunction
+            name = self.fn_name(af.u64(1))
+            args = [
+                self.expr(a.msg(3), cols) for a in af.msgs(7) if a.has(3)
+            ] or [self.expr(a, cols) for a in af.msgs(2)]
+            distinct = af.u64(6) == 2  # AGGREGATION_INVOCATION_DISTINCT
+            col = self._agg_fn(name, args, distinct)
+            if meas.has(2):
+                raise NotImplementedError("per-measure filters not supported")
+            aggs.append(col.alias(f"_m{i}"))
+        keyed = [k.alias(f"_k{i}") for i, k in enumerate(keys)]
+        out = df.groupBy(*keyed).agg(*aggs) if keyed else df.agg(*aggs)
+        return self._emit(out, m.msg(1))
+
+    @staticmethod
+    def _agg_fn(name: str, args: list[Column], distinct: bool) -> Column:
+        if name == "count":
+            if not args:
+                return F.count(F.lit(1))
+            return F.count_distinct(args[0]) if distinct else F.count(args[0])
+        if distinct:
+            if name == "sum":
+                return F.sum_distinct(args[0])
+            raise NotImplementedError(f"distinct {name} not supported")
+        fns = {
+            "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,
+            "any_value": F.first, "std_dev": F.stddev_samp, "variance": F.var_samp,
+        }
+        if name in fns and len(args) == 1:
+            return fns[name](args[0])
+        raise NotImplementedError(f"aggregate function {name!r} not supported")
+
+    def set_rel(self, m: _Msg) -> DataFrame:
+        inputs = [self.rel(r) for r in m.msgs(2)]
+        op = m.u64(3)
+        out = inputs[0]
+        for nxt in inputs[1:]:
+            if op == 6:  # UNION_ALL
+                out = out.union(nxt)
+            elif op == 5:  # UNION_DISTINCT
+                out = out.union(nxt).distinct()
+            elif op == 3:  # INTERSECTION_PRIMARY
+                out = out.intersect(nxt)
+            elif op == 1:  # MINUS_PRIMARY
+                out = out.subtract(nxt)
+            else:
+                raise NotImplementedError(f"set op {op} not supported")
+        return self._emit(out, m.msg(1))
+
+
+def _extension_functions(plan: _Msg) -> dict[int, str]:
+    """SimpleExtensionDeclaration.ExtensionFunction: anchor -> name."""
+    out: dict[int, str] = {}
+    for decl in plan.msgs(2):
+        fn = decl.msg(3)
+        if fn is not None:
+            out[fn.u64(2)] = fn.s(3)
+    return out
+
+
+def run_substrait(
+    spark: SparkSession,
+    plan_bytes: bytes,
+    table_provider: Callable[[Sequence[str]], DataFrame],
+) -> DataFrame:
+    """Execute a serialized substrait.Plan against Spark
+    (pyarrow.substrait.run_query parity — serde.h:106).
+
+    `table_provider` maps a qualified-name list (NamedTable.names) to a
+    DataFrame, exactly like run_query's table_provider. The final
+    DataFrame carries RelRoot.names.
+    """
+    plan = _Msg(bytes(plan_bytes))
+    consumer = _Consumer(spark, table_provider, _extension_functions(plan))
+    for prel in plan.msgs(3):  # PlanRel { rel=1 | root=2 }
+        root = prel.msg(2)
+        if root is not None:
+            df = consumer.rel(root.msg(1))
+            names = root.strs(2)
+            return df.toDF(*names) if names else df
+        if prel.has(1):
+            return consumer.rel(prel.msg(1))
+    raise ValueError("plan has no relations")

@@ -1,0 +1,224 @@
+"""Minimal substrait.Plan builder (protobuf wire format, no deps).
+
+Produces serialized plans for the subset arrow_spark.plans.substrait
+consumes. The same bytes are fed to pyarrow.substrait.run_query in
+tests, so the encoding is validated by Acero's real consumer — if the
+field numbers here were wrong, Acero would reject or mis-execute the
+plan, and the cross-engine comparison would fail.
+
+Expression/relation builders mirror the structures in the public
+substrait spec (substrait-io/substrait proto/algebra.proto, plan.proto,
+type.proto); the reference's consumer for the same messages is
+cpp/src/arrow/engine/substrait/relation_internal.cc.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+# canonical extension YAML URIs (what Acero's ExtensionIdRegistry knows)
+URI_ARITH = "https://github.com/substrait-io/substrait/blob/main/extensions/functions_arithmetic.yaml"
+URI_CMP = "https://github.com/substrait-io/substrait/blob/main/extensions/functions_comparison.yaml"
+URI_BOOL = "https://github.com/substrait-io/substrait/blob/main/extensions/functions_boolean.yaml"
+URI_AGG = "https://github.com/substrait-io/substrait/blob/main/extensions/functions_aggregate_generic.yaml"
+URI_STRING = "https://github.com/substrait-io/substrait/blob/main/extensions/functions_string.yaml"
+
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        v += 1 << 64
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def f_varint(field: int, v: int) -> bytes:
+    return _varint(field << 3) + _varint(v)
+
+
+def f_msg(field: int, payload: bytes) -> bytes:
+    return _varint(field << 3 | 2) + _varint(len(payload)) + payload
+
+
+def f_str(field: int, s: str) -> bytes:
+    return f_msg(field, s.encode("utf-8"))
+
+
+def f_fp64(field: int, v: float) -> bytes:
+    return _varint(field << 3 | 1) + _struct.pack("<d", v)
+
+
+# -- types (type.proto oneof numbers; each kind: nullability = 2) -----------
+
+_TYPE_NUM = {"bool": 1, "i8": 2, "i16": 3, "i32": 5, "i64": 7, "fp32": 10,
+             "fp64": 11, "string": 12, "binary": 13, "timestamp": 14, "date": 16}
+
+
+def typ(kind: str, nullable: bool = True) -> bytes:
+    inner = f_varint(2, 1 if nullable else 2)  # Nullability NULLABLE/REQUIRED
+    return f_msg(_TYPE_NUM[kind], inner)
+
+
+def named_struct(names: list[str], kinds: list[str]) -> bytes:
+    # NamedStruct { names=1, Type.Struct struct=2 }; Type.Struct
+    # { repeated Type types=1, nullability=3 }
+    struct_body = b"".join(f_msg(1, typ(k)) for k in kinds) + f_varint(3, 2)
+    return b"".join(f_str(1, n) for n in names) + f_msg(2, struct_body)
+
+
+# -- expressions ------------------------------------------------------------
+
+
+def field_ref(idx: int) -> bytes:
+    seg = f_msg(2, f_varint(1, idx))  # StructField { field=1 }
+    ref = f_msg(1, seg) + f_msg(4, b"")  # direct_reference + RootReference
+    return f_msg(2, ref)  # Expression.selection
+
+
+def lit_i64(v: int) -> bytes:
+    return f_msg(1, f_varint(7, v))
+
+
+def lit_i32(v: int) -> bytes:
+    return f_msg(1, f_varint(5, v))
+
+
+def lit_fp64(v: float) -> bytes:
+    return f_msg(1, f_fp64(11, v))
+
+
+def lit_str(s: str) -> bytes:
+    return f_msg(1, f_str(12, s))
+
+
+def lit_date(days: int) -> bytes:
+    return f_msg(1, f_varint(16, days))
+
+
+def scalar_fn(anchor: int, args: list[bytes], output: bytes | None = None) -> bytes:
+    body = f_varint(1, anchor)
+    for a in args:
+        body += f_msg(4, f_msg(3, a))  # FunctionArgument.value
+    if output is not None:
+        body += f_msg(3, output)  # output_type
+    return f_msg(3, body)  # Expression.scalar_function
+
+
+def cast(expr: bytes, to: bytes, safe: bool = False) -> bytes:
+    # Expression oneof: window_function=5, if_then=6, singular_or_list=8,
+    # cast=11 (field 4 skipped in the spec — pinned by the Acero round-trip)
+    body = f_msg(1, to) + f_msg(2, expr) + f_varint(3, 1 if safe else 2)
+    return f_msg(11, body)
+
+
+def if_then(clauses: list[tuple[bytes, bytes]], els: bytes | None = None) -> bytes:
+    body = b"".join(f_msg(1, f_msg(1, c) + f_msg(2, t)) for c, t in clauses)
+    if els is not None:
+        body += f_msg(2, els)
+    return f_msg(6, body)
+
+
+def agg_fn(anchor: int, args: list[bytes], output: bytes, distinct: bool = False) -> bytes:
+    """AggregateFunction: reference=1, phase=4, output_type=5,
+    invocation=6, arguments=7."""
+    body = f_varint(1, anchor)
+    body += f_varint(4, 3)  # AGGREGATION_PHASE_INITIAL_TO_RESULT
+    body += f_msg(5, output)
+    body += f_varint(6, 2 if distinct else 1)
+    for a in args:
+        body += f_msg(7, f_msg(3, a))
+    return body
+
+
+# -- relations --------------------------------------------------------------
+
+
+def rel(kind: str, payload: bytes) -> bytes:
+    nums = {"read": 1, "filter": 2, "fetch": 3, "aggregate": 4, "sort": 5,
+            "join": 6, "project": 7, "set": 8, "cross": 12}
+    return f_msg(nums[kind], payload)
+
+
+def read_named(table_names: list[str], col_names: list[str], col_kinds: list[str],
+               filter_expr: bytes | None = None) -> bytes:
+    body = f_msg(2, named_struct(col_names, col_kinds))
+    if filter_expr is not None:
+        body += f_msg(3, filter_expr)
+    body += f_msg(7, b"".join(f_str(1, n) for n in table_names))  # NamedTable
+    return rel("read", body)
+
+
+def filter_rel(input_rel: bytes, condition: bytes) -> bytes:
+    return rel("filter", f_msg(2, input_rel) + f_msg(3, condition))
+
+
+def project_rel(input_rel: bytes, exprs: list[bytes],
+                emit: list[int] | None = None) -> bytes:
+    body = b""
+    if emit is not None:
+        body += f_msg(1, f_msg(2, b"".join(f_varint(1, i) for i in emit)))
+    body += f_msg(2, input_rel)
+    body += b"".join(f_msg(3, e) for e in exprs)
+    return rel("project", body)
+
+
+def aggregate_rel(input_rel: bytes, group_exprs: list[bytes],
+                  measures: list[bytes]) -> bytes:
+    body = f_msg(2, input_rel)
+    body += f_msg(3, b"".join(f_msg(1, g) for g in group_exprs))  # one Grouping
+    body += b"".join(f_msg(4, f_msg(1, m)) for m in measures)  # Measure.measure
+    return rel("aggregate", body)
+
+
+def sort_rel(input_rel: bytes, sorts: list[tuple[bytes, int]]) -> bytes:
+    """sorts: (expr, direction) with 1=asc_nf 2=asc_nl 3=desc_nf 4=desc_nl."""
+    body = f_msg(2, input_rel)
+    body += b"".join(f_msg(3, f_msg(1, e) + f_varint(2, d)) for e, d in sorts)
+    return rel("sort", body)
+
+
+def fetch_rel(input_rel: bytes, offset: int = 0, count: int = -1) -> bytes:
+    body = f_msg(2, input_rel) + f_varint(3, offset) + f_varint(4, count)
+    return rel("fetch", body)
+
+
+def join_rel(left: bytes, right: bytes, condition: bytes, join_type: int = 1) -> bytes:
+    body = f_msg(2, left) + f_msg(3, right) + f_msg(4, condition) + f_varint(6, join_type)
+    return rel("join", body)
+
+
+def set_rel(inputs: list[bytes], op: int = 6) -> bytes:
+    return rel("set", b"".join(f_msg(2, r) for r in inputs) + f_varint(3, op))
+
+
+# -- plan assembly ----------------------------------------------------------
+
+
+def plan(root_rel: bytes, names: list[str],
+         functions: dict[int, tuple[str, str]] | None = None) -> bytes:
+    """Assemble substrait.Plan bytes.
+
+    functions: anchor -> (uri, name). URIs get uri anchors 1..N;
+    declarations bind (uri anchor, function anchor, name).
+    """
+    functions = functions or {}
+    uris: dict[str, int] = {}
+    for uri, _ in functions.values():
+        uris.setdefault(uri, len(uris) + 1)
+    out = b""
+    for uri, ua in uris.items():
+        out += f_msg(1, f_varint(1, ua) + f_str(2, uri))  # SimpleExtensionURI
+    for anchor, (uri, name) in functions.items():
+        ext_fn = f_varint(1, uris[uri]) + f_varint(2, anchor) + f_str(3, name)
+        out += f_msg(2, f_msg(3, ext_fn))  # SimpleExtensionDeclaration.extension_function
+    root = f_msg(1, root_rel) + b"".join(f_str(2, n) for n in names)
+    out += f_msg(3, f_msg(2, root))  # PlanRel.root
+    out += f_msg(6, f_varint(1, 0) + f_varint(2, 44) + f_varint(3, 0)
+                 + f_str(5, "arrow_spark"))  # Version
+    return out

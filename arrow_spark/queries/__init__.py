@@ -26,6 +26,7 @@ _MODULES = (
     "dedup",
     "streaming_windows",
     "extras",
+    "substrait_q",
 )
 
 

@@ -1,0 +1,169 @@
+"""Substrait consumer cross-validated against Acero.
+
+Every plan here is hand-encoded with arrow_spark.plans.substrait_builder
+and executed BOTH by pyarrow.substrait.run_query (the reference's real
+consumer — serde.h:106) and by arrow_spark.plans.substrait.run_substrait
+(the Spark consumer). Matching results prove both the wire encoding and
+the Spark-side semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pytest
+
+from arrow_spark.plans import substrait_builder as B
+from arrow_spark.plans.substrait import run_substrait
+
+ps = pytest.importorskip("pyarrow.substrait")
+
+
+T1 = pa.table({"k": ["x", "y", "x", "y", "x"], "v": [1, 2, 3, 4, 5]})
+T2 = pa.table({"k": ["x", "y", "z"], "w": [100, 200, 300]})
+TABLES = {"t": T1, "u": T2}
+
+READ_T = B.read_named(["t"], ["k", "v"], ["string", "i64"])
+READ_U = B.read_named(["u"], ["k", "w"], ["string", "i64"])
+
+
+def _norm(rows):
+    def n(v):
+        if isinstance(v, float):
+            return None if math.isnan(v) else round(v, 9)
+        return v
+
+    return sorted(tuple(n(v) for v in r) for r in rows)
+
+
+def _run_both(spark, plan_bytes, tables=TABLES):
+    def acero_provider(names, schema=None):
+        return tables[names[0]]
+
+    def spark_provider(names):
+        return spark.createDataFrame(tables[names[0]].to_pandas())
+
+    want_tbl = ps.run_query(plan_bytes, table_provider=acero_provider).read_all()
+    got_df = run_substrait(spark, plan_bytes, spark_provider)
+    assert [c.lower() for c in got_df.columns] == [n.lower() for n in want_tbl.column_names]
+    want = _norm([tuple(r.values()) for r in want_tbl.to_pylist()])
+    got = _norm([tuple(r) for r in got_df.collect()])
+    assert got == want, f"spark={got} acero={want}"
+    return got
+
+
+def test_filter_project_emit(spark):
+    gt = B.scalar_fn(1, [B.field_ref(1), B.lit_i64(1)], output=B.typ("bool"))
+    add = B.scalar_fn(2, [B.field_ref(1), B.lit_i64(10)], output=B.typ("i64"))
+    root = B.project_rel(B.filter_rel(READ_T, gt), [add], emit=[0, 2])
+    p = B.plan(root, ["k", "v10"], functions={1: (B.URI_CMP, "gt"), 2: (B.URI_ARITH, "add")})
+    rows = _run_both(spark, p)
+    assert rows == [("x", 13), ("x", 15), ("y", 12), ("y", 14)]
+
+
+def test_grouped_aggregate(spark):
+    measures = [
+        B.agg_fn(1, [B.field_ref(1)], B.typ("i64")),
+        B.agg_fn(2, [B.field_ref(1)], B.typ("i64")),
+        B.agg_fn(3, [B.field_ref(1)], B.typ("i64")),
+        B.agg_fn(4, [B.field_ref(1)], B.typ("i64")),
+        B.agg_fn(5, [B.field_ref(1)], B.typ("fp64")),
+    ]
+    agg = B.aggregate_rel(READ_T, [B.field_ref(0)], measures)
+    p = B.plan(
+        agg,
+        ["k", "s", "c", "mn", "mx", "av"],
+        functions={
+            1: (B.URI_ARITH, "sum"),
+            2: (B.URI_AGG, "count"),
+            3: (B.URI_ARITH, "min"),
+            4: (B.URI_ARITH, "max"),
+            5: (B.URI_ARITH, "avg"),
+        },
+    )
+    rows = _run_both(spark, p)
+    assert rows == [("x", 9, 3, 1, 5, 3.0), ("y", 6, 2, 2, 4, 3.0)]
+
+
+def test_global_aggregate(spark):
+    agg = B.aggregate_rel(READ_T, [], [B.agg_fn(1, [B.field_ref(1)], B.typ("i64"))])
+    p = B.plan(agg, ["total"], functions={1: (B.URI_ARITH, "sum")})
+    assert _run_both(spark, p) == [(15,)]
+
+
+@pytest.mark.parametrize("jt", [1, 3])  # INNER, LEFT (substrait JoinRel.JoinType)
+def test_join_types(spark, jt):
+    eq = B.scalar_fn(1, [B.field_ref(0), B.field_ref(2)], output=B.typ("bool"))
+    j = B.join_rel(READ_T, READ_U, eq, join_type=jt)
+    p = B.plan(j, ["k", "v", "k2", "w"], functions={1: (B.URI_CMP, "equal")})
+    rows = _run_both(spark, p)
+    assert len(rows) == 5
+
+
+def test_semi_anti_join_spec_output(spark):
+    # substrait spec: SEMI(5)/ANTI(6) emit the left fields only. Acero's
+    # consumer deviates (left++right schema), so these assert Spark-side
+    # spec semantics rather than cross-validating.
+    def spark_provider(names):
+        return spark.createDataFrame(TABLES[names[0]].to_pandas())
+
+    eq = B.scalar_fn(1, [B.field_ref(0), B.field_ref(2)], output=B.typ("bool"))
+    semi = B.join_rel(READ_T, READ_U, eq, join_type=5)
+    p = B.plan(semi, ["k", "v"], functions={1: (B.URI_CMP, "equal")})
+    rows = run_substrait(spark, p, spark_provider).collect()
+    assert len(rows) == 5 and rows[0].__fields__ == ["k", "v"]
+    anti = B.join_rel(READ_T, READ_U, eq, join_type=6)
+    p = B.plan(anti, ["k", "v"], functions={1: (B.URI_CMP, "equal")})
+    assert run_substrait(spark, p, spark_provider).count() == 0
+
+
+def test_sort_fetch(spark):
+    srt = B.sort_rel(READ_T, [(B.field_ref(1), 4)])  # v desc_nulls_last
+    f = B.fetch_rel(srt, offset=1, count=2)
+    p = B.plan(f, ["k", "v"])
+    assert _run_both(spark, p) == [("x", 3), ("y", 4)]
+
+
+def test_set_union_all(spark):
+    s = B.set_rel([READ_T, READ_T], op=6)
+    p = B.plan(s, ["k", "v"])
+    rows = _run_both(spark, p)
+    assert len(rows) == 10
+
+
+def test_if_then_cast_literals(spark):
+    big = B.scalar_fn(1, [B.field_ref(1), B.lit_i64(3)], output=B.typ("bool"))
+    label = B.if_then([(big, B.lit_str("big"))], B.lit_str("small"))
+    as_f64 = B.cast(B.field_ref(1), B.typ("fp64"))
+    root = B.project_rel(READ_T, [label, as_f64], emit=[0, 2, 3])
+    p = B.plan(root, ["k", "size", "vf"], functions={1: (B.URI_CMP, "gte")})
+    rows = _run_both(spark, p)
+    assert ("x", "big", 3.0) in rows and ("x", "small", 1.0) in rows
+
+
+def test_spark_only_full_outer_and_minus(spark):
+    # shapes Acero's consumer doesn't take; assert Spark semantics directly
+    def spark_provider(names):
+        return spark.createDataFrame(TABLES[names[0]].to_pandas())
+
+    eq = B.scalar_fn(1, [B.field_ref(0), B.field_ref(2)], output=B.typ("bool"))
+    j = B.join_rel(READ_T, READ_U, eq, join_type=2)  # full outer
+    p = B.plan(j, ["k", "v", "k2", "w"], functions={1: (B.URI_CMP, "equal")})
+    rows = run_substrait(spark, p, spark_provider).collect()
+    assert any(r.k is None and r.w == 300 for r in rows)  # z unmatched
+
+    m = B.set_rel([READ_T, READ_T], op=1)  # MINUS_PRIMARY
+    rows = run_substrait(spark, B.plan(m, ["k", "v"]), spark_provider).collect()
+    assert rows == []
+
+
+def test_unknown_function_anchor_raises(spark):
+    bad = B.scalar_fn(99, [B.field_ref(1)], output=B.typ("bool"))
+    p = B.plan(B.filter_rel(READ_T, bad), ["k", "v"])
+
+    def spark_provider(names):
+        return spark.createDataFrame(TABLES[names[0]].to_pandas())
+
+    with pytest.raises(KeyError, match="anchor 99"):
+        run_substrait(spark, p, spark_provider).collect()
