@@ -32,8 +32,12 @@ HEADLINE = [
     "asof_join_backward",
     "select_k",
     "dedup_exact",
+    # dedup_jaccard_pairs is NOT a headline: all-pairs exact Jaccard is
+    # the correctness verifier (oracle-gated at sf0.01), never the scale
+    # path — this fixture's templated docs make ~50% of same-lang pairs
+    # near-dups, so its sf0.1 cost is ~2.5M array intersects regardless
+    # of blocking. The scale path IS the headline: minhash-LSH.
     "dedup_minhash_lsh",
-    "dedup_jaccard_pairs",
     "similarity_topk_cosine",
     "text_quality_score",
     "text_token_count",
