@@ -16,6 +16,7 @@ from arrow_spark.queries.base import REGISTRY, QueryDef, query  # noqa: F401
 _MODULES = (
     "relational",
     "joins",
+    "tpch",
     "windows",
     "functions_scalar",
     "temporal",
