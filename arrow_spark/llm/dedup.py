@@ -334,3 +334,93 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos")
     ).where(F.col("cos") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    Returns one row per vertex appearing in ``edges``: (v, component)
+    where component is the smallest vertex id in the connected component.
+
+    Distributed iterative algorithm (the piece Arrow cannot express —
+    Acero has no iteration; Spark runs it as a loop of joins):
+    each round every vertex adopts min(own label, neighbors' labels),
+    converging in O(diameter) rounds. Near-dup graphs are near-cliques
+    (similarity is almost transitive), so the diameter is tiny; worst
+    case chains still converge within max_iter and convergence is
+    asserted, not assumed.
+
+    Scale notes: the symmetrized edge list is localCheckpoint-ed once so
+    the (possibly expensive) pair-generation lineage is computed exactly
+    once; each round is one shuffle (groupBy dst) + one broadcast-free
+    equi-join, and each round's labels are localCheckpoint-ed to truncate
+    lineage — the classic Spark iterative pattern (GraphX Pregel does the
+    same materialization per superstep). No .cache() anywhere: checkpoint
+    blocks don't enter the CacheManager, so later unrelated queries can't
+    pick them up via ReusedExchange (see SCALE.md round-1 lesson).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        upd = (
+            labels.join(nbr_min, labels.v == nbr_min.a, "left")
+            .select(
+                "v",
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = upd.where(F.col("label") < F.col("old_label")).count()
+        labels = upd.select("v", "label")
+        if changed == 0:
+            return labels.select("v", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple = (),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster documents by transitive Jaccard near-duplication.
+
+    The end-to-end dedup op a training-data pipeline actually needs:
+    pairwise near-dup edges (jaccard_near_dup_pairs) are only half the
+    job — a~b and b~c must collapse into ONE keeper even when a≁c.
+    Output: (doc_id, cluster_id, is_keeper) for EVERY document
+    (singletons form their own cluster); keep `is_keeper` rows for the
+    deduplicated corpus. cluster_id = min doc_id of the cluster, so the
+    result is deterministic.
+    """
+    pairs = jaccard_near_dup_pairs(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col, block_cols=block_cols
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == comp.v, "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_keeper"),
+    )

@@ -17,6 +17,7 @@ from arrow_spark.llm.dedup import (
     exact_dedup,
     jaccard_near_dup_pairs,
     minhash_near_dups,
+    near_dup_clusters,
     simhash_signatures,
 )
 from arrow_spark.queries.base import query
@@ -73,6 +74,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures per document (rows-only check)."""
     return simhash_signatures(table(spark, sf_dir, "documents"))
+
+
+# Transitive closure of the (already-oracle-checked) Jaccard pair set:
+# DuckDB's recursive CTE plays the naive-reference role for the
+# distributed iterative min-label algorithm — a genuinely different
+# formulation, so the hash match also cross-checks the iteration.
+CLUSTERS_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT doc_id AS id, lang,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM d a JOIN d b ON a.lang = b.lang AND a.id < b.id
+  WHERE (len(list_intersect(a.toks, b.toks)) * 1.0
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(v, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT doc_id,
+       coalesce(comp.c, doc_id)            AS cluster_id,
+       coalesce(comp.c, doc_id) = doc_id   AS is_keeper
+FROM documents
+LEFT JOIN (SELECT v, least(min(r), v) AS c FROM reach GROUP BY v) comp
+  ON doc_id = comp.v
+"""
+
+
+@query("dedup_clusters", oracle=CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    lang-blocked Jaccard pair graph; every doc assigned a cluster,
+    keeper = min doc_id (the row to retain in the deduplicated corpus)."""
+    return near_dup_clusters(
+        table(spark, sf_dir, "documents"), threshold=0.5, block_cols=("lang",)
+    )
 
 
 EMB_NEAR_DUP_ORACLE = """

@@ -135,3 +135,33 @@ def test_lsh_topk_finds_clustered_neighbors(spark):
     ex = {(r.qid, r.nid): r.cos for r in exact.collect()}
     for r in out.collect():
         assert abs(ex[(r.qid, r.nid)] - r.cos) < 1e-12
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from arrow_spark.llm.dedup import connected_components
+
+    # 1-2-3-4 chain (multi-round propagation), 7-8 pair, 9 absent vertex
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.v: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_near_dup_clusters_transitive_merge(spark):
+    from arrow_spark.llm.dedup import near_dup_clusters
+
+    # a~b and b~c each share >1/2 tokens, a vs c falls below 0.5:
+    # clustering must still place all three together (transitivity),
+    # while d is a singleton keeper.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta gamma epsilon", "en"),
+            (3, "alpha beta zeta epsilon", "en"),
+            (4, "totally different words here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: (r.cluster_id, r.is_keeper) for r in near_dup_clusters(df).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
