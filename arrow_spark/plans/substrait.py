@@ -228,6 +228,10 @@ class _Consumer:
             return F.col(cols[self.field_index(m.msg(2))])
         if m.has(3):  # ScalarFunction
             return self.scalar_fn(m.msg(3), cols)
+        if m.has(5):  # WindowFunction { partitions=2, sorts=3, … }
+            wf = m.msg(5)
+            parts = [self.expr(e, cols) for e in wf.msgs(2)]
+            return self._window_column(wf, cols, parts, wf.msgs(3))
         if m.has(6):  # IfThen { ifs=1 {if=1 then=2}, else=2 }
             it = m.msg(6)
             clauses = it.msgs(1)
@@ -303,7 +307,94 @@ class _Consumer:
             return F.substring(args[0], args[1], length)
         if name == "like" and len(args) == 2:
             return args[0].like(args[1])
+        if name == "round" and len(args) == 2:
+            # scale must be a literal (F.round takes a Python int)
+            scale_msgs = [a.msg(3) for a in m.msgs(4) if a.has(3)]
+            return F.round(args[0], self._lit_int(scale_msgs[1]))
         raise NotImplementedError(f"scalar function {name!r}/{len(args)} not supported")
+
+    # -- window functions ----------------------------------------------------
+
+    @staticmethod
+    def _lit_int(m: _Msg) -> int:
+        """Literal integer argument (ntile n, lead/lag offset)."""
+        lit = m.msg(1)
+        if lit is not None:
+            for n in (2, 3, 5, 7):
+                if lit.has(n):
+                    return _signed(lit.u64(n))
+        raise NotImplementedError("window argument must be an integer literal")
+
+    @staticmethod
+    def _bound(m: _Msg | None, default: int) -> int:
+        """WindowFunction.Bound { preceding=1{offset=1}, following=2{offset=1},
+        current_row=3, unbounded=4 } → Spark frame offset."""
+        from pyspark.sql import Window as W
+
+        if m is None:
+            return default
+        if m.has(1):
+            return -m.msg(1).i64(1)
+        if m.has(2):
+            return m.msg(2).i64(1)
+        if m.has(3):
+            return W.currentRow
+        return default
+
+    def _sorts(self, msgs: list[_Msg], cols: list[str]) -> list[Column]:
+        out = []
+        for s in msgs:  # SortField { expr=1, direction=2 }
+            e = self.expr(s.msg(1), cols)
+            d = s.u64(2, 1)
+            out.append(
+                {1: e.asc_nulls_first(), 2: e.asc_nulls_last(),
+                 3: e.desc_nulls_first(), 4: e.desc_nulls_last()}[d]
+            )
+        return out
+
+    def _window_column(
+        self, fm: _Msg, cols: list[str], parts: list[Column], sort_msgs: list[_Msg]
+    ) -> Column:
+        """Shared decode for Expression.WindowFunction and
+        ConsistentPartitionWindowRel.WindowRelFunction — the two messages
+        use identical field numbers for function_reference=1,
+        upper_bound=4, lower_bound=5, output_type=7, arguments=9,
+        bounds_type=12 (algebra.proto; the rel variant just lacks
+        partitions/sorts, which arrive per-rel instead)."""
+        from pyspark.sql import Window as W
+
+        name = self.fn_name(fm.u64(1))
+        arg_msgs = [a.msg(3) for a in fm.msgs(9) if a.has(3)]
+        w = W.partitionBy(*parts)
+        orders = self._sorts(sort_msgs, cols)
+        if orders:
+            w = w.orderBy(*orders)
+        bt = fm.u64(12)  # BOUNDS_TYPE: 1=ROWS, 2=RANGE; 0 → engine default
+        if bt:
+            lo = self._bound(fm.msg(5), W.unboundedPreceding)
+            hi = self._bound(fm.msg(4), W.unboundedFollowing)
+            w = w.rowsBetween(lo, hi) if bt == 1 else w.rangeBetween(lo, hi)
+        return self._window_call(name, arg_msgs, cols).over(w)
+
+    def _window_call(self, name: str, arg_msgs: list[_Msg], cols: list[str]) -> Column:
+        zero_arg = {
+            "row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank,
+            "percent_rank": F.percent_rank, "cume_dist": F.cume_dist,
+        }
+        if name in zero_arg:
+            return zero_arg[name]()
+        if name == "ntile":
+            return F.ntile(self._lit_int(arg_msgs[0]))
+        if name in ("lead", "lag"):
+            col = self.expr(arg_msgs[0], cols)
+            off = self._lit_int(arg_msgs[1]) if len(arg_msgs) > 1 else 1
+            return (F.lead if name == "lead" else F.lag)(col, off)
+        if name == "first_value":
+            return F.first(self.expr(arg_msgs[0], cols))
+        if name == "last_value":
+            return F.last(self.expr(arg_msgs[0], cols))
+        # aggregate-over-window shares the AggregateRel function table
+        return self._agg_fn(name, [self.expr(a, cols) for a in arg_msgs], False)
 
     # -- relations ----------------------------------------------------------
 
@@ -318,6 +409,7 @@ class _Consumer:
             7: self.project_rel,
             8: self.set_rel,
             12: self.cross_rel,
+            17: self.window_rel,
         }
         for n, h in handlers.items():
             if m.has(n):
@@ -382,15 +474,24 @@ class _Consumer:
 
     def sort_rel(self, m: _Msg) -> DataFrame:
         df = self.rel(m.msg(2))
-        orders = []
-        for s in m.msgs(3):  # SortField { expr=1, direction=2 }
-            e = self.expr(s.msg(1), df.columns)
-            d = s.u64(2, 1)
-            orders.append(
-                {1: e.asc_nulls_first(), 2: e.asc_nulls_last(),
-                 3: e.desc_nulls_first(), 4: e.desc_nulls_last()}[d]
-            )
-        return self._emit(df.orderBy(*orders), m.msg(1))
+        return self._emit(df.orderBy(*self._sorts(m.msgs(3), df.columns)), m.msg(1))
+
+    def window_rel(self, m: _Msg) -> DataFrame:
+        """ConsistentPartitionWindowRel { common=1, input=2,
+        window_functions=3, partition_expressions=4, sorts=5 }.
+        Output = input fields ++ one column per window function
+        (algebra.proto; Acero has no counterpart node — SURVEY §2.1 lists
+        window functions among Spark-side capability gains)."""
+        df = self.rel(m.msg(2))
+        cols = df.columns
+        parts = [self.expr(e, cols) for e in m.msgs(4)]
+        sort_msgs = m.msgs(5)
+        wcols = [
+            self._window_column(fm, cols, parts, sort_msgs).alias(f"_f{len(cols) + i}")
+            for i, fm in enumerate(m.msgs(3))
+        ]
+        out = df.select(*[F.col(c) for c in cols], *wcols)
+        return self._emit(out, m.msg(1))
 
     def join_rel(self, m: _Msg) -> DataFrame:
         left, right = self.rel(m.msg(2)), self.rel(m.msg(3))

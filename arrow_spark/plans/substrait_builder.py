@@ -222,3 +222,61 @@ def plan(root_rel: bytes, names: list[str],
     out += f_msg(6, f_varint(1, 0) + f_varint(2, 44) + f_varint(3, 0)
                  + f_str(5, "arrow_spark"))  # Version
     return out
+
+
+# -- window functions --------------------------------------------------------
+
+
+def bound(kind, offset: int = 0) -> bytes:
+    """WindowFunction.Bound: kind ∈ {'preceding','following','current',
+    'unbounded'} (fields 1/2/3/4 per algebra.proto)."""
+    if kind == "preceding":
+        return f_msg(1, f_varint(1, offset))
+    if kind == "following":
+        return f_msg(2, f_varint(1, offset))
+    if kind == "current":
+        return f_msg(3, b"")
+    return f_msg(4, b"")
+
+
+def window_fn(anchor: int, args: list[bytes], output: bytes | None = None,
+              bounds: tuple[bytes, bytes] | None = None,
+              bounds_type: int = 0) -> bytes:
+    """Body shared by Expression.WindowFunction and
+    ConsistentPartitionWindowRel.WindowRelFunction: function_reference=1,
+    upper_bound=4, lower_bound=5, phase=6, output_type=7, arguments=9,
+    invocation=10, bounds_type=12. bounds=(lower, upper)."""
+    body = f_varint(1, anchor)
+    if bounds is not None:
+        lo, hi = bounds
+        body += f_msg(5, lo) + f_msg(4, hi)
+    if bounds_type:
+        body += f_varint(12, bounds_type)  # 1=ROWS, 2=RANGE
+    body += f_varint(6, 3)  # AGGREGATION_PHASE_INITIAL_TO_RESULT
+    if output is not None:
+        body += f_msg(7, output)
+    for a in args:
+        body += f_msg(9, f_msg(3, a))  # FunctionArgument.value
+    body += f_varint(10, 1)  # AGGREGATION_INVOCATION_ALL
+    return body
+
+
+def window_expr(fn_body: bytes, partitions: list[bytes],
+                sorts: list[tuple[bytes, int]]) -> bytes:
+    """Expression.window_function (field 5): fn body + partitions=2 + sorts=3."""
+    body = fn_body
+    body += b"".join(f_msg(2, p) for p in partitions)
+    body += b"".join(f_msg(3, f_msg(1, e) + f_varint(2, d)) for e, d in sorts)
+    return f_msg(5, body)
+
+
+def window_rel(input_rel: bytes, fns: list[bytes], partitions: list[bytes],
+               sorts: list[tuple[bytes, int]]) -> bytes:
+    """ConsistentPartitionWindowRel (Rel field 17): input=2,
+    window_functions=3, partition_expressions=4, sorts=5. Each entry in
+    ``fns`` is a window_fn() body (no per-function partitions/sorts)."""
+    body = f_msg(2, input_rel)
+    body += b"".join(f_msg(3, fb) for fb in fns)
+    body += b"".join(f_msg(4, p) for p in partitions)
+    body += b"".join(f_msg(5, f_msg(1, e) + f_varint(2, d)) for e, d in sorts)
+    return f_msg(17, body)

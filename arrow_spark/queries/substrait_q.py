@@ -64,3 +64,67 @@ def substrait_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_substrait(
         spark, _plan_bytes(), lambda names: table(spark, sf_dir, names[0])
     )
+
+
+SUBSTRAIT_WINDOW_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_orderstatus
+         ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+       lag(o_totalprice, 1) OVER w AS prev_price
+FROM orders
+WHERE o_totalprice > 150000.0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def _window_plan_bytes() -> bytes:
+    read = B.read_named(
+        ["orders"],
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        ["i64", "string", "fp64"],
+    )
+    gt = B.scalar_fn(1, [B.field_ref(2), B.lit_fp64(150000.0)], output=B.typ("bool"))
+    sorts = [(B.field_ref(2), 4), (B.field_ref(0), 1)]  # price desc_nl, key asc
+    fns = [
+        B.window_fn(2, [], output=B.typ("i64")),  # row_number
+        B.window_fn(3, [], output=B.typ("i64")),  # rank
+        B.window_fn(
+            4,
+            [B.field_ref(2)],
+            output=B.typ("fp64"),
+            bounds=(B.bound("unbounded"), B.bound("current")),
+            bounds_type=1,  # ROWS: prefix sum, accumulation order pinned by
+        ),  # the total sort order → bit-identical across engines
+        B.window_fn(5, [B.field_ref(2), B.lit_i32(1)], output=B.typ("fp64")),  # lag
+    ]
+    win = B.window_rel(B.filter_rel(read, gt), fns, [B.field_ref(1)], sorts)
+    # round(running, 2): 2-decimal inputs ⇒ round(prefix_sum, 2) is an exact
+    # decimal reconstruction on both engines (see relational.py).
+    rnd = B.scalar_fn(6, [B.field_ref(5), B.lit_i32(2)], output=B.typ("fp64"))
+    proj = B.project_rel(win, [rnd], emit=[0, 1, 2, 3, 4, 7, 6])
+    return B.plan(
+        proj,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "rn", "rnk", "running", "prev_price"],
+        functions={
+            1: (B.URI_CMP, "gt"),
+            2: (B.URI_ARITH, "row_number"),
+            3: (B.URI_ARITH, "rank"),
+            4: (B.URI_ARITH, "sum"),
+            5: (B.URI_ARITH, "lag"),
+            6: (B.URI_ARITH, "round"),
+        },
+    )
+
+
+@query("substrait_window", oracle=SUBSTRAIT_WINDOW_ORACLE)
+def substrait_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsistentPartitionWindowRel arriving as serialized plan bytes:
+    rank family + frame-bounded running sum + lag, consumed into native
+    Catalyst window plans (one shuffle on the partition key)."""
+    return run_substrait(
+        spark, _window_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
+    )

@@ -167,3 +167,78 @@ def test_unknown_function_anchor_raises(spark):
 
     with pytest.raises(KeyError, match="anchor 99"):
         run_substrait(spark, p, spark_provider).collect()
+
+
+# -- window functions (Spark-side only: Acero has no window node, so these
+# are validated against the equivalent native DataFrame query instead of
+# run_query — same pattern the reference uses for capability extensions).
+
+
+def _spark_provider(spark, tables=TABLES):
+    return lambda names: spark.createDataFrame(tables[names[0]].to_pandas())
+
+
+def test_window_rel_rank_and_running_sum(spark):
+    fns = [
+        B.window_fn(1, [], output=B.typ("i64")),  # row_number
+        B.window_fn(
+            2,
+            [B.field_ref(1)],
+            output=B.typ("i64"),
+            bounds=(B.bound("unbounded"), B.bound("current")),
+            bounds_type=1,  # ROWS
+        ),
+    ]
+    root = B.window_rel(READ_T, fns, [B.field_ref(0)], [(B.field_ref(1), 1)])
+    p = B.plan(
+        root,
+        ["k", "v", "rn", "running"],
+        functions={1: (B.URI_ARITH, "row_number"), 2: (B.URI_ARITH, "sum")},
+    )
+    got = sorted(tuple(r) for r in run_substrait(spark, p, _spark_provider(spark)).collect())
+    # t: x→[1,3,5], y→[2,4]; asc order, running sums 1,4,9 / 2,6
+    assert got == [
+        ("x", 1, 1, 1), ("x", 3, 2, 4), ("x", 5, 3, 9),
+        ("y", 2, 1, 2), ("y", 4, 2, 6),
+    ]
+
+
+def test_window_rel_lag_and_sliding_frame(spark):
+    fns = [
+        B.window_fn(1, [B.field_ref(1), B.lit_i32(1)], output=B.typ("i64")),  # lag 1
+        B.window_fn(
+            2,
+            [B.field_ref(1)],
+            output=B.typ("i64"),
+            bounds=(B.bound("preceding", 1), B.bound("current")),
+            bounds_type=1,
+        ),  # sliding 2-row sum
+    ]
+    root = B.window_rel(READ_T, fns, [B.field_ref(0)], [(B.field_ref(1), 1)])
+    p = B.plan(
+        root,
+        ["k", "v", "prev", "sum2"],
+        functions={1: (B.URI_ARITH, "lag"), 2: (B.URI_ARITH, "sum")},
+    )
+    got = sorted(tuple(r) for r in run_substrait(spark, p, _spark_provider(spark)).collect())
+    assert got == [
+        ("x", 1, None, 1), ("x", 3, 1, 4), ("x", 5, 3, 8),
+        ("y", 2, None, 2), ("y", 4, 2, 6),
+    ]
+
+
+def test_window_expression_in_project(spark):
+    # window function as a plain Expression inside ProjectRel (field 5),
+    # partitions/sorts carried inside the expression itself.
+    wexpr = B.window_expr(
+        B.window_fn(1, [], output=B.typ("i64")),
+        [B.field_ref(0)],
+        [(B.field_ref(1), 4)],  # v desc_nulls_last
+    )
+    root = B.project_rel(READ_T, [wexpr], emit=[0, 1, 2])
+    p = B.plan(root, ["k", "v", "rnk"], functions={1: (B.URI_ARITH, "dense_rank")})
+    got = sorted(tuple(r) for r in run_substrait(spark, p, _spark_provider(spark)).collect())
+    assert got == [
+        ("x", 1, 3), ("x", 3, 2), ("x", 5, 1),
+        ("y", 2, 2), ("y", 4, 1),
+    ]
