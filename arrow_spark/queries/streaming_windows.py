@@ -123,3 +123,41 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select("user_id", "window_start", "window_end", "sum_value", "n")
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT c.event_id  AS click_id,
+       c.user_id   AS user_id,
+       c.ts        AS click_ts,
+       p.event_id  AS purchase_id,
+       p.ts        AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+"""
+
+
+@query("stream_interval_join", oracle=INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clicks joined to same-user purchases within the following 4 hours
+    (stream-stream interval join; the identical builder runs unbounded
+    with watermarks — verified in tests/test_streaming.py)."""
+    from arrow_spark.streaming import interval_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return interval_join(
+        clicks, purchases, "click_ts", "purchase_ts",
+        on=["user_id"], lower="0 seconds", upper="4 hours",
+    )

@@ -1,3 +1,4 @@
+from arrow_spark.streaming.joins import interval_join  # noqa: F401
 from arrow_spark.streaming.windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,

@@ -43,3 +43,51 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM tumbling_test").collect()
     }
     assert got == expected
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    from arrow_spark.streaming import interval_join, stream_from_directory
+
+    events = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_ij_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+        )
+        return clicks, purchases
+
+    bc, bp = split(static)
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join(
+            bc, bp, "click_ts", "purchase_ts", on=["user_id"], upper="4 hours"
+        ).collect()
+    }
+    assert expected  # non-trivial join
+
+    stream = stream_from_directory(spark, src_dir, static.schema)
+    sc, sp = split(stream)
+    out = interval_join(
+        sc, sp, "click_ts", "purchase_ts", on=["user_id"], upper="4 hours",
+        left_watermark="1 hour", right_watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ij_test").collect()
+    }
+    assert got == expected
