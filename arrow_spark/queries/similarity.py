@@ -65,3 +65,20 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = deterministic_planes(6, 64, seed=42)
     out = lsh_bucketed_topk(emb, queries, planes, k=10)
     return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")
+
+
+@query("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (data-adaptive scale path beside
+    the oblivious LSH variant; rows-only check — 5 unrolled k-means
+    iterations aren't reasonably SQL-expressible). Determinism of the
+    whole train/assign/probe pipeline and recall vs the exact path are
+    asserted in unit tests."""
+    from arrow_spark.llm.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
+    return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")

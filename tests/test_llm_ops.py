@@ -165,3 +165,49 @@ def test_near_dup_clusters_transitive_merge(spark):
     )
     rows = {r.doc_id: (r.cluster_id, r.is_keeper) for r in near_dup_clusters(df).collect()}
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+
+def _clustered_vectors(seed=7, n_clusters=4, per=25, dim=16):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 5
+    rows = []
+    for ci in range(n_clusters):
+        for j in range(per):
+            v = centers[ci] + rng.standard_normal(dim) * 0.3
+            rows.append((ci * per + j, [float(x) for x in v], ci))
+    return rows
+
+
+def test_ivf_centroids_deterministic(spark):
+    from arrow_spark.llm.similarity import ivf_train_centroids
+
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    a = {r.cid: r.cv for r in ivf_train_centroids(df, n_clusters=4, n_iters=3).collect()}
+    b = {r.cid: r.cv for r in ivf_train_centroids(df, n_clusters=4, n_iters=3).collect()}
+    assert a == b and len(a) == 4
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from arrow_spark.llm.similarity import brute_force_topk, ivf_topk
+
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.qid, r.nid) for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.nid)
+        for r in ivf_topk(df, queries, k=5, n_clusters=4, n_probe=2, n_iters=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # clustered data: neighbors share the query's cluster, 2 probes of 4
+    # data-adaptive cells must recover nearly all of them
+    assert recall >= 0.9, recall
