@@ -80,5 +80,5 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    out = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
+    out = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4, n_iters=3)
     return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")

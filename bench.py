@@ -46,6 +46,17 @@ HEADLINE = [
     "subqueries",
     "stream_tumbling_window",
     "rank_quantile_normal",
+    # round-1 late additions: semi-join (Q4), star + deterministic top-k
+    # (Q10), sole-late-supplier two-level agg (Q21), stream-stream
+    # interval join, substrait-consumed window plan, IVF ANN scale path.
+    # dedup_clusters stays correctness-only for the same reason as
+    # dedup_jaccard_pairs above (its verifier is the all-pairs Jaccard).
+    "q4_order_priority",
+    "q10_returned_items",
+    "q21_waiting_suppliers",
+    "stream_interval_join",
+    "substrait_window",
+    "similarity_ivf_topk",
 ]
 
 
