@@ -67,3 +67,36 @@ def test_asof_merge_strategy_uses_cogroup(spark, sf_dir):
 def test_minhash_has_no_cross_join(spark, sf_dir):
     p = plan(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q4_semi_join_with_pushed_date_filter(spark, sf_dir):
+    p = plan(QUERIES["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in p  # EXISTS decorrelated to a semi join
+    # quarter filter reaches the orders parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q10_takeordered_caps_driver_rows(spark, sf_dir):
+    p = plan(QUERIES["q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # top-20, no global sort
+    assert "EqualTo(l_returnflag,R)" in p  # returnflag pushed to the fact scan
+
+
+def test_q19_common_quantity_conjunct_pushed(spark, sf_dir):
+    p = plan(QUERIES["q19_discounted_revenue"].fn(spark, sf_dir))
+    # Catalyst extracts the quantity-only projection of the OR-of-ANDs
+    # (union of the three ranges) and pushes the whole disjunction to
+    # the lineitem parquet scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+    assert "BroadcastHashJoin" in p  # part stays broadcast
+
+
+def test_q21_no_expand_in_distinct_counts(spark, sf_dir):
+    p = plan(QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "Expand" not in p  # two-level agg instead of multi-distinct
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    p = plan(QUERIES["similarity_ivf_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # probes (queries × nprobe) broadcast
+    assert "CartesianProduct" not in p  # corpus never cross-joins queries
