@@ -414,7 +414,22 @@ def near_dup_clusters(
     pairs = jaccard_near_dup_pairs(
         docs, threshold=threshold, id_col=id_col, text_col=text_col, block_cols=block_cols
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
+    return clusters_from_pairs(docs, pairs, id_col=id_col, max_iter=max_iter)
+
+
+def clusters_from_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment from an arbitrary near-dup edge list (exact
+    Jaccard pairs, minhash-LSH candidates, embedding-cosine pairs, ...):
+    connected components + join-back so every document gets a
+    (cluster_id, is_keeper) row, singletons included."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
     out = docs.select(F.col(id_col).alias("doc_id")).join(
         comp, F.col("doc_id") == comp.v, "left"
     )

@@ -130,3 +130,17 @@ WHERE floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 >= 0.95
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-dup pairs above 0.95."""
     return embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+@query("dedup_clusters_lsh", oracle=None)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB clustering path: connected components over minhash-LSH
+    verified candidate pairs (candidate generation is an equi-join, never
+    all-pairs). Rows-only check — the seeded xxhash64 signatures aren't
+    reproducible in SQL; the exact-pairs variant `dedup_clusters` is the
+    oracle-checked twin, and LSH recall vs exact Jaccard is unit-tested."""
+    from arrow_spark.llm.dedup import clusters_from_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5, num_hashes=16, bands=4)
+    return clusters_from_pairs(docs, pairs)

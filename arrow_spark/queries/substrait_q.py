@@ -128,3 +128,66 @@ def substrait_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_substrait(
         spark, _window_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
     )
+
+
+DECLARATION_ORACLE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity > 45
+GROUP BY o_orderpriority
+"""
+
+
+@query("declaration_pipeline", oracle=DECLARATION_ORACLE)
+def declaration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acero-style Declaration graph (exec_plan.h struct Declaration:
+    {factory_name, options, inputs}) compiled to a Catalyst plan and
+    oracle-checked end-to-end: scan(filter+projection pushdown) →
+    hashjoin → grouped aggregate → project."""
+    from pyspark.sql import functions as F
+
+    from arrow_spark.plans.declaration import Declaration
+
+    lineitem = Declaration(
+        "scan",
+        {
+            "path": f"{sf_dir}/lineitem.parquet",
+            "filter": F.col("l_quantity") > 45,
+            "columns": ["l_orderkey", "l_extendedprice"],
+        },
+    )
+    orders = Declaration(
+        "scan",
+        {"path": f"{sf_dir}/orders.parquet", "columns": ["o_orderkey", "o_orderpriority"]},
+    )
+    joined = Declaration(
+        "hashjoin",
+        {"left_keys": ["l_orderkey"], "right_keys": ["o_orderkey"], "join_type": "inner"},
+        inputs=[lineitem, orders],
+    )
+    agg = Declaration(
+        "aggregate",
+        {
+            "aggregates": [
+                ("l_extendedprice", "hash_sum", "sum_raw"),
+                ("", "hash_count_all", "n"),
+            ],
+            "keys": ["o_orderpriority"],
+        },
+        inputs=[joined],
+    )
+    out = Declaration(
+        "project",
+        {
+            "expressions": [
+                F.col("o_orderpriority"),
+                F.round(F.col("sum_raw"), 2),
+                F.col("n"),
+            ],
+            "names": ["o_orderpriority", "sum_price", "n"],
+        },
+        inputs=[agg],
+    )
+    return out.to_dataframe(spark)
