@@ -254,3 +254,40 @@ def sorted_merge(inputs: Sequence[DataFrame], on: str, ascending: bool = True) -
     for df in inputs[1:]:
         out = out.unionByName(df)
     return out.orderBy(F.col(on).asc() if ascending else F.col(on).desc())
+
+
+def asof_join_multi(
+    left: DataFrame,
+    rights: Sequence[DataFrame],
+    on: str,
+    by: Sequence[str] = (),
+    tolerance=None,
+    direction: str = "backward",
+    suffixes: Sequence[str] = (),
+    right_tiebreaks: Sequence[Sequence[str]] = (),
+    strategy: str = "auto",
+) -> DataFrame:
+    """Arrow asofjoin parity for N right tables (AsofJoinNodeOptions
+    options.h:700 takes one left + a vector of rights, one shared
+    tolerance): every right matches independently against the LEFT's
+    `on` key; output = left columns ++ each right's value columns.
+
+    Implemented as a fold of pairwise as-of joins. The left's (by, on)
+    keys remain the join spine of every stage, so under the range
+    strategy each stage shuffles on the same `by` hash — Catalyst reuses
+    the exchange instead of re-partitioning between rights.
+    """
+    out = left
+    for i, right in enumerate(rights):
+        out = asof_join(
+            out,
+            right,
+            on=on,
+            by=by,
+            tolerance=tolerance,
+            direction=direction,
+            suffix=suffixes[i] if i < len(suffixes) else f"_r{i + 1}",
+            right_tiebreak=right_tiebreaks[i] if i < len(right_tiebreaks) else (),
+            strategy=strategy,
+        )
+    return out

@@ -152,3 +152,64 @@ def sorted_merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.where(F.col("event_type") == "click")
     b = e.where(F.col("event_type") == "purchase")
     return sorted_merge([a, b], on="ts")
+
+
+ASOF_MULTI_ORACLE = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     er AS (SELECT * FROM events WHERE event_type = 'error'),
+best_p AS (
+  SELECT * FROM (
+    SELECT l.event_id AS lid, p.event_id AS purchase_id, p.value AS purchase_value,
+           row_number() OVER (PARTITION BY l.event_id
+                              ORDER BY p.ts DESC, p.event_id DESC) AS rn
+    FROM l JOIN p ON l.user_id = p.user_id
+      AND p.ts <= l.ts AND p.ts >= l.ts - INTERVAL 1 DAY)
+  WHERE rn = 1
+),
+best_e AS (
+  SELECT * FROM (
+    SELECT l.event_id AS lid, er.event_id AS error_id,
+           row_number() OVER (PARTITION BY l.event_id
+                              ORDER BY er.ts DESC, er.event_id DESC) AS rn
+    FROM l JOIN er ON l.user_id = er.user_id
+      AND er.ts <= l.ts AND er.ts >= l.ts - INTERVAL 1 DAY)
+  WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, best_p.purchase_id, best_p.purchase_value, best_e.error_id
+FROM l
+LEFT JOIN best_p ON l.event_id = best_p.lid
+LEFT JOIN best_e ON l.event_id = best_e.lid
+"""
+
+
+@query("asof_join_multi", oracle=ASOF_MULTI_ORACLE)
+def asof_join_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one left + TWO right tables, one shared 1-day backward tolerance
+    (Arrow's asofjoin arity — options.h:700): each click picks its
+    nearest purchase AND nearest error independently."""
+    from arrow_spark.operators.asof import asof_join_multi
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    errors = e.where(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    out = asof_join_multi(
+        clicks,
+        [purchases, errors],
+        on="ts",
+        by=["user_id"],
+        tolerance=pd.Timedelta(days=1),
+        direction="backward",
+        suffixes=["_p", "_e"],
+        right_tiebreaks=[["event_id"], ["event_id"]],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_p").alias("purchase_id"),
+        F.col("value_p").alias("purchase_value"),
+        F.col("event_id_e").alias("error_id"),
+    )

@@ -106,3 +106,21 @@ def test_sorted_merge_is_sorted(spark):
     out = sorted_merge([a, b], on="t").collect()
     ts = [r.t for r in out]
     assert ts == sorted(ts) and len(ts) == 6
+
+
+def test_asof_join_multi_matches_independent_pairwise(spark):
+    from arrow_spark.operators.asof import asof_join, asof_join_multi
+
+    left = spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], "k long, t long, lbl string")
+    r1 = spark.createDataFrame([(1, 9, 100.0), (1, 19, 200.0)], "k long, t long, x double")
+    r2 = spark.createDataFrame([(1, 8, "p"), (1, 15, "q")], "k long, t long, y string")
+
+    multi = asof_join_multi(
+        left, [r1, r2], on="t", by=["k"], direction="backward", suffixes=["_1", "_2"]
+    )
+    got = {(r.lbl): (r.x, r.y) for r in multi.collect()}
+    # each right matched independently against the LEFT's t
+    p1 = {r.lbl: r.x for r in asof_join(left, r1, on="t", by=["k"], suffix="_1").collect()}
+    p2 = {r.lbl: r.y for r in asof_join(left, r2, on="t", by=["k"], suffix="_2").collect()}
+    assert got == {lbl: (p1[lbl], p2[lbl]) for lbl in ("a", "b")}
+    assert got == {"a": (100.0, "p"), "b": (200.0, "q")}
