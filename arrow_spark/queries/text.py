@@ -288,3 +288,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(txt).alias("md5_fp"),
         F.md5(F.lower(F.regexp_replace(txt, r"\s+", " "))).alias("norm_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splitting — the reproducible train/val/test
+# assignment every training pipeline needs. Hash-based (not random): the
+# split of a document never changes as the corpus grows, re-runs are
+# byte-identical, and no coordination or RNG state is needed across
+# 1000 executors. md5 is computed identically by Spark and DuckDB, so
+# the assignment itself is oracle-checked, not just the counts.
+# ---------------------------------------------------------------------------
+
+HASH_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@query("text_hash_split", oracle=HASH_SPLIT_ORACLE)
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from md5(doc_id) buckets —
+    deterministic, growth-stable, shuffle-free (pure map, pushdown-safe)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
