@@ -277,6 +277,8 @@ class _Consumer:
             return F.lit(m.s(12))
         if m.has(13):
             return F.lit(m.raw(13))
+        if m.has(14):  # timestamp: µs since epoch
+            return F.timestamp_micros(F.lit(m.i64(14)))
         if m.has(16):  # date: days since epoch
             return F.date_add(F.lit("1970-01-01").cast("date"), _signed(m.u64(16), 32))
         if m.has(29):  # typed null

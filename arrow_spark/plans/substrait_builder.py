@@ -101,6 +101,12 @@ def lit_date(days: int) -> bytes:
     return f_msg(1, f_varint(16, days))
 
 
+def lit_timestamp(micros: int) -> bytes:
+    """Timestamp literal, µs since epoch (Literal field 14, mirroring
+    Type numbering; accepted by Acero run_query — pinned in tests)."""
+    return f_msg(1, f_varint(14, micros))
+
+
 def scalar_fn(anchor: int, args: list[bytes], output: bytes | None = None) -> bytes:
     body = f_varint(1, anchor)
     for a in args:

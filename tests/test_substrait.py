@@ -242,3 +242,23 @@ def test_window_expression_in_project(spark):
         ("x", 1, 3), ("x", 3, 2), ("x", 5, 1),
         ("y", 2, 2), ("y", 4, 1),
     ]
+
+
+def test_timestamp_literal_filter_cross_validated(spark):
+    import datetime as dt
+
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1), dt.datetime(2025, 1, 1)],
+                type=pa.timestamp("us"),
+            ),
+            "v": [1, 2, 3],
+        }
+    )
+    cutoff = int(dt.datetime(2024, 3, 1).timestamp() * 1e6)
+    gt = B.scalar_fn(1, [B.field_ref(0), B.lit_timestamp(cutoff)], output=B.typ("bool"))
+    root = B.filter_rel(B.read_named(["t"], ["ts", "v"], ["timestamp", "i64"]), gt)
+    p = B.plan(root, ["ts", "v"], functions={1: (B.URI_CMP, "gt")})
+    rows = _run_both(spark, p, tables={"t": tbl})
+    assert [r[1] for r in rows] == [2, 3]
