@@ -1,0 +1,74 @@
+"""Hypertable-style cascading time rollups (continuous-aggregate
+pattern).
+
+The reference's ecosystem answers coarse time-bucket queries from
+pre-aggregated finer buckets rather than raw rows; Arrow itself has only
+the one-shot aggregate node (SURVEY §2.1). Spark-side the cascade is a
+chain of groupBy levels where level N+1 aggregates level N's PARTIALS
+(sum of sums, sum of counts) — algebraically exact for the decomposable
+aggregates exposed here.
+
+Scale: the raw table is touched exactly once (the finest level); every
+coarser level aggregates bucket_count × keys rows — orders of magnitude
+smaller. Each level is one hash shuffle on (bucket, keys); at 100 TB the
+hourly level is the only full-data pass, and persisted hourly output can
+serve every coarser query thereafter (the tee/write node composes here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# each level must be an integer multiple of the previous one
+_LEVEL_ORDER = ("minute", "hour", "day", "week", "month", "year")
+
+
+def cascade_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    levels: Sequence[str] = ("hour", "day"),
+) -> dict[str, DataFrame]:
+    """Build per-level rollups where each level re-aggregates the
+    previous level's partial sums/counts/mins/maxes.
+
+    Returns {level: DataFrame(bucket, *keys, sum_v, n_v, min_v, max_v)}.
+    sum/count/min/max are decomposable, so every level is exact — the
+    oracle check aggregates raw rows directly at the coarsest level and
+    must hash-match.
+    """
+    order = [lv for lv in _LEVEL_ORDER if lv in levels]
+    if list(levels) != order:
+        raise ValueError(f"levels must be increasing granularities, got {levels}")
+    out: dict[str, DataFrame] = {}
+    finest = levels[0]
+    cur = (
+        df.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *[F.col(k) for k in keys]
+        )
+        .agg(
+            F.sum(value_col).alias("sum_v"),
+            F.count(value_col).alias("n_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+    out[finest] = cur
+    for lv in levels[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(lv, F.col("bucket")).alias("bucket"), *[F.col(k) for k in keys]
+            )
+            .agg(
+                F.sum("sum_v").alias("sum_v"),
+                F.sum("n_v").alias("n_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+        out[lv] = cur
+    return out

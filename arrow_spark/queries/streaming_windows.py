@@ -161,3 +161,36 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, "click_ts", "purchase_ts",
         on=["user_id"], lower="0 seconds", upper="4 hours",
     )
+
+
+ROLLUP_CASCADE_ORACLE = """
+SELECT event_type,
+       date_trunc('day', ts)  AS bucket,
+       round(sum(value), 2)   AS sum_v,
+       count(value)           AS n_v,
+       round(min(value), 2)   AS min_v,
+       round(max(value), 2)   AS max_v
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("rollup_cascade_daily", oracle=ROLLUP_CASCADE_ORACLE)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hypertable-style cascade: daily rollup computed FROM the hourly
+    rollup's partials (sum of sums, sum of counts), never re-reading raw
+    rows — the oracle aggregates raw directly, so the hash match proves
+    the cascade exact. 2-decimal values make round(sum,2) an exact
+    decimal reconstruction on both paths."""
+    from arrow_spark.operators.rollup import cascade_rollup
+
+    e = table(spark, sf_dir, "events")
+    day = cascade_rollup(e, "ts", "value", keys=["event_type"], levels=["hour", "day"])["day"]
+    return day.select(
+        "event_type",
+        "bucket",
+        F.round("sum_v", 2).alias("sum_v"),
+        "n_v",
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+    )

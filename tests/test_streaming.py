@@ -91,3 +91,24 @@ def test_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM ij_test").collect()
     }
     assert got == expected
+
+
+def test_cascade_rollup_levels_exact(spark, sf_dir):
+    from arrow_spark.operators.rollup import cascade_rollup
+
+    events = table(spark, sf_dir, "events")
+    levels = cascade_rollup(events, "ts", "value", keys=["event_type"],
+                            levels=["hour", "day", "month"])
+    direct = (
+        events.groupBy(F.date_trunc("month", F.col("ts")).alias("bucket"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_v"),
+            F.count("value").alias("n_v"),
+        )
+    )
+    got = {
+        (r.event_type, r.bucket): (round(r.sum_v, 2), r.n_v)
+        for r in levels["month"].collect()
+    }
+    want = {(r.event_type, r.bucket): (r.sum_v, r.n_v) for r in direct.collect()}
+    assert got == want and len(want) > 0
