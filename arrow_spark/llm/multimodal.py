@@ -137,3 +137,91 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=out_schema)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel: truncates or
+    cycle-pads the byte content to width*height bytes. Real deployments
+    register a codec-backed kernel."""
+    if payload is None:
+        return None
+    target = max(1, width * height)
+    if not payload:
+        return bytes(target)
+    reps = (target + len(payload) - 1) // len(payload)
+    return (payload * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int,
+    kernel: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Resize every payload to (width, height), updating meta in place.
+
+    Output keeps MEDIA_SCHEMA so resize composes with extract_features /
+    sample_frames. mapInPandas: one Arrow batch of payloads in executor
+    memory at a time, nothing on the driver.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [kernel(p, width, height) for p in pdf["payload"]]
+            meta = [
+                None
+                if m is None
+                else {
+                    "mime": m.get("mime"),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": len(r) if r is not None else None,
+                }
+                for m, r in zip(pdf["meta"], resized)
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": resized, "meta": meta}
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: one media row fans out to up to
+    max_frames (media_id, frame_index, frame) rows.
+
+    The frame extractor is the stub (equal byte slices of the payload —
+    a real deployment slices decoded frames); the row-explosion shape is
+    the real contract: mapInPandas yields more rows than it consumes,
+    frames stay executor-side and columnar, and downstream per-frame ops
+    (resize, feature-extract) compose by treating each frame as a
+    payload.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                n = min(max_frames, len(payload))
+                step = len(payload) // n
+                for i in range(n):
+                    chunk = payload[i * step: (i + 1) * step if i < n - 1 else len(payload)]
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame": frames, "n_bytes": sizes}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -301,3 +301,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+@query("multimodal_frame_pipeline", oracle=None)
+def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize → frame-sample composition over the media contract: each
+    payload resized to a fixed 16×16 'image', then fanned out to 4
+    frames (rows-only check; the kernels are the deterministic stubs,
+    the mapInPandas row-explosion plumbing is real)."""
+    from arrow_spark.llm.multimodal import attach_binary_meta, resize_media, sample_frames
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = attach_binary_meta(d, "payload", mime="image/fake", id_col="doc_id")
+    frames = sample_frames(resize_media(media, 16, 16), max_frames=4)
+    return frames.select("media_id", "frame_index", "n_bytes")

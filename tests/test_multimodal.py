@@ -60,3 +60,29 @@ def test_unregistered_mime_raises(spark, media):
 def test_fake_decoder_deterministic():
     assert fake_image_decode(b"abc") == fake_image_decode(b"abc")
     assert fake_image_decode(b"") == [0.0] * 8
+
+
+def test_resize_updates_meta_and_payload(spark):
+    from arrow_spark.llm.multimodal import attach_binary_meta, resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, b"x")], "doc_id long, payload binary"
+    )
+    media = attach_binary_meta(df, "payload", mime="image/fake", id_col="doc_id")
+    out = {r.media_id: r for r in resize_media(media, 4, 2).collect()}
+    assert len(out[1].payload) == 8 and len(out[2].payload) == 8
+    assert out[1].meta.width == 4 and out[1].meta.height == 2
+    assert out[1].meta.n_bytes == 8
+    assert bytes(out[2].payload) == b"x" * 8  # cycle-padded stub
+
+
+def test_sample_frames_fanout_and_reassembly(spark):
+    from arrow_spark.llm.multimodal import attach_binary_meta, sample_frames
+
+    df = spark.createDataFrame([(7, bytes(range(10)))], "doc_id long, payload binary")
+    media = attach_binary_meta(df, "payload", mime="video/fake", id_col="doc_id")
+    rows = sorted(sample_frames(media, max_frames=4).collect(), key=lambda r: r.frame_index)
+    assert [r.frame_index for r in rows] == [0, 1, 2, 3]
+    # frames partition the payload exactly (last frame takes the remainder)
+    assert b"".join(bytes(r.frame) for r in rows) == bytes(range(10))
+    assert all(r.media_id == 7 for r in rows)
