@@ -1,0 +1,76 @@
+"""Distributed Count-Min sketch as a DataFrame (mergeable relational
+sketch representation).
+
+Arrow ships fixed sketch kernels (tdigest aggregate_tdigest.cc,
+approximate_median); Spark exposes HLL/approx-quantile natively (covered
+by the approx_sketches query). This adds the frequency-sketch family as
+a CUSTOM operator in the engine's own terms: the sketch IS a DataFrame
+of (row, bucket, cnt) cells, so it shuffles, persists, and merges with
+plain relational ops — no opaque binary blobs.
+
+Scale: the build's shuffle is bounded by depth × width cells per
+partition after map-side combine, regardless of input row count or
+distinct-key cardinality — that bound is the reason to use a CMS over an
+exact groupBy count at 100 TB. Merging two sketches (e.g. per-day builds
+into a month) is a union + sum groupBy over ≤ depth × width rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cells(col: Column, width: int, depth: int) -> Column:
+    """depth (row, bucket) pairs per value; row i uses xxhash64 seeded i
+    (independent-enough hash family, fully deterministic)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
+def count_min_build(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build a CMS over df[col] → DataFrame(row, bucket, cnt)."""
+    return (
+        df.select(_cells(F.col(col), width, depth).alias("c"))
+        .select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-shape sketches: cellwise sum. Exact: building on
+    the union of inputs ≡ merging per-input builds (tested)."""
+    return (
+        a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Estimate the frequency of each distinct items[col]:
+    min over depth rows of the addressed cells. Guarantees
+    estimate ≥ true count (never undercounts); overcount is bounded by
+    colliding mass ~ N/width per row, driven down by the min.
+    """
+    probes = (
+        items.select(F.col(col).alias("item")).distinct()
+        .select("item", _cells(F.col("item"), width, depth).alias("c"))
+        .select("item", "c.row", "c.bucket")
+    )
+    joined = probes.join(sketch, ["row", "bucket"], "left").select(
+        "item", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("item").agg(F.min("cnt").alias("est"))

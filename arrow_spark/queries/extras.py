@@ -317,3 +317,17 @@ def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_meta(d, "payload", mime="image/fake", id_col="doc_id")
     frames = sample_frames(resize_media(media, 16, 16), max_frames=4)
     return frames.select("media_id", "frame_index", "n_bytes")
+
+
+@query("sketch_count_min", oracle=None)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for every (o_orderpriority) key
+    (rows-only: xxhash64 isn't SQL-reproducible; the never-undercounts
+    and merge-exactness invariants are unit-tested against exact
+    counts)."""
+    from arrow_spark.operators.sketches import count_min_build, count_min_estimate
+
+    o = table(spark, sf_dir, "orders")
+    sketch = count_min_build(o, "o_orderpriority", width=1024, depth=4)
+    est = count_min_estimate(sketch, o, "o_orderpriority", width=1024, depth=4)
+    return est.withColumnRenamed("item", "o_orderpriority")

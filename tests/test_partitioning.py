@@ -56,3 +56,37 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         salted_join(df, df, "id", how="full")
+
+
+def test_count_min_never_undercounts_and_merges_exactly(spark, sf_dir):
+    from arrow_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sketch = count_min_build(o, "o_orderpriority", width=256, depth=4)
+    est = {
+        r.item: r.est
+        for r in count_min_estimate(sketch, o, "o_orderpriority", width=256, depth=4).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n  # CMS never undercounts
+
+    # merge exactness: build(left half) ⊕ build(right half) == build(all)
+    lo = o.where(F.col("o_orderkey") % 2 == 0)
+    hi = o.where(F.col("o_orderkey") % 2 == 1)
+    merged = count_min_merge(
+        count_min_build(lo, "o_orderpriority", width=256, depth=4),
+        count_min_build(hi, "o_orderpriority", width=256, depth=4),
+    )
+    whole = count_min_build(o, "o_orderpriority", width=256, depth=4)
+    a = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in whole.collect()}
+    assert a == b
