@@ -331,3 +331,33 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = count_min_build(o, "o_orderpriority", width=1024, depth=4)
     est = count_min_estimate(sketch, o, "o_orderpriority", width=1024, depth=4)
     return est.withColumnRenamed("item", "o_orderpriority")
+
+
+SALTED_JOIN_ORACLE = """
+SELECT l_returnflag,
+       floor(round(sum(l_extendedprice * fee_rate), 4) * 100 + 0.5) / 100 AS total_fee
+FROM lineitem
+JOIN (VALUES ('A', 0.01), ('N', 0.02), ('R', 0.03)) AS fees(flag, fee_rate)
+  ON l_returnflag = flag
+GROUP BY l_returnflag
+"""
+
+
+@query("salted_skew_join", oracle=SALTED_JOIN_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pathological skew: joining the fact table on a 3-value key
+    (l_returnflag) — every row hits one of 3 reducers unsalted. The
+    salted join spreads each hot key over 8 (key, salt) buckets; the
+    oracle is the plain join, so the hash match proves salting is
+    result-invariant."""
+    from arrow_spark.operators.partitioning import salted_join
+
+    l = table(spark, sf_dir, "lineitem")
+    fees = spark.createDataFrame(
+        [("A", 0.01), ("N", 0.02), ("R", 0.03)], "l_returnflag string, fee_rate double"
+    )
+    joined = salted_join(l, fees, on="l_returnflag", salt_buckets=8)
+    fee_sum = F.sum(F.col("l_extendedprice") * F.col("fee_rate"))
+    # tie-safe 2-dec rounding of a 4-decimal-granular sum (see tpch._sum2x)
+    total = F.floor(F.round(fee_sum, 4) * 100 + F.lit(0.5)) / 100
+    return joined.groupBy("l_returnflag").agg(total.alias("total_fee"))
