@@ -202,3 +202,37 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 6).alias("sum_1h"),
     )
+
+
+VALUE_FNS_ORACLE = """
+SELECT user_id, event_id,
+  round(first_value(value) OVER w, 2)  AS first_v,
+  round(last_value(value) OVER wf, 2)  AS last_v,
+  round(nth_value(value, 3) OVER wf, 2) AS third_v,
+  round(lead(value, 2) OVER w, 2)      AS lead2,
+  round(lag(value, 2, -1.0) OVER w, 2) AS lag2_def
+FROM events
+WINDOW
+  w  AS (PARTITION BY user_id ORDER BY event_id),
+  wf AS (PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("window_value_functions", oracle=VALUE_FNS_ORACLE)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value + lead/lag with offsets and defaults —
+    the positional window family (SURVEY §2.2.8; Arrow reaches these
+    only via sort + take kernels)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.first("value").over(w), 2).alias("first_v"),
+        F.round(F.last("value").over(wf), 2).alias("last_v"),
+        F.round(F.nth_value("value", 3).over(wf), 2).alias("third_v"),
+        F.round(F.lead("value", 2).over(w), 2).alias("lead2"),
+        F.round(F.lag("value", 2, -1.0).over(w), 2).alias("lag2_def"),
+    )
