@@ -100,3 +100,18 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     p = plan(QUERIES["similarity_ivf_topk"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p  # probes (queries × nprobe) broadcast
     assert "CartesianProduct" not in p  # corpus never cross-joins queries
+
+
+def test_substrait_window_single_partition_shuffle(spark, sf_dir):
+    p = plan(QUERIES["substrait_window"].fn(spark, sf_dir))
+    # one window group: all four functions share (partition, order), so
+    # Catalyst plans a single Window over one Exchange on o_orderstatus
+    assert p.count("Exchange hashpartitioning(o_orderstatus") <= 1
+    assert "CartesianProduct" not in p
+
+
+def test_interval_join_is_range_equi_join(spark, sf_dir):
+    p = plan(QUERIES["stream_interval_join"].fn(spark, sf_dir))
+    # equi keys carry the join; the time window rides as a residual
+    # condition — never a cartesian/nested-loop over the streams
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
