@@ -210,7 +210,10 @@ def _asof_join_range(
             F.abs(ron.cast("double") - lon.cast("double")).asc(),
             ron.asc(),
         ] + [t.desc() for t in tie]
-    cond = conds[0]
+    # nearest with no by-keys and no tolerance has no join predicate at all:
+    # every left row scans the whole right side (a deliberate full range
+    # join — callers should pass a tolerance at scale).
+    cond = conds[0] if conds else F.lit(True)
     for c in conds[1:]:
         cond = cond & c
     lid = "__asof_lid__"

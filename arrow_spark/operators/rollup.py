@@ -58,9 +58,22 @@ def cascade_rollup(
         )
     )
     out[finest] = cur
+    # week buckets straddle month/year boundaries, so month+ levels must NOT
+    # cascade from the week rollup — date_trunc('month', week_bucket) would
+    # assign a straddling week entirely to the earlier month. Track the last
+    # level whose buckets nest cleanly into month/year and cascade from it.
+    nestable = cur if finest != "week" else None
     for lv in levels[1:]:
+        src = cur
+        if lv in ("month", "year") and src is out.get("week"):
+            if nestable is None:
+                raise ValueError(
+                    "cannot cascade week → month/year (weeks straddle month "
+                    "boundaries); include a sub-week level, e.g. ('day','week','month')"
+                )
+            src = nestable
         cur = (
-            cur.groupBy(
+            src.groupBy(
                 F.date_trunc(lv, F.col("bucket")).alias("bucket"), *[F.col(k) for k in keys]
             )
             .agg(
@@ -71,4 +84,6 @@ def cascade_rollup(
             )
         )
         out[lv] = cur
+        if lv != "week":
+            nestable = cur
     return out

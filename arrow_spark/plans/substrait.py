@@ -266,7 +266,9 @@ class _Consumer:
             return F.lit(bool(m.u64(1)))
         for n, cast in ((2, "tinyint"), (3, "smallint"), (5, "int")):
             if m.has(n):
-                return F.lit(_signed(m.u64(n), 32)).cast(cast)
+                # protobuf varints sign-extend negatives to 64 bits; decode at
+                # 64 (the value already fits the narrower type), not 32.
+                return F.lit(_signed(m.u64(n), 64)).cast(cast)
         if m.has(7):
             return F.lit(m.i64(7)).cast("bigint")
         if m.has(10):
@@ -279,8 +281,8 @@ class _Consumer:
             return F.lit(m.raw(13))
         if m.has(14):  # timestamp: µs since epoch
             return F.timestamp_micros(F.lit(m.i64(14)))
-        if m.has(16):  # date: days since epoch
-            return F.date_add(F.lit("1970-01-01").cast("date"), _signed(m.u64(16), 32))
+        if m.has(16):  # date: days since epoch (64-bit varint sign extension)
+            return F.date_add(F.lit("1970-01-01").cast("date"), _signed(m.u64(16), 64))
         if m.has(29):  # typed null
             return F.lit(None).cast(_decode_type(m.msg(29)))
         raise NotImplementedError(f"literal fields {sorted(m.f)} not supported")
@@ -310,8 +312,9 @@ class _Consumer:
         if name == "like" and len(args) == 2:
             return args[0].like(args[1])
         if name == "round" and len(args) == 2:
-            # scale must be a literal (F.round takes a Python int)
-            scale_msgs = [a.msg(3) for a in m.msgs(4) if a.has(3)]
+            # scale must be a literal (F.round takes a Python int); mirror the
+            # deprecated-args fallback used for argument extraction above
+            scale_msgs = [a.msg(3) for a in m.msgs(4) if a.has(3)] or m.msgs(2)
             return F.round(args[0], self._lit_int(scale_msgs[1]))
         raise NotImplementedError(f"scalar function {name!r}/{len(args)} not supported")
 

@@ -124,3 +124,11 @@ def test_asof_join_multi_matches_independent_pairwise(spark):
     p2 = {r.lbl: r.y for r in asof_join(left, r2, on="t", by=["k"], suffix="_2").collect()}
     assert got == {lbl: (p1[lbl], p2[lbl]) for lbl in ("a", "b")}
     assert got == {"a": (100.0, "p"), "b": (200.0, "q")}
+
+
+def test_nearest_no_by_no_tolerance(spark):
+    # ADVICE r1: this combination used to IndexError (empty join predicate)
+    left = spark.createDataFrame(pd.DataFrame({"t": [1, 10, 20]}))
+    right = spark.createDataFrame(pd.DataFrame({"t": [3, 12], "lbl": ["a", "b"]}))
+    out = asof_join(left, right, on="t", direction="nearest").orderBy("t").collect()
+    assert [(r.t, r.t_r, r.lbl) for r in out] == [(1, 3, "a"), (10, 12, "b"), (20, 12, "b")]

@@ -112,3 +112,28 @@ def test_cascade_rollup_levels_exact(spark, sf_dir):
     }
     want = {(r.event_type, r.bucket): (r.sum_v, r.n_v) for r in direct.collect()}
     assert got == want and len(want) > 0
+
+
+def test_cascade_rollup_week_does_not_feed_month(spark, sf_dir):
+    # ADVICE r1: weeks straddle month boundaries; month totals must come from
+    # the finest sub-week level, not date_trunc('month', week_bucket).
+    from arrow_spark.operators.rollup import cascade_rollup
+
+    events = table(spark, sf_dir, "events")
+    levels = cascade_rollup(events, "ts", "value", keys=["event_type"],
+                            levels=["day", "week", "month"])
+    direct = (
+        events.groupBy(F.date_trunc("month", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.count("value").alias("n_v"))
+    )
+    got = {(r.event_type, r.bucket): r.n_v for r in levels["month"].collect()}
+    want = {(r.event_type, r.bucket): r.n_v for r in direct.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_cascade_rollup_rejects_week_to_month_without_subweek(spark, sf_dir):
+    from arrow_spark.operators.rollup import cascade_rollup
+
+    events = table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="straddle"):
+        cascade_rollup(events, "ts", "value", levels=["week", "month"])

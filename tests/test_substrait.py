@@ -262,3 +262,33 @@ def test_timestamp_literal_filter_cross_validated(spark):
     p = B.plan(root, ["ts", "v"], functions={1: (B.URI_CMP, "gt")})
     rows = _run_both(spark, p, tables={"t": tbl})
     assert [r[1] for r in rows] == [2, 3]
+
+def test_negative_literals_cross_validated(spark):
+    # ADVICE r1: negative i8/i16/i32/date varint literals sign-extend to 64
+    # bits on the wire; the consumer must decode at 64, not the target width.
+    root = B.project_rel(READ_T, [B.lit_i32(-5), B.lit_date(-10)], emit=[2, 3])
+    p = B.plan(root, ["neg", "d"])
+    rows = _run_both(spark, p)
+    import datetime
+
+    assert rows == [(-5, datetime.date(1969, 12, 22))] * 5
+
+
+def test_round_deprecated_args_field(spark):
+    # ADVICE r1: round must read its scale via the deprecated `args` field
+    # (2) when FunctionArgument (4) is absent, like every other function.
+    body = (
+        B.f_varint(1, 1)
+        + B.f_msg(2, B.field_ref(1))
+        + B.f_msg(2, B.lit_i64(0))
+        + B.f_msg(3, B.typ("fp64"))
+    )
+    rnd = B.f_msg(3, body)  # Expression.scalar_function
+    root = B.project_rel(READ_T, [rnd], emit=[0, 2])
+    p = B.plan(root, ["k", "vr"], functions={1: (B.URI_ARITH, "round")})
+
+    def spark_provider(names):
+        return spark.createDataFrame(TABLES[names[0]].to_pandas())
+
+    got = sorted((r.k, float(r.vr)) for r in run_substrait(spark, p, spark_provider).collect())
+    assert got == [("x", 1.0), ("x", 3.0), ("x", 5.0), ("y", 2.0), ("y", 4.0)]
