@@ -322,14 +322,70 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocking: str = "lsh",
+    n_tables: int = 12,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a<b) above threshold."""
-    from arrow_spark.llm.similarity import _as_double, cosine_similarity
+    """Embedding-cosine near-dup pairs (a<b) above threshold.
+
+    blocking='lsh' (default, the 100 TB path): random-hyperplane LSH
+    with multi-table OR-construction. Each vector gets ``n_tables``
+    sign-bit signatures of ``n_planes`` seeded hyperplanes; a pair is a
+    candidate iff it collides in ANY table — a plain equi-join on
+    (table, signature), exactly the banded construction
+    minhash_lsh_candidates uses for shingles. Candidates are then
+    verified with the exact cosine, so there are no false positives;
+    misses are pairs colliding in no table. For cosine ≥ t the per-plane
+    collision probability is 1 - acos(t)/π (≥ 0.899 at t=0.95), so the
+    miss probability of a qualifying pair is
+    (1 - (1-acos(t)/π)^n_planes)^n_tables — ≤ 1.3e-3 at the 0.95
+    defaults for a pair AT the threshold and ~1e-6 for true near-dups
+    (cos ≥ 0.99); raise n_tables (recall) or n_planes (bucket
+    selectivity) per corpus. Planes are seeded → the result is
+    deterministic; equality with the exact form on planted near-dups is
+    unit-tested, and the DuckDB oracle checks the all-pairs semantics.
+
+    blocking='exact': the all-pairs crossJoin — O(n²), the small-sf
+    oracle verifier only.
+
+    Distributed cost of the LSH path: one linear projection pass
+    (T·P·dim multiplies per row, codegen'd JVM folds, no UDF), one
+    shuffle on (table, signature) for the candidate join, and exact
+    cosine only on bucket-internal pairs — never an all-pairs stage
+    (no-CartesianProduct is plan-pinned in tests).
+    """
+    from arrow_spark.llm.similarity import (
+        _as_double,
+        cosine_similarity,
+        deterministic_planes,
+        lsh_signature,
+    )
 
     d = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    if blocking == "exact":
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        # dim is schema-level metadata the planes need; a one-row peek is
+        # an index-build-time constant, not a per-row driver loop
+        dim = embeddings.select(F.size(F.col(vec_col)).alias("n")).first()["n"]
+        planes = deterministic_planes(n_tables * n_planes, dim, seed)
+        sigs = [
+            lsh_signature(F.col("v"), planes[t * n_planes : (t + 1) * n_planes])
+            for t in range(n_tables)
+        ]
+        sig = d.select("id", F.posexplode(F.array(*sigs)).alias("tbl", "sig"))
+        left = sig.select("tbl", "sig", F.col("id").alias("id_a"))
+        right = sig.select("tbl", "sig", F.col("id").alias("id_b"))
+        cands = (
+            left.join(right, ["tbl", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cands.join(a, "id_a").join(b, "id_b")
     cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
     return pairs.select(
         "id_a", "id_b", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos")
@@ -400,20 +456,46 @@ def near_dup_clusters(
     text_col: str = "text",
     block_cols: tuple = (),
     max_iter: int = 25,
+    pair_source: str = "lsh",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Cluster documents by transitive Jaccard near-duplication.
+    """Cluster documents by transitive near-duplication.
 
     The end-to-end dedup op a training-data pipeline actually needs:
-    pairwise near-dup edges (jaccard_near_dup_pairs) are only half the
-    job — a~b and b~c must collapse into ONE keeper even when a≁c.
-    Output: (doc_id, cluster_id, is_keeper) for EVERY document
-    (singletons form their own cluster); keep `is_keeper` rows for the
-    deduplicated corpus. cluster_id = min doc_id of the cluster, so the
-    result is deterministic.
+    pairwise near-dup edges are only half the job — a~b and b~c must
+    collapse into ONE keeper even when a≁c. Output: (doc_id, cluster_id,
+    is_keeper) for EVERY document (singletons form their own cluster);
+    keep `is_keeper` rows for the deduplicated corpus. cluster_id = min
+    doc_id of the cluster, so the result is deterministic.
+
+    pair_source='lsh' (default, the 100 TB path): edges are minhash-LSH
+    candidates verified by exact shingle Jaccard — candidate generation
+    is a banded equi-join, never pairwise in any block. Edge semantics:
+    ``threshold`` applies to *shingle*-set Jaccard.
+
+    pair_source='exact': edges from jaccard_near_dup_pairs (*token*-set
+    Jaccard, honoring ``block_cols``/length blocking). Bucket-quadratic
+    pair verification — the small-sf oracle verifier, not the scale
+    path.
     """
-    pairs = jaccard_near_dup_pairs(
-        docs, threshold=threshold, id_col=id_col, text_col=text_col, block_cols=block_cols
-    )
+    if pair_source == "exact":
+        pairs = jaccard_near_dup_pairs(
+            docs, threshold=threshold, id_col=id_col, text_col=text_col, block_cols=block_cols
+        )
+    elif pair_source == "lsh":
+        pairs = minhash_near_dups(
+            docs,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            id_col=id_col,
+            text_col=text_col,
+        )
+    else:
+        raise ValueError(f"bad pair_source {pair_source!r}")
     return clusters_from_pairs(docs, pairs, id_col=id_col, max_iter=max_iter)
 
 

