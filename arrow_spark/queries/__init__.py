@@ -17,6 +17,7 @@ _MODULES = (
     "relational",
     "joins",
     "tpch",
+    "tpch_ps",
     "windows",
     "functions_scalar",
     "temporal",
