@@ -105,6 +105,10 @@ class _Msg:
         vs = self.f.get(n)
         return vs[-1][1] if vs else None
 
+    def raws(self, n: int) -> list[bytes]:
+        """Repeated message field as encoded bytes (identity-comparable)."""
+        return [v for _, v in self.f.get(n, [])]
+
     def ints(self, n: int) -> list[int]:
         """Repeated varint field, packed or not."""
         out: list[int] = []
@@ -218,6 +222,13 @@ class _Consumer:
         self.spark = spark
         self.provider = table_provider
         self.functions = functions  # anchor -> name (extension declarations)
+        # subquery scopes: stack of enclosing-relation column lists for
+        # OuterReference resolution; _mark_outer marks expressions that are
+        # evaluated in the enclosing scope but embedded inside a subquery
+        # frame (InPredicate needles), so their field refs need .outer()
+        self._outer: list[list[str]] = []
+        self._mark_outer = 0
+        self._prefix = "_f"  # positional-name realm (changes inside subqueries)
 
     # -- expressions --------------------------------------------------------
 
@@ -225,7 +236,13 @@ class _Consumer:
         if m.has(1):
             return self.literal(m.msg(1))
         if m.has(2):  # FieldReference
-            return F.col(cols[self.field_index(m.msg(2))])
+            ref = m.msg(2)
+            idx = self.field_index(ref)
+            if ref.has(5):  # OuterReference { steps_out=1 }
+                steps = max(ref.msg(5).u64(1, 1), 1)
+                return F.col(self._outer[-steps][idx]).outer()
+            col = F.col(cols[idx])
+            return col.outer() if self._mark_outer else col
         if m.has(3):  # ScalarFunction
             return self.scalar_fn(m.msg(3), cols)
         if m.has(5):  # WindowFunction { partitions=2, sorts=3, … }
@@ -253,7 +270,55 @@ class _Consumer:
             inp = self.expr(c.msg(2), cols)
             # FAILURE_BEHAVIOR_RETURN_NULL=1 → try_cast; THROW(2)/unset → cast
             return inp.try_cast(to) if c.u64(3) == 1 else inp.cast(to)
+        if m.has(12):  # Subquery
+            return self.subquery(m.msg(12), cols)
         raise NotImplementedError(f"expression fields {sorted(m.f)} not supported")
+
+    def subquery(self, m: _Msg, cols: list[str]) -> Column:
+        """Expression.Subquery { scalar=1, in_predicate=2, set_predicate=3 }
+        → Spark 4 subquery-expression API (DataFrame.scalar/.exists with
+        Column.outer correlation). Reference consumer: the full rel set in
+        engine/substrait/relation_internal.cc; Acero's own consumer does
+        not take these shapes, so tests assert Spark semantics and the
+        oracle gate cross-checks DuckDB.
+
+        IN is expressed as a correlated EXISTS over an equality — in a
+        filter context the two are equivalent (NULL and no-match both drop
+        the row); in a projection context SQL IN's three-valued NULL
+        result would differ, which run_substrait does not claim.
+        """
+        self._outer.append(cols)
+        depth = len(self._outer)
+        old_prefix = self._prefix
+        self._prefix = f"_s{depth}f"  # fresh name realm for the sub-plan
+        try:
+            if m.has(1):  # Scalar { input=1 }
+                return self.rel(m.msg(1).msg(1)).scalar()
+            if m.has(2):  # InPredicate { needles=1, haystack=2 }
+                ip = m.msg(2)
+                hay = self.rel(ip.msg(2))
+                self._mark_outer += 1
+                try:
+                    needles = [self.expr(e, cols) for e in ip.msgs(1)]
+                finally:
+                    self._mark_outer -= 1
+                # haystack columns are positional in this subquery's own
+                # realm — reference them by name, never via hay.columns
+                # (a correlated haystack cannot be analyzed standalone)
+                cond = None
+                for i, nd in enumerate(needles):
+                    eq = F.col(f"{self._prefix}{i}") == nd
+                    cond = eq if cond is None else cond & eq
+                return hay.where(cond).exists()
+            if m.has(3):  # SetPredicate { predicate_op=1, tuples=2 }
+                sp = m.msg(3)
+                if sp.u64(1, 1) != 1:  # PREDICATE_OP_EXISTS
+                    raise NotImplementedError("only EXISTS set predicate supported")
+                return self.rel(sp.msg(2)).exists()
+            raise NotImplementedError(f"subquery fields {sorted(m.f)} not supported")
+        finally:
+            self._prefix = old_prefix
+            self._outer.pop()
 
     def field_index(self, ref: _Msg) -> int:
         seg = ref.msg(1)  # direct_reference: ReferenceSegment
@@ -421,18 +486,32 @@ class _Consumer:
                 return h(m.msg(n))
         raise NotImplementedError(f"relation fields {sorted(m.f)} not supported")
 
-    @staticmethod
-    def _positional(df: DataFrame) -> DataFrame:
-        return df.toDF(*[f"_f{i}" for i in range(len(df.columns))])
+    def _positional(self, df: DataFrame) -> DataFrame:
+        # self._prefix gives every subquery depth its own name realm, so
+        # an outer reference can never accidentally resolve against a
+        # like-named column inside the subquery's own frames
+        return df.toDF(*[f"{self._prefix}{i}" for i in range(len(df.columns))])
 
-    def _emit(self, df: DataFrame, common: _Msg | None) -> DataFrame:
-        """RelCommon.emit.output_mapping remaps/projects output columns."""
+    def _emit(
+        self, df: DataFrame, common: _Msg | None, names: list[str] | None = None
+    ) -> DataFrame:
+        """RelCommon.emit.output_mapping remaps/projects output columns.
+
+        ``names`` is the caller's statically-known output column list.
+        Passing it avoids touching ``df.columns`` (which forces eager
+        analysis) — essential inside subqueries, where frames holding
+        outer references cannot be analyzed until they are embedded in
+        the enclosing plan. When the known names are already positional
+        the frame passes through untouched (no toDF → no analysis)."""
         if common is None or not common.has(2):
-            return self._positional(df)
+            if names is None:
+                return self._positional(df)
+            pos = [f"{self._prefix}{i}" for i in range(len(names))]
+            return df if names == pos else df.toDF(*pos)
         mapping = common.msg(2).ints(1)
-        cols = df.columns
+        cols = names if names is not None else df.columns
         return df.select(
-            *[F.col(cols[j]).alias(f"_f{i}") for i, j in enumerate(mapping)]
+            *[F.col(cols[j]).alias(f"{self._prefix}{i}") for i, j in enumerate(mapping)]
         )
 
     def read_rel(self, m: _Msg) -> DataFrame:
@@ -454,32 +533,36 @@ class _Consumer:
 
     def filter_rel(self, m: _Msg) -> DataFrame:
         df = self.rel(m.msg(2))
-        out = df.where(self.expr(m.msg(3), df.columns))
-        return self._emit(out, m.msg(1))
+        cols = df.columns
+        out = df.where(self.expr(m.msg(3), cols))
+        return self._emit(out, m.msg(1), names=cols)
 
     def project_rel(self, m: _Msg) -> DataFrame:
         df = self.rel(m.msg(2))
         cols = df.columns
         exprs = [self.expr(e, cols) for e in m.msgs(3)]
+        new = [f"{self._prefix}{len(cols) + i}" for i in range(len(exprs))]
         # substrait project output = input fields ++ expressions
         out = df.select(
             *[F.col(c) for c in cols],
-            *[e.alias(f"_f{len(cols) + i}") for i, e in enumerate(exprs)],
+            *[e.alias(n) for e, n in zip(exprs, new)],
         )
-        return self._emit(out, m.msg(1))
+        return self._emit(out, m.msg(1), names=cols + new)
 
     def fetch_rel(self, m: _Msg) -> DataFrame:
         df = self.rel(m.msg(2))
+        cols = df.columns
         offset, count = m.i64(3), m.i64(4, -1)
         if offset:
             df = df.offset(offset)
         if count >= 0:
             df = df.limit(count)
-        return self._emit(df, m.msg(1))
+        return self._emit(df, m.msg(1), names=cols)
 
     def sort_rel(self, m: _Msg) -> DataFrame:
         df = self.rel(m.msg(2))
-        return self._emit(df.orderBy(*self._sorts(m.msgs(3), df.columns)), m.msg(1))
+        cols = df.columns
+        return self._emit(df.orderBy(*self._sorts(m.msgs(3), cols)), m.msg(1), names=cols)
 
     def window_rel(self, m: _Msg) -> DataFrame:
         """ConsistentPartitionWindowRel { common=1, input=2,
@@ -491,17 +574,18 @@ class _Consumer:
         cols = df.columns
         parts = [self.expr(e, cols) for e in m.msgs(4)]
         sort_msgs = m.msgs(5)
+        new = [f"{self._prefix}{len(cols) + i}" for i in range(len(m.msgs(3)))]
         wcols = [
-            self._window_column(fm, cols, parts, sort_msgs).alias(f"_f{len(cols) + i}")
-            for i, fm in enumerate(m.msgs(3))
+            self._window_column(fm, cols, parts, sort_msgs).alias(n)
+            for fm, n in zip(m.msgs(3), new)
         ]
         out = df.select(*[F.col(c) for c in cols], *wcols)
-        return self._emit(out, m.msg(1))
+        return self._emit(out, m.msg(1), names=cols + new)
 
     def join_rel(self, m: _Msg) -> DataFrame:
         left, right = self.rel(m.msg(2)), self.rel(m.msg(3))
         nl = len(left.columns)
-        right_r = right.toDF(*[f"_g{i}" for i in range(len(right.columns))])
+        right_r = right.toDF(*[f"{self._prefix}g{i}" for i in range(len(right.columns))])
         combined = left.columns + right_r.columns
         jtype = {1: "inner", 2: "full_outer", 3: "left_outer", 4: "right_outer",
                  5: "left_semi", 6: "left_anti"}[m.u64(6, 1)]
@@ -512,12 +596,12 @@ class _Consumer:
         if jtype in ("left_semi", "left_anti"):
             out = out.select(*left.columns)
         else:
-            out = out.toDF(*[f"_f{i}" for i in range(nl + len(right_r.columns))])
+            out = out.toDF(*[f"{self._prefix}{i}" for i in range(nl + len(right_r.columns))])
         return self._emit(out, m.msg(1))
 
     def cross_rel(self, m: _Msg) -> DataFrame:
         left, right = self.rel(m.msg(2)), self.rel(m.msg(3))
-        right_r = right.toDF(*[f"_g{i}" for i in range(len(right.columns))])
+        right_r = right.toDF(*[f"{self._prefix}g{i}" for i in range(len(right.columns))])
         out = self._positional(left.crossJoin(right_r))
         return self._emit(out, m.msg(1))
 
@@ -525,9 +609,6 @@ class _Consumer:
         df = self.rel(m.msg(2))
         cols = df.columns
         groupings = m.msgs(3)
-        if len(groupings) > 1:
-            raise NotImplementedError("grouping sets not supported (single grouping only)")
-        keys = [self.expr(e, cols) for e in groupings[0].msgs(1)] if groupings else []
         aggs = []
         for i, meas in enumerate(m.msgs(4)):  # Measure { measure=1, filter=2 }
             af = meas.msg(1)  # AggregateFunction
@@ -540,9 +621,76 @@ class _Consumer:
             if meas.has(2):
                 raise NotImplementedError("per-measure filters not supported")
             aggs.append(col.alias(f"_m{i}"))
-        keyed = [k.alias(f"_k{i}") for i, k in enumerate(keys)]
+        if len(groupings) > 1:
+            return self._grouping_sets(m, df, cols, groupings, aggs)
+        keys = [self.expr(e, cols) for e in groupings[0].msgs(1)] if groupings else []
+        # alias keys and measures positionally up front so no rename (and
+        # therefore no eager analysis) is needed afterwards — measures may
+        # hold outer references when this aggregate sits inside a subquery
+        nk = len(keys)
+        keyed = [k.alias(f"{self._prefix}{i}") for i, k in enumerate(keys)]
+        aggs = [a.alias(f"{self._prefix}{nk + i}") for i, a in enumerate(aggs)]
         out = df.groupBy(*keyed).agg(*aggs) if keyed else df.agg(*aggs)
-        return self._emit(out, m.msg(1))
+        return self._emit(
+            out, m.msg(1), names=[f"{self._prefix}{i}" for i in range(nk + len(aggs))]
+        )
+
+    def _grouping_sets(
+        self, m: _Msg, df: DataFrame, cols: list[str], groupings: list[_Msg], aggs: list[Column]
+    ) -> DataFrame:
+        """AggregateRel with >1 Grouping = grouping sets (substrait spec:
+        output is the distinct grouping expressions ++ measures ++ a
+        trailing i32 grouping-set index). Spark-first: DataFrame
+        groupingSets + grouping_id(), with the bitmask (bit set ⇔ key
+        aggregated away, leftmost key most significant) mapped back to
+        the declaration-order index. Takes both encodings: rel-level
+        grouping_expressions (field 5) + per-grouping references, and the
+        deprecated per-grouping expression lists (deduped by encoded
+        bytes)."""
+        if m.has(5):
+            pool = [self.expr(e, cols) for e in m.msgs(5)]
+            sets = [[int(i) for i in g.ints(2)] for g in groupings]
+        else:
+            raw_pool: list[bytes] = []
+            sets = []
+            for g in groupings:
+                idxs = []
+                for raw in g.raws(1):
+                    if raw not in raw_pool:
+                        raw_pool.append(raw)
+                    idxs.append(raw_pool.index(raw))
+                sets.append(idxs)
+            pool = [self.expr(_Msg(raw), cols) for raw in raw_pool]
+        k = len(pool)
+        # temp key names (must not collide with the child's positional
+        # columns, which stay visible in `base` for the measures)
+        tnames = [f"{self._prefix}k{i}" for i in range(k)]
+        mnames = [f"{self._prefix}{k + i}" for i in range(len(aggs))]
+        base = df.select(*[F.col(c) for c in cols], *[pool[i].alias(tnames[i]) for i in range(k)])
+        masks = []
+        for s in sets:
+            mask = sum(1 << (k - 1 - i) for i in range(k) if i not in s)
+            if mask in masks:
+                raise NotImplementedError("duplicate grouping sets not supported")
+            masks.append(mask)
+        gd = base.groupingSets(
+            [[F.col(tnames[i]) for i in s] for s in sets], *[F.col(c) for c in tnames]
+        )
+        out = gd.agg(
+            *[a.alias(n) for a, n in zip(aggs, mnames)], F.grouping_id().alias("_gmask")
+        )
+        setidx = None
+        for i, mask in enumerate(masks):
+            cond = F.col("_gmask") == mask
+            setidx = F.when(cond, i) if setidx is None else setidx.when(cond, i)
+        knames = [f"{self._prefix}{i}" for i in range(k)]
+        gname = f"{self._prefix}{k + len(aggs)}"
+        out = out.select(
+            *[F.col(t).alias(n) for t, n in zip(tnames, knames)],
+            *mnames,
+            setidx.cast("int").alias(gname),
+        )
+        return self._emit(out, m.msg(1), names=knames + mnames + [gname])
 
     @staticmethod
     def _agg_fn(name: str, args: list[Column], distinct: bool) -> Column:

@@ -116,6 +116,30 @@ def scalar_fn(anchor: int, args: list[bytes], output: bytes | None = None) -> by
     return f_msg(3, body)  # Expression.scalar_function
 
 
+def outer_field_ref(idx: int, steps_out: int = 1) -> bytes:
+    """FieldReference resolving idx in the enclosing relation's scope
+    (OuterReference root, field 5) — correlation inside subqueries."""
+    seg = f_msg(2, f_varint(1, idx))  # StructField { field=1 }
+    ref = f_msg(1, seg) + f_msg(5, f_varint(1, steps_out))
+    return f_msg(2, ref)
+
+
+def subquery_scalar(rel_bytes: bytes) -> bytes:
+    """Expression.Subquery.Scalar { input=1 } (Expression oneof field 12)."""
+    return f_msg(12, f_msg(1, f_msg(1, rel_bytes)))
+
+
+def subquery_in(needles: list[bytes], haystack: bytes) -> bytes:
+    """Expression.Subquery.InPredicate { needles=1, haystack=2 }."""
+    body = b"".join(f_msg(1, n) for n in needles) + f_msg(2, haystack)
+    return f_msg(12, f_msg(2, body))
+
+
+def subquery_exists(rel_bytes: bytes) -> bytes:
+    """Expression.Subquery.SetPredicate { predicate_op=1 (EXISTS), tuples=2 }."""
+    return f_msg(12, f_msg(3, f_varint(1, 1) + f_msg(2, rel_bytes)))
+
+
 def cast(expr: bytes, to: bytes, safe: bool = False) -> bytes:
     # Expression oneof: window_function=5, if_then=6, singular_or_list=8,
     # cast=11 (field 4 skipped in the spec — pinned by the Acero round-trip)
@@ -179,6 +203,17 @@ def aggregate_rel(input_rel: bytes, group_exprs: list[bytes],
     body = f_msg(2, input_rel)
     body += f_msg(3, b"".join(f_msg(1, g) for g in group_exprs))  # one Grouping
     body += b"".join(f_msg(4, f_msg(1, m)) for m in measures)  # Measure.measure
+    return rel("aggregate", body)
+
+
+def aggregate_rel_sets(input_rel: bytes, grouping_sets: list[list[bytes]],
+                       measures: list[bytes]) -> bytes:
+    """AggregateRel with one Grouping per set (deprecated per-grouping
+    expression encoding, field 3.1 — what older producers emit)."""
+    body = f_msg(2, input_rel)
+    for s in grouping_sets:
+        body += f_msg(3, b"".join(f_msg(1, g) for g in s))
+    body += b"".join(f_msg(4, f_msg(1, m)) for m in measures)
     return rel("aggregate", body)
 
 

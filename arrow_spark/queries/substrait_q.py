@@ -191,3 +191,97 @@ def declaration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputs=[agg],
     )
     return out.to_dataframe(spark)
+
+
+SUBSTRAIT_SUBQUERY_ORACLE = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+GROUP BY o_orderpriority
+"""
+
+
+def _subquery_plan_bytes() -> bytes:
+    read_o = B.read_named(
+        ["orders"], ["o_orderkey", "o_custkey", "o_orderpriority"], ["i64", "i64", "string"]
+    )
+    read_l = B.read_named(["lineitem"], ["l_orderkey", "l_quantity"], ["i64", "fp64"])
+    read_c = B.read_named(["customer"], ["c_custkey", "c_acctbal"], ["i64", "fp64"])
+    # EXISTS (… WHERE l_orderkey = outer.o_orderkey AND l_quantity > 48)
+    eq = B.scalar_fn(1, [B.field_ref(0), B.outer_field_ref(0)], output=B.typ("bool"))
+    gt = B.scalar_fn(2, [B.field_ref(1), B.lit_fp64(48.0)], output=B.typ("bool"))
+    ex = B.subquery_exists(B.filter_rel(read_l, B.scalar_fn(3, [eq, gt], output=B.typ("bool"))))
+    # o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    rich = B.scalar_fn(2, [B.field_ref(1), B.lit_fp64(9000.0)], output=B.typ("bool"))
+    hay = B.project_rel(B.filter_rel(read_c, rich), [], emit=[0])
+    inq = B.subquery_in([B.field_ref(1)], hay)
+    cond = B.scalar_fn(3, [ex, inq], output=B.typ("bool"))
+    agg = B.aggregate_rel(
+        B.filter_rel(read_o, cond),
+        [B.field_ref(2)],
+        [B.agg_fn(4, [], B.typ("i64"))],
+    )
+    return B.plan(
+        agg,
+        ["o_orderpriority", "n"],
+        functions={
+            1: (B.URI_CMP, "equal"),
+            2: (B.URI_CMP, "gt"),
+            3: (B.URI_BOOL, "and"),
+            4: (B.URI_AGG, "count"),
+        },
+    )
+
+
+@query("substrait_subquery", oracle=SUBSTRAIT_SUBQUERY_ORACLE)
+def substrait_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """correlated EXISTS + uncorrelated IN subquery expressions arriving
+    as serialized substrait plan bytes (Expression.Subquery — consumed
+    via Spark 4's DataFrame.exists()/Column.outer(); Catalyst
+    decorrelates both into semi joins)."""
+    return run_substrait(
+        spark, _subquery_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
+    )
+
+
+SUBSTRAIT_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n,
+       CASE grouping(l_returnflag, l_linestatus)
+            WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2 END AS gset
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def _grouping_sets_plan_bytes() -> bytes:
+    read = B.read_named(
+        ["lineitem"], ["l_returnflag", "l_linestatus", "l_quantity"],
+        ["string", "string", "fp64"],
+    )
+    agg = B.aggregate_rel_sets(
+        read,
+        [[B.field_ref(0), B.field_ref(1)], [B.field_ref(0)], []],
+        [
+            B.agg_fn(1, [B.field_ref(2)], B.typ("fp64")),
+            B.agg_fn(2, [], B.typ("i64")),
+        ],
+    )
+    return B.plan(
+        agg,
+        ["l_returnflag", "l_linestatus", "sum_qty", "n", "gset"],
+        functions={1: (B.URI_ARITH, "sum"), 2: (B.URI_AGG, "count")},
+    )
+
+
+@query("substrait_grouping_sets", oracle=SUBSTRAIT_GROUPING_SETS_ORACLE)
+def substrait_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateRel with three Groupings = grouping sets, consumed into
+    Spark's native groupingSets with the grouping_id() bitmask mapped to
+    the substrait declaration-order set index (trailing i32 column).
+    Whole-number quantity sums keep the value hash order-independent."""
+    return run_substrait(
+        spark, _grouping_sets_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
+    )

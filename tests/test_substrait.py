@@ -292,3 +292,57 @@ def test_round_deprecated_args_field(spark):
 
     got = sorted((r.k, float(r.vr)) for r in run_substrait(spark, p, spark_provider).collect())
     assert got == [("x", 1.0), ("x", 3.0), ("x", 5.0), ("y", 2.0), ("y", 4.0)]
+
+
+def _spark_only(spark):
+    def provider(names):
+        return spark.createDataFrame(TABLES[names[0]].to_pandas())
+
+    return provider
+
+
+def test_scalar_subquery_filter(spark):
+    # v >= (SELECT max(v) FROM t)  → the single max row
+    mx = B.aggregate_rel(READ_T, [], [B.agg_fn(2, [B.field_ref(1)], B.typ("i64"))])
+    gte = B.scalar_fn(1, [B.field_ref(1), B.subquery_scalar(mx)], output=B.typ("bool"))
+    p = B.plan(B.filter_rel(READ_T, gte), ["k", "v"],
+               functions={1: (B.URI_CMP, "gte"), 2: (B.URI_ARITH, "max")})
+    rows = run_substrait(spark, p, _spark_only(spark)).collect()
+    assert [(r.k, r.v) for r in rows] == [("x", 5)]
+
+
+def test_in_subquery_filter(spark):
+    # k IN (SELECT k FROM u WHERE w >= 200)  → k ∈ {y, z} ∩ t = y rows
+    big = B.scalar_fn(1, [B.field_ref(1), B.lit_i64(200)], output=B.typ("bool"))
+    hay = B.project_rel(B.filter_rel(READ_U, big), [], emit=[0])
+    inq = B.subquery_in([B.field_ref(0)], hay)
+    p = B.plan(B.filter_rel(READ_T, inq), ["k", "v"],
+               functions={1: (B.URI_CMP, "gte")})
+    rows = sorted((r.k, r.v) for r in run_substrait(spark, p, _spark_only(spark)).collect())
+    assert rows == [("y", 2), ("y", 4)]
+
+
+def test_exists_correlated_subquery(spark):
+    # EXISTS (SELECT 1 FROM u WHERE u.k = t.k AND u.w > 100)  → k = y rows
+    eq = B.scalar_fn(1, [B.field_ref(0), B.outer_field_ref(0)], output=B.typ("bool"))
+    gt = B.scalar_fn(2, [B.field_ref(1), B.lit_i64(100)], output=B.typ("bool"))
+    both = B.scalar_fn(3, [eq, gt], output=B.typ("bool"))
+    ex = B.subquery_exists(B.filter_rel(READ_U, both))
+    p = B.plan(B.filter_rel(READ_T, ex), ["k", "v"],
+               functions={1: (B.URI_CMP, "equal"), 2: (B.URI_CMP, "gt"),
+                          3: (B.URI_BOOL, "and")})
+    rows = sorted((r.k, r.v) for r in run_substrait(spark, p, _spark_only(spark)).collect())
+    assert rows == [("y", 2), ("y", 4)]
+
+
+def test_grouping_sets_aggregate(spark):
+    # groupings [[k], []] + sum(v): per-key rows (set 0) + grand total (set 1)
+    agg = B.aggregate_rel_sets(
+        READ_T, [[B.field_ref(0)], []], [B.agg_fn(1, [B.field_ref(1)], B.typ("i64"))]
+    )
+    p = B.plan(agg, ["k", "s", "gset"], functions={1: (B.URI_ARITH, "sum")})
+    rows = sorted(
+        (str(r.k), r.s, r.gset)
+        for r in run_substrait(spark, p, _spark_only(spark)).collect()
+    )
+    assert rows == [("None", 15, 1), ("x", 9, 0), ("y", 6, 0)]
