@@ -46,6 +46,8 @@ def asof_join(
     suffix: str = "_r",
     right_tiebreak: Sequence[str] = (),
     strategy: str = "auto",
+    left_cols: Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Time-series as-of join (Arrow `asofjoin` node, re-expressed Spark-first).
 
@@ -69,12 +71,24 @@ def asof_join(
     right.on break deterministically toward the row that sorts last
     (backward) / first (forward) by (on, remaining columns order given by
     a stable mergesort on ``on``).
+
+    ``left_cols`` / ``right_cols`` declare the value columns the caller
+    actually needs; the operator prunes both sides to (by, on, requested)
+    BEFORE execution, so the merge path never serializes unrequested
+    columns through the Arrow cogroup exchange — at 100 TB shipping a
+    wide fact table's full rows into Python workers is the dominant cost
+    of an unpruned as-of. None keeps every column (small-data
+    convenience).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
     if strategy not in ("auto", "range", "merge"):
         raise ValueError(f"bad strategy {strategy!r}")
     by = list(by)
+    if left_cols is not None:
+        left = left.select(*dict.fromkeys([*by, on, *left_cols]))
+    if right_cols is not None:
+        right = right.select(*dict.fromkeys([*by, on, *right_cols]))
     if strategy == "range" or (strategy == "auto" and (tolerance is not None or not by)):
         return _asof_join_range(
             left, right, on, by, tolerance, direction, suffix, right_tiebreak

@@ -70,9 +70,7 @@ def write_dataset(
     if fmt == "arrow":
         from arrow_spark.sources.ipc import write_ipc
 
-        if partition_by:
-            raise NotImplementedError("partitioned IPC write lands with the datasource v2 path")
-        write_ipc(df, path)
+        write_ipc(df, path, partition_by=partition_by)
         return
     writer = df.write.mode(mode)
     if partition_by:

@@ -4,11 +4,13 @@ Reference: cpp/src/arrow/flight/client.h (FlightClient), server.h:248-311
 (ListFlights/GetFlightInfo/DoGet/DoPut). Spark-first shape: GetFlightInfo
 returns N endpoints; each endpoint's ticket becomes one Spark task that
 opens its own DoGet stream inside mapInArrow — the natural mapping of
-Flight's horizontal-scalability contract onto Spark partitions.
+Flight's horizontal-scalability contract onto Spark partitions. A task
+cannot be finer than an endpoint (tickets are opaque, the server defines
+the split), so parallelism == server-advertised endpoints by design.
 
-The container has no Flight server (and pyarrow.flight may be absent),
-so everything is import-guarded; the partition-parallel plumbing is the
-same pattern as the IPC reader (sources/ipc.py), which is fully tested.
+pyarrow.flight may be absent in minimal builds, so everything is
+import-guarded; tests/test_flight.py exercises DoGet/DoPut/ListFlights
+end-to-end against an in-process FlightServerBase loopback server.
 """
 
 from __future__ import annotations
@@ -27,6 +29,24 @@ def _flight():
             "pyarrow.flight is not available in this environment; "
             "read_flight requires a pyarrow build with Flight enabled"
         ) from e
+
+
+def list_flights(location: str) -> list[dict]:
+    """ListFlights (server.h:248): driver-side catalog listing — one dict
+    per advertised flight: path, row/byte totals, endpoint count."""
+    flight = _flight()
+    client = flight.connect(location)
+    out = []
+    for info in client.list_flights():
+        out.append(
+            {
+                "path": [p.decode() for p in info.descriptor.path],
+                "total_records": info.total_records,
+                "total_bytes": info.total_bytes,
+                "endpoints": len(info.endpoints),
+            }
+        )
+    return out
 
 
 def read_flight(spark: SparkSession, location: str, descriptor_path: str) -> DataFrame:

@@ -1,0 +1,104 @@
+"""Flight RPC end-to-end against a live in-process loopback server
+(pyarrow FlightServerBase — the same surface as flight/server.h:248-311:
+ListFlights / GetFlightInfo / DoGet / DoPut).
+
+The server splits each table into N endpoints; read_flight must turn
+each endpoint into its own Spark task (DoGet streams in parallel), and
+write_flight must DoPut one upload stream per partition.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+fl = pytest.importorskip("pyarrow.flight")
+
+from arrow_spark.sources.flight import list_flights, read_flight, write_flight  # noqa: E402
+
+
+class _LoopbackServer(fl.FlightServerBase):
+    """Serves in-memory tables, N endpoints each; collects DoPut uploads."""
+
+    def __init__(self, tables: dict[str, "pa.Table"], n_endpoints: int = 3):
+        super().__init__("grpc://127.0.0.1:0")
+        self.tables = tables
+        self.n_endpoints = n_endpoints
+        self.received: dict[str, list] = {}
+        self._lock = threading.Lock()
+
+    def _info(self, descriptor: "fl.FlightDescriptor") -> "fl.FlightInfo":
+        path = descriptor.path[0].decode()
+        tbl = self.tables[path]
+        total = tbl.num_rows
+        chunk = max(1, (total + self.n_endpoints - 1) // self.n_endpoints)
+        endpoints = []
+        for lo in range(0, total, chunk):
+            hi = min(total, lo + chunk)
+            ticket = fl.Ticket(f"{path}:{lo}:{hi}".encode())
+            endpoints.append(
+                fl.FlightEndpoint(ticket, [f"grpc://127.0.0.1:{self.port}"])
+            )
+        return fl.FlightInfo(tbl.schema, descriptor, endpoints, total, -1)
+
+    def get_flight_info(self, context, descriptor):
+        return self._info(descriptor)
+
+    def list_flights(self, context, criteria):
+        for path in self.tables:
+            yield self._info(fl.FlightDescriptor.for_path(path))
+
+    def do_get(self, context, ticket):
+        path, lo, hi = ticket.ticket.decode().split(":")
+        tbl = self.tables[path]
+        return fl.RecordBatchStream(tbl.slice(int(lo), int(hi) - int(lo)))
+
+    def do_put(self, context, descriptor, reader, writer):
+        path = descriptor.path[0].decode()
+        tbl = reader.read_all()
+        with self._lock:
+            self.received.setdefault(path, []).append(tbl)
+
+
+@pytest.fixture(scope="module")
+def server():
+    tbl = pa.table(
+        {
+            "k": pa.array(range(100), pa.int64()),
+            "v": pa.array([f"row{i}" for i in range(100)]),
+        }
+    )
+    srv = _LoopbackServer({"demo": tbl}, n_endpoints=3)
+    thread = threading.Thread(target=srv.serve, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_do_get_one_task_per_endpoint(spark, server):
+    loc = f"grpc://127.0.0.1:{server.port}"
+    df = read_flight(spark, loc, "demo")
+    assert df.rdd.getNumPartitions() == 3  # endpoint-parallel, not one stream
+    rows = df.collect()
+    assert len(rows) == 100
+    assert {r.k for r in rows} == set(range(100))
+    assert dict((r.k, r.v) for r in rows)[7] == "row7"
+
+
+def test_do_put_streams_each_partition(spark, server):
+    loc = f"grpc://127.0.0.1:{server.port}"
+    src = spark.range(0, 50, 1, 4).withColumnRenamed("id", "n")
+    write_flight(src, loc, "sink")
+    got = pa.concat_tables(server.received["sink"])
+    assert sorted(got.column("n").to_pylist()) == list(range(50))
+    assert len(server.received["sink"]) == 4  # one DoPut stream per partition
+
+
+def test_list_flights_catalog(server):
+    loc = f"grpc://127.0.0.1:{server.port}"
+    cat = list_flights(loc)
+    assert cat == [
+        {"path": ["demo"], "total_records": 100, "total_bytes": -1, "endpoints": 3}
+    ]

