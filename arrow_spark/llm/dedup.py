@@ -359,7 +359,7 @@ def embedding_near_dup_pairs(
         _as_double,
         cosine_similarity,
         deterministic_planes,
-        lsh_signature,
+        lsh_signatures_vectorized,
     )
 
     d = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
@@ -372,11 +372,10 @@ def embedding_near_dup_pairs(
         # an index-build-time constant, not a per-row driver loop
         dim = embeddings.select(F.size(F.col(vec_col)).alias("n")).first()["n"]
         planes = deterministic_planes(n_tables * n_planes, dim, seed)
-        sigs = [
-            lsh_signature(F.col("v"), planes[t * n_planes : (t + 1) * n_planes])
-            for t in range(n_tables)
-        ]
-        sig = d.select("id", F.posexplode(F.array(*sigs)).alias("tbl", "sig"))
+        # one numpy matmul per Arrow batch beats 96 codegen'd folds —
+        # see lsh_signatures_vectorized
+        sigs = lsh_signatures_vectorized(planes, n_tables)
+        sig = d.select("id", F.posexplode(sigs(F.col("v"))).alias("tbl", "sig"))
         left = sig.select("tbl", "sig", F.col("id").alias("id_a"))
         right = sig.select("tbl", "sig", F.col("id").alias("id_b"))
         cands = (

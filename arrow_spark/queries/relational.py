@@ -524,3 +524,34 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
+
+
+SEGMENT_AGG_ORACLE = """
+SELECT event_type, user_id,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("segment_agg", oracle=SEGMENT_AGG_ORACLE)
+def segment_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segment-key aggregation (Acero options.h:304-313 SegmentedAggregate):
+    events partitioned on the segment key (event_type), then grouped by
+    (segment, user_id) — the aggregate adds NO Exchange beyond the segment
+    partitioning (plan-pinned in test_plans.py); the oracle is the plain
+    groupBy twin, proving result equivalence."""
+    from arrow_spark.operators.segmented import segmented_aggregate
+
+    return segmented_aggregate(
+        table(spark, sf_dir, "events"),
+        ["event_type"],
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        ],
+    )

@@ -57,6 +57,21 @@ HEADLINE = [
     "stream_interval_join",
     "substrait_window",
     "similarity_ivf_topk",
+    # round-2 additions: TPC-H closed at 22/22 via the generated partsupp
+    # (Q2/9/11/16/20), LSH-blocked embedding near-dup (the former
+    # crossJoin, now equi-join candidates), the LSH-fed clustering path
+    # at its real sf0.1 cost, substrait subqueries + grouping sets, and
+    # shuffle-free segment-key aggregation.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_part_promotion",
+    "dedup_embedding_cosine",
+    "dedup_clusters_lsh",
+    "substrait_subquery",
+    "substrait_grouping_sets",
+    "segment_agg",
 ]
 
 

@@ -267,3 +267,28 @@ def test_embedding_lsh_blocking_equals_exact(spark):
     }
     assert len(exact) >= 30  # the planted dups are actually above threshold
     assert lsh == exact
+
+
+def test_vectorized_signatures_match_jvm_folds(spark):
+    # the numpy matmul signature path must agree bit-for-bit with the
+    # codegen'd lsh_signature folds it replaces
+    from arrow_spark.llm.similarity import (
+        deterministic_planes,
+        lsh_signature,
+        lsh_signatures_vectorized,
+    )
+
+    emb = _planted_embeddings(spark, n_base=10)
+    planes = deterministic_planes(24, 16, seed=11)
+    d = emb.select("vec_id", F.col("embedding").alias("v"))
+    jvm = d.select(
+        "vec_id",
+        *[
+            lsh_signature(F.col("v"), planes[t * 8 : (t + 1) * 8]).alias(f"s{t}")
+            for t in range(3)
+        ],
+    )
+    vec = d.select("vec_id", lsh_signatures_vectorized(planes, 3)(F.col("v")).alias("ss"))
+    want = {r.vec_id: (r.s0, r.s1, r.s2) for r in jvm.collect()}
+    got = {r.vec_id: tuple(r.ss) for r in vec.collect()}
+    assert got == want

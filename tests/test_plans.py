@@ -122,3 +122,26 @@ def test_embedding_near_dup_has_no_cross_join(spark, sf_dir):
     # default plan must contain no cartesian stage at any scale.
     p = plan(QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_segmented_aggregate_adds_no_exchange(spark, sf_dir):
+    # segment-key aggregation: input pre-partitioned on the segment key ⇒
+    # HashPartitioning(segment) satisfies ClusteredDistribution(segment ++
+    # keys) and the aggregate plans shuffle-free on top of it.
+    from arrow_spark.operators.segmented import segmented_aggregate
+
+    e = table(spark, sf_dir, "events").repartition("event_type")
+    out = segmented_aggregate(
+        e, ["event_type"], ["user_id"], [F.count(F.lit(1)).alias("n")],
+        assume_segmented=True,
+    )
+    p = plan(out)
+    assert p.count("Exchange hashpartitioning") == 1  # only the segment shuffle
+    twin = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.event_type, r.user_id): r.n for r in out.collect()}
+    want = {(r.event_type, r.user_id): r.n for r in twin.collect()}
+    assert got == want
