@@ -1,0 +1,175 @@
+"""Corpus-level operators for training-data pipelines: contamination
+detection, repetition scoring, vocabulary statistics, deterministic
+stratified sampling, mixture weighting, and PII redaction.
+
+These extend the reference's text/dedup surface with the remaining ops a
+100 TB pretraining-data pipeline runs between "raw crawl" and "tokenizer
+input". Everything is built-in-function Spark (no Python in the hot
+path except none at all — the regex/ngram/hash machinery is JVM) and
+every op is expressible in ANSI-ish SQL, so each gate query carries a
+DuckDB oracle.
+
+Scale notes per op are on the functions; the common theme: candidate
+and statistics generation are equi-joins / single-shuffle aggregations,
+never all-pairs, and sampling/splitting is hash-based (shuffle-free,
+growth-stable, no RNG state across executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arrow_spark.llm.dedup import shingles, tokens
+
+
+def _floor6(col: Column) -> Column:
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def ngram_overlap(
+    probe_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-probe-document n-gram contamination against a corpus.
+
+    The train/test-leakage check: for every probe (e.g. eval/test) doc,
+    the fraction of its distinct word n-grams that appear anywhere in
+    the corpus (e.g. train split). Returns (id, n_grams, n_shared,
+    overlap) — overlap 1.0 ⇒ fully contained.
+
+    Scale: one distinct-gram explode per side, then an equi-join on the
+    gram string — shuffle-partitioned by gram, map-side distinct
+    partials, no pairwise document comparison anywhere. At 100 TB the
+    corpus gram set is the big side; Spark hashes both sides on gram so
+    skewed grams (stopword n-grams) are the only hotspot — raise n or
+    pre-filter stopword-only grams if that bites.
+    """
+    probe = probe_docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    )
+    corpus = (
+        corpus_docs.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    return (
+        probe.join(corpus, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_shared",
+            _floor6(F.col("n_shared") / F.col("n_grams")).alias("overlap"),
+        )
+    )
+
+
+def repetition_ratio(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total word n-grams
+    (the Gopher-style duplicate-n-gram quality signal). Pure projection
+    — no shuffle, pushdown-safe."""
+    g = shingles(F.col(text_col), n)
+    return docs.select(
+        F.col(id_col),
+        F.size(g).alias("n_grams"),
+        _floor6(1 - F.size(F.array_distinct(g)) / F.size(g)).alias("repetition"),
+    )
+
+
+def vocabulary_topk(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by frequency, ties broken by
+    token (deterministic cutoff). One explode + one count shuffle +
+    TakeOrdered — the driver only ever sees k rows."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff its
+    md5(id) percent-bucket falls below the stratum's rate (0-100).
+
+    Hash-based like text_hash_split: membership never changes as the
+    corpus grows, re-runs are byte-identical, and it's a pure map —
+    no shuffle, no RNG coordination across 1000 executors. This is the
+    dataset-mixing primitive (downweight crawl, keep all books, ...).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 100
+    )
+    rate = F.lit(default_pct)
+    for stratum, pct in rates_pct.items():
+        rate = F.when(F.col(strata_col) == stratum, pct).otherwise(rate)
+    return docs.where(bucket < rate)
+
+
+def mixture_weights(
+    docs: DataFrame, by: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture weights per group: share_i ∝ n_i^α
+    (α < 1 upweights small sources — the standard multi-source sampling
+    temperature). One count shuffle; the grand total (one row)
+    broadcasts back."""
+    counts = docs.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.pow(F.col("n_docs"), F.lit(alpha))
+    weighted = counts.select(F.col(by), "n_docs", w.alias("__w__"))
+    total = weighted.agg(F.sum("__w__").alias("__tot__"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(by, "n_docs", _floor6(F.col("__w__") / F.col("__tot__")).alias("share"))
+    )
+
+
+# -- PII redaction -----------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters: emails first (their dots would otherwise feed ipv4)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact emails/phones/IPv4s with typed placeholders and count each
+    match class (counted on the original text, then replaced in
+    PII_PATTERNS order). Pure regexp projection — no shuffle, JVM regex,
+    safe to run inline in any scan."""
+    txt = F.col(text_col)
+    out = docs
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(txt, F.lit(pat)))
+    red = txt
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.withColumn(out_col, red)

@@ -26,6 +26,7 @@ _MODULES = (
     "text",
     "similarity",
     "dedup",
+    "corpus_q",
     "streaming_windows",
     "extras",
     "substrait_q",

@@ -1,0 +1,192 @@
+"""Corpus-pipeline oracle queries: contamination, repetition,
+vocabulary, stratified sampling, mixture weights, PII redaction
+(arrow_spark.llm.corpus). Each oracle rebuilds the op in DuckDB SQL —
+including the word-n-gram construction and the md5 bucket arithmetic —
+so the value hash checks the whole pipeline, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.llm.corpus import (
+    mixture_weights,
+    ngram_overlap,
+    redact_pii,
+    repetition_ratio,
+    stratified_sample,
+    vocabulary_topk,
+)
+from arrow_spark.queries.base import query
+
+# word-trigram list per document, shared by two oracles; mirrors
+# llm.dedup.shingles (zip_with construction) exactly, short-doc case
+# included
+_GRAMS = """
+  CASE WHEN len(toks) >= 3
+       THEN list_transform(generate_series(1, len(toks) - 2),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       ELSE [array_to_string(toks, ' ')] END
+"""
+
+CONTAMINATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
+           AS bucket,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, bucket, unnest(list_distinct({_GRAMS})) AS g FROM t
+), train_g AS (
+  SELECT DISTINCT g FROM g WHERE bucket < 8
+), probe AS (
+  SELECT g.doc_id, g.g, CASE WHEN train_g.g IS NULL THEN 0 ELSE 1 END AS hit
+  FROM g LEFT JOIN train_g USING (g)
+  WHERE g.bucket = 9
+)
+SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_shared,
+       floor(sum(hit) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS overlap
+FROM probe
+GROUP BY doc_id
+"""
+
+
+@query("corpus_contamination", oracle=CONTAMINATION_ORACLE)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/test leakage check: per test-split doc, the fraction of its
+    distinct word trigrams found anywhere in the train split (split =
+    the deterministic md5 buckets of text_hash_split; candidate
+    generation is a gram equi-join, never doc×doc)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 10
+    )
+    d = d.withColumn("__b__", bucket)
+    return ngram_overlap(
+        d.where(F.col("__b__") == 9), d.where(F.col("__b__") < 8), n=3
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM t
+)
+SELECT doc_id, len(grams) AS n_grams,
+       floor((1 - len(list_distinct(grams)) * 1.0 / len(grams)) * 1e6 + 0.5) / 1e6
+         AS repetition
+FROM g
+"""
+
+
+@query("corpus_repetition", oracle=REPETITION_ORACLE)
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """within-doc duplicate-trigram ratio (Gopher-style repetition
+    quality signal) — pure projection, no shuffle."""
+    return repetition_ratio(table(spark, sf_dir, "documents"), n=3)
+
+
+VOCAB_ORACLE = """
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 50
+"""
+
+
+@query("corpus_vocabulary_topk", oracle=VOCAB_ORACLE)
+def corpus_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-50 corpus tokens by frequency, token-tiebroken (deterministic
+    cutoff; TakeOrderedAndProject keeps the driver at k rows)."""
+    return vocabulary_topk(table(spark, sf_dir, "documents"), k=50)
+
+
+SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+               AS b
+      FROM documents)
+WHERE b < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
+"""
+
+
+@query("corpus_stratified_sample", oracle=SAMPLE_ORACLE)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic per-language downsampling (keep 20% of en, 60%
+    otherwise) via md5 percent-buckets — membership growth-stable,
+    shuffle-free; the per-row assignment is what the oracle hashes."""
+    return stratified_sample(
+        table(spark, sf_dir, "documents"),
+        rates_pct={"en": 20},
+        default_pct=60,
+    ).select("doc_id", "lang", "source")
+
+
+MIXTURE_ORACLE = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT sum(pow(n_docs, 0.5)) AS tot FROM c)
+SELECT source, n_docs,
+       floor(pow(n_docs, 0.5) / tot * 1e6 + 0.5) / 1e6 AS share
+FROM c, t
+"""
+
+
+@query("corpus_mixture_weights", oracle=MIXTURE_ORACLE)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature-scaled (α=0.5) source mixture weights — the
+    multi-source sampling table a data loader consumes."""
+    return mixture_weights(table(spark, sf_dir, "documents"), by="source", alpha=0.5)
+
+
+# PII is synthesized deterministically from doc_id in BOTH engines so the
+# redaction counts are non-zero and the whole redact pipeline is
+# value-hash-checked (the fixture text itself contains no PII).
+PII_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@corp.example call 555-123-4567 at 10.0.0.'
+              || (doc_id % 255) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         AS n_email,
+       len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+       len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS redacted
+FROM d
+"""
+
+
+@query("corpus_pii_redact", oracle=PII_ORACLE)
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typed PII redaction (email/phone/IPv4) with per-class counts;
+    the PII is planted deterministically from doc_id on both engines so
+    counts and redacted text are non-trivially oracle-checked."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.example call 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(d)
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")

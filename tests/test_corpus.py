@@ -1,0 +1,91 @@
+"""Unit tests for corpus-pipeline operators (llm/corpus.py); the
+oracle gate (corpus_* queries) covers the fixture-scale behavior."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from arrow_spark.llm.corpus import (
+    mixture_weights,
+    ngram_overlap,
+    redact_pii,
+    repetition_ratio,
+    stratified_sample,
+    vocabulary_topk,
+)
+
+
+def test_ngram_overlap_full_and_none(spark):
+    probe = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "x y z w"]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10], "text": ["a b c d e f"]})
+    )
+    got = {r.doc_id: (r.n_grams, r.n_shared, r.overlap) for r in
+           ngram_overlap(probe, corpus, n=3).collect()}
+    assert got[1] == (2, 2, 1.0)   # both trigrams of doc 1 appear in corpus
+    assert got[2] == (2, 0, 0.0)   # nothing shared
+
+
+def test_repetition_ratio_detects_loops(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["spam ham spam ham spam ham spam ham", "all words are unique here"],
+            }
+        )
+    )
+    got = {r.doc_id: r.repetition for r in repetition_ratio(df, n=3).collect()}
+    assert got[1] > 0.6  # loop: only 2 distinct trigrams out of 6
+    assert got[2] == 0.0
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["mail a.b@x.org or c@d.io, call 555-123-4567, host 192.168.0.1"],
+            }
+        )
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (2, 1, 1)
+    assert "[EMAIL]" in r.redacted and "[PHONE]" in r.redacted and "[IPV4]" in r.redacted
+    assert "a.b@x.org" not in r.redacted and "555-123" not in r.redacted
+
+
+def test_stratified_sample_is_deterministic_and_bounded(spark, sf_dir):
+    from arrow_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = stratified_sample(docs, {"en": 20}, default_pct=60)
+    b = stratified_sample(docs, {"en": 20}, default_pct=60)
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # re-run identical
+    en_total = docs.where(F.col("lang") == "en").count()
+    en_kept = a.where(F.col("lang") == "en").count()
+    assert 0 < en_kept < en_total  # actually downsampled
+
+
+def test_mixture_weights_sum_to_one_and_upweight_small(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(110), "source": ["big"] * 100 + ["small"] * 10})
+    )
+    rows = {r.source: (r.n_docs, r.share) for r in mixture_weights(df, alpha=0.5).collect()}
+    assert abs(rows["big"][1] + rows["small"][1] - 1.0) < 1e-5
+    # α=0.5: small source gets ~24% share despite 9% of docs
+    assert rows["small"][1] > 0.2
+
+
+def test_vocabulary_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["b a b a c"]})
+    )
+    rows = [(r.token, r.n) for r in vocabulary_topk(df, k=2).collect()]
+    assert rows == [("a", 2), ("b", 2)]  # tie broken by token asc
