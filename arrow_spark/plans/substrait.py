@@ -617,9 +617,19 @@ class _Consumer:
                 self.expr(a.msg(3), cols) for a in af.msgs(7) if a.has(3)
             ] or [self.expr(a, cols) for a in af.msgs(2)]
             distinct = af.u64(6) == 2  # AGGREGATION_INVOCATION_DISTINCT
-            col = self._agg_fn(name, args, distinct)
             if meas.has(2):
-                raise NotImplementedError("per-measure filters not supported")
+                # FILTER (WHERE cond): null out non-qualifying inputs —
+                # every aggregate here skips nulls, so agg(when(cond, x))
+                # is exactly SQL's FILTER semantics (count(*) counts a
+                # when(cond, 1) instead)
+                cond = self.expr(meas.msg(2), cols)
+                args = [F.when(cond, a) for a in args] if args else [F.when(cond, F.lit(1))]
+                if name == "count" and not af.msgs(7) and not af.msgs(2):
+                    col = F.count(args[0])
+                else:
+                    col = self._agg_fn(name, args, distinct)
+            else:
+                col = self._agg_fn(name, args, distinct)
             aggs.append(col.alias(f"_m{i}"))
         if len(groupings) > 1:
             return self._grouping_sets(m, df, cols, groupings, aggs)

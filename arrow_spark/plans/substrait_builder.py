@@ -199,10 +199,16 @@ def project_rel(input_rel: bytes, exprs: list[bytes],
 
 
 def aggregate_rel(input_rel: bytes, group_exprs: list[bytes],
-                  measures: list[bytes]) -> bytes:
+                  measures: list[bytes],
+                  measure_filters: list[bytes | None] | None = None) -> bytes:
     body = f_msg(2, input_rel)
     body += f_msg(3, b"".join(f_msg(1, g) for g in group_exprs))  # one Grouping
-    body += b"".join(f_msg(4, f_msg(1, m)) for m in measures)  # Measure.measure
+    filters = measure_filters or [None] * len(measures)
+    for meas, filt in zip(measures, filters):  # Measure { measure=1, filter=2 }
+        payload = f_msg(1, meas)
+        if filt is not None:
+            payload += f_msg(2, filt)
+        body += f_msg(4, payload)
     return rel("aggregate", body)
 
 

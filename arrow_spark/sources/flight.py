@@ -49,6 +49,49 @@ def list_flights(location: str) -> list[dict]:
     return out
 
 
+def do_action(location: str, action_type: str, body: bytes = b"") -> list[bytes]:
+    """DoAction (server.h:248-311): fire an opaque server action from the
+    driver and collect its result payloads (admin/metadata ops —
+    compaction triggers, cache drops, health checks)."""
+    flight = _flight()
+    client = flight.connect(location)
+    return [r.body.to_pybytes() for r in client.do_action((action_type, body))]
+
+
+def exchange_flight(
+    df: DataFrame, location: str, descriptor_path: str, out_schema
+) -> DataFrame:
+    """DoExchange: stream each partition to the server and read the
+    server's transformed stream back — remote compute as a relational
+    operator. One bidirectional gRPC stream per partition; rows never
+    pass through the driver. ``out_schema`` is the server's declared
+    output schema (DDL string or StructType)."""
+    _flight()
+
+    def exchange_partition(batches):
+        import pyarrow.flight as fl
+
+        client = fl.connect(location)
+        descriptor = fl.FlightDescriptor.for_path(descriptor_path)
+        writer, reader = client.do_exchange(descriptor)
+        batches = iter(batches)
+        try:
+            first = next(batches)
+        except StopIteration:
+            return
+        with writer:
+            writer.begin(first.schema)
+            writer.write_batch(first)
+            for b in batches:
+                writer.write_batch(b)
+            writer.done_writing()
+            for chunk in reader:
+                if chunk.data is not None:
+                    yield chunk.data
+
+    return df.mapInArrow(exchange_partition, schema=out_schema)
+
+
 def read_flight(spark: SparkSession, location: str, descriptor_path: str) -> DataFrame:
     """Read a Flight dataset: one Spark task per Flight endpoint.
 

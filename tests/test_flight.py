@@ -102,3 +102,55 @@ def test_list_flights_catalog(server):
     assert cat == [
         {"path": ["demo"], "total_records": 100, "total_bytes": -1, "endpoints": 3}
     ]
+
+
+class _ExchangeServer(fl.FlightServerBase):
+    """DoExchange: doubles an int column; DoAction: ping/row-count."""
+
+    def __init__(self):
+        super().__init__("grpc://127.0.0.1:0")
+        self.actions_seen = []
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        started = False
+        for chunk in reader:
+            batch = chunk.data
+            if batch is None:
+                continue
+            doubled = pa.RecordBatch.from_arrays(
+                [pa.compute.multiply(batch.column("n"), 2)], names=["n2"]
+            )
+            if not started:
+                writer.begin(doubled.schema)
+                started = True
+            writer.write_batch(doubled)
+
+    def do_action(self, context, action):
+        self.actions_seen.append((action.type, action.body.to_pybytes()))
+        return [fl.Result(b"pong")]
+
+
+@pytest.fixture(scope="module")
+def xserver():
+    srv = _ExchangeServer()
+    thread = threading.Thread(target=srv.serve, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_do_exchange_transforms_each_partition(spark, xserver):
+    from arrow_spark.sources.flight import exchange_flight
+
+    loc = f"grpc://127.0.0.1:{xserver.port}"
+    src = spark.range(0, 20, 1, 3).withColumnRenamed("id", "n")
+    out = exchange_flight(src, loc, "double", "n2 long")
+    assert sorted(r.n2 for r in out.collect()) == [2 * i for i in range(20)]
+
+
+def test_do_action_round_trip(xserver):
+    from arrow_spark.sources.flight import do_action
+
+    loc = f"grpc://127.0.0.1:{xserver.port}"
+    assert do_action(loc, "ping", b"hello") == [b"pong"]
+    assert ("ping", b"hello") in xserver.actions_seen

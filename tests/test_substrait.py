@@ -346,3 +346,21 @@ def test_grouping_sets_aggregate(spark):
         for r in run_substrait(spark, p, _spark_only(spark)).collect()
     )
     assert rows == [("None", 15, 1), ("x", 9, 0), ("y", 6, 0)]
+
+
+def test_measure_filter(spark):
+    # sum(v) FILTER (WHERE v > 2) and count(*) FILTER (WHERE v > 2) per key
+    gt = B.scalar_fn(2, [B.field_ref(1), B.lit_i64(2)], output=B.typ("bool"))
+    agg = B.aggregate_rel(
+        READ_T,
+        [B.field_ref(0)],
+        [B.agg_fn(1, [B.field_ref(1)], B.typ("i64")), B.agg_fn(3, [], B.typ("i64"))],
+        measure_filters=[gt, gt],
+    )
+    p = B.plan(agg, ["k", "s_big", "n_big"],
+               functions={1: (B.URI_ARITH, "sum"), 2: (B.URI_CMP, "gt"),
+                          3: (B.URI_AGG, "count")})
+    rows = sorted((r.k, r.s_big, r.n_big)
+                  for r in run_substrait(spark, p, _spark_only(spark)).collect())
+    # t: x→[1,3,5], y→[2,4];  v>2: x→3+5 (2 rows), y→4 (1 row)
+    assert rows == [("x", 8, 2), ("y", 4, 1)]
