@@ -191,12 +191,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     vr = ps.join(F.broadcast(sn), ps.ps_suppkey == F.col("s_suppkey"))
     v = F.col("ps_supplycost") * F.col("ps_availqty")
     grouped = vr.groupBy("ps_partkey").agg(F.round(F.sum(v), 2).alias("value"))
-    total = vr.agg(F.round(F.sum(v), 2).alias("__total__"))
-    return (
-        grouped.crossJoin(F.broadcast(total))
-        .where(F.col("value") * 10000 > F.col("__total__"))
-        .select("ps_partkey", "value")
-    )
+    # scalar subquery (Spark 4 DataFrame.scalar): the grand total rides
+    # into the HAVING as a subquery result, no cartesian/crossJoin stage
+    total = vr.agg(F.round(F.sum(v), 2).alias("__total__")).scalar()
+    return grouped.where(F.col("value") * 10000 > total).select("ps_partkey", "value")
 
 
 # ---------------------------------------------------------------------------

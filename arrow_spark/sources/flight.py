@@ -49,6 +49,89 @@ def list_flights(location: str) -> list[dict]:
     return out
 
 
+def start_flight_server(
+    dfs: dict[str, DataFrame] | None = None,
+    rows_per_endpoint: int = 65536,
+    location: str = "grpc://127.0.0.1:0",
+):
+    """Serve engine results over Flight (server.h:248-311 — SURVEY §2.3's
+    'Flight server exposing our engine' stretch goal).
+
+    Result sets — not raw corpora — are the serving unit: each
+    registered DataFrame is materialized to Arrow on the driver (results
+    are aggregates/samples by construction; raw 100 TB stays in the
+    lake) and advertised with one endpoint per ``rows_per_endpoint``
+    chunk, so any Flight client — including this repo's read_flight,
+    which maps endpoints to Spark tasks — streams it in parallel.
+    DoPut uploads register new tables (retrievable via
+    ``server.tables[name]`` or served right back), making the server a
+    lightweight exchange point between engines. DoAction 'list' returns
+    the catalog; 'drop' unregisters.
+
+    Returns the started server (daemon thread); call ``.shutdown()``.
+    """
+    import threading
+
+    flight = _flight()
+    import pyarrow as pa
+
+    class _EngineFlightServer(flight.FlightServerBase):
+        def __init__(self):
+            super().__init__(location)
+            self.tables: dict[str, pa.Table] = {}
+
+        def register(self, name: str, df: DataFrame) -> None:
+            self.tables[name] = df.toArrow()
+
+        def _info(self, descriptor):
+            name = descriptor.path[0].decode()
+            tbl = self.tables[name]
+            endpoints = []
+            for lo in range(0, max(tbl.num_rows, 1), rows_per_endpoint):
+                hi = min(tbl.num_rows, lo + rows_per_endpoint)
+                endpoints.append(
+                    flight.FlightEndpoint(
+                        flight.Ticket(f"{name}:{lo}:{hi}".encode()),
+                        [f"grpc://127.0.0.1:{self.port}"],
+                    )
+                )
+            return flight.FlightInfo(tbl.schema, descriptor, endpoints, tbl.num_rows, -1)
+
+        def get_flight_info(self, context, descriptor):
+            return self._info(descriptor)
+
+        def list_flights(self, context, criteria):
+            for name in sorted(self.tables):
+                yield self._info(flight.FlightDescriptor.for_path(name))
+
+        def do_get(self, context, ticket):
+            name, lo, hi = ticket.ticket.decode().split(":")
+            tbl = self.tables[name]
+            return flight.RecordBatchStream(tbl.slice(int(lo), int(hi) - int(lo)))
+
+        def do_put(self, context, descriptor, reader, writer):
+            name = descriptor.path[0].decode()
+            incoming = reader.read_all()
+            existing = self.tables.get(name)
+            self.tables[name] = (
+                pa.concat_tables([existing, incoming]) if existing is not None else incoming
+            )
+
+        def do_action(self, context, action):
+            if action.type == "list":
+                return [flight.Result(n.encode()) for n in sorted(self.tables)]
+            if action.type == "drop":
+                self.tables.pop(action.body.to_pybytes().decode(), None)
+                return []
+            raise NotImplementedError(f"action {action.type!r}")
+
+    srv = _EngineFlightServer()
+    for name, df in (dfs or {}).items():
+        srv.register(name, df)
+    threading.Thread(target=srv.serve, daemon=True).start()
+    return srv
+
+
 def do_action(location: str, action_type: str, body: bytes = b"") -> list[bytes]:
     """DoAction (server.h:248-311): fire an opaque server action from the
     driver and collect its result payloads (admin/metadata ops —

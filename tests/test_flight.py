@@ -154,3 +154,35 @@ def test_do_action_round_trip(xserver):
     loc = f"grpc://127.0.0.1:{xserver.port}"
     assert do_action(loc, "ping", b"hello") == [b"pong"]
     assert ("ping", b"hello") in xserver.actions_seen
+
+
+def test_engine_flight_server_serves_query_results(spark, sf_dir):
+    # SURVEY §2.3 stretch goal: the engine's own Flight server. A query
+    # result is registered, advertised in row-chunk endpoints, and read
+    # back through this repo's endpoint-parallel client.
+    from arrow_spark.catalog import table
+    from arrow_spark.sources.flight import do_action, read_flight, start_flight_server, write_flight
+
+    result = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+        .orderBy("o_orderpriority")
+    )
+    srv = start_flight_server({"orders_by_priority": result}, rows_per_endpoint=2)
+    try:
+        loc = f"grpc://127.0.0.1:{srv.port}"
+        back = read_flight(spark, loc, "orders_by_priority")
+        assert back.rdd.getNumPartitions() >= 2  # chunked into endpoints
+        want = {(r.o_orderpriority, r["count"]) for r in result.collect()}
+        got = {(r.o_orderpriority, r["count"]) for r in back.collect()}
+        assert got == want
+        # DoPut a frame up, then read it back from the same server
+        up = spark.range(0, 30, 1, 3).withColumnRenamed("id", "n")
+        write_flight(up, loc, "uploaded")
+        names = [b.decode() for b in do_action(loc, "list")]
+        assert names == ["orders_by_priority", "uploaded"]
+        round_tripped = read_flight(spark, loc, "uploaded")
+        assert sorted(r.n for r in round_tripped.collect()) == list(range(30))
+    finally:
+        srv.shutdown()

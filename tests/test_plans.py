@@ -145,3 +145,23 @@ def test_segmented_aggregate_adds_no_exchange(spark, sf_dir):
     got = {(r.event_type, r.user_id): r.n for r in out.collect()}
     want = {(r.event_type, r.user_id): r.n for r in twin.collect()}
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q11_important_stock",
+        "q16_supplier_relationship",
+        "q20_part_promotion",
+    ],
+)
+def test_partsupp_queries_broadcast_and_bounded_shuffles(spark, sf_dir, name):
+    # TPC-H 22/22 closers: dimensions broadcast, no cartesian stage, and
+    # the shuffle count stays bounded (generated partsupp is a narrow
+    # projection, not a scan-then-shuffle).
+    p = plan(QUERIES[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("Exchange hashpartitioning") <= 3
