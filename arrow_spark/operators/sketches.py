@@ -74,3 +74,39 @@ def count_min_estimate(
         "item", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy("item").agg(F.min("cnt").alias("est"))
+
+
+# -- HyperLogLog (Datasketches HLL, Spark-native binary sketches) -----------
+
+
+def hll_build(
+    df: DataFrame, key_cols, value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Mergeable distinct-count sketch per key group: one Datasketches
+    HLL binary per group (Spark's hll_sketch_agg — the same sketch
+    family the reference ecosystem exposes via approx_count_distinct).
+
+    Scale: a partial sketch per partition merges map-side, so the
+    shuffle carries one ~2^lgk-byte blob per (partition, group) —
+    independent of row count and of distinct-value cardinality. Persist
+    the per-day sketch frame and answer month/year distincts by
+    hll_merge, never rescanning the raw data (the cascade_rollup
+    pattern, but for COUNT DISTINCT, which plain partial sums cannot
+    cascade).
+    """
+    keys = list(key_cols)
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_merge(sketches: DataFrame, key_cols) -> DataFrame:
+    """Merge sketch frames to a coarser key (union-of-sketches ≡ sketch
+    of union — the mergeability law the unit tests assert)."""
+    keys = list(key_cols)
+    return sketches.groupBy(*keys).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def hll_estimate(sketches: DataFrame, out_col: str = "approx_distinct") -> DataFrame:
+    """Attach the distinct-count estimate for each group's sketch."""
+    return sketches.withColumn(out_col, F.hll_sketch_estimate("hll"))

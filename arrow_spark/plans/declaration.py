@@ -87,7 +87,10 @@ def _project(spark, opts, ins):
 
 def _aggregate(spark, opts, ins):
     """AggregateNodeOptions: aggregates=[(target, arrow_fn, out_name)],
-    keys=[...] (empty → scalar mode)."""
+    keys=[...] (empty → scalar mode), segment_keys=[...] (options.h:
+    304-313 — input treated as segmented on these; grouping is
+    (segment_keys ++ keys) with the segment partitioning installed, no
+    further Exchange for the aggregate itself)."""
     from arrow_spark.functions.registry import call
 
     aggs = []
@@ -98,6 +101,14 @@ def _aggregate(spark, opts, ins):
         col = call(base, **opts_i) if target in (None, "") else call(base, target, **opts_i)
         aggs.append(col.alias(out_name))
     keys = list(opts.get("keys", ()))
+    segment_keys = list(opts.get("segment_keys", ()))
+    if segment_keys:
+        from arrow_spark.operators.segmented import segmented_aggregate
+
+        return segmented_aggregate(
+            ins[0], segment_keys, keys, aggs,
+            assume_segmented=bool(opts.get("assume_segmented", False)),
+        )
     gb = ins[0].groupBy(*keys) if keys else ins[0].groupBy()
     return gb.agg(*aggs)
 

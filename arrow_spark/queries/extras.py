@@ -361,3 +361,17 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie-safe 2-dec rounding of a 4-decimal-granular sum (see tpch._sum2x)
     total = F.floor(F.round(fee_sum, 4) * 100 + F.lit(0.5)) / 100
     return joined.groupBy("l_returnflag").agg(total.alias("total_fee"))
+
+
+@query("sketch_hll", oracle=None)
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeable HyperLogLog distinct sketches: per-(lang,source) builds
+    merged up to lang, estimates attached (rows-only: Datasketches
+    binaries aren't reproducible in the oracle; the merge law — union of
+    sketches ≡ sketch of union — and accuracy vs exact distinct are
+    unit-tested in test_llm_ops.py)."""
+    from arrow_spark.operators.sketches import hll_build, hll_estimate, hll_merge
+
+    docs = table(spark, sf_dir, "documents")
+    per_source = hll_build(docs, ["lang", "source"], "text", lgk=12)
+    return hll_estimate(hll_merge(per_source, ["lang"])).select("lang", "approx_distinct")

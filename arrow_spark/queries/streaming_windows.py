@@ -194,3 +194,21 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 2).alias("min_v"),
         F.round("max_v", 2).alias("max_v"),
     )
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+@query("stream_dedup", oracle=STREAM_DEDUP_ORACLE)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming content dedup (ingest-side): distinct normalized-content
+    fingerprints — unified model, so the batch run here IS the plan the
+    stream runs; dropDuplicatesWithinWatermark stream ≡ batch is
+    asserted in test_streaming.py."""
+    from arrow_spark.streaming.dedup import stream_dedup_content
+
+    docs = table(spark, sf_dir, "documents")
+    return stream_dedup_content(docs).select("fp")

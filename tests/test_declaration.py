@@ -103,3 +103,30 @@ def test_asof_declaration(spark, sf_dir):
 def test_unknown_factory_raises(spark):
     with pytest.raises(KeyError):
         Declaration("flux_capacitor", {}).to_dataframe(spark)
+
+
+def test_aggregate_with_segment_keys(spark, sf_dir):
+    # AggregateNodeOptions.segment_keys (options.h:304-313) through the
+    # Declaration facade — equals the plain grouped twin
+    from arrow_spark.plans.declaration import Declaration
+
+    src = Declaration("scan", {"path": f"{sf_dir}/lineitem.parquet",
+                               "columns": ["l_returnflag", "l_linestatus", "l_quantity"]})
+    agg = Declaration(
+        "aggregate",
+        {
+            "aggregates": [("l_quantity", "hash_count", "n")],
+            "keys": ["l_linestatus"],
+            "segment_keys": ["l_returnflag"],
+        },
+        inputs=[src],
+    )
+    got = {(r.l_returnflag, r.l_linestatus): r.n for r in agg.to_dataframe(spark).collect()}
+    import pyspark.sql.functions as F
+
+    twin = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("l_quantity").alias("n"))
+    )
+    assert got == {(r.l_returnflag, r.l_linestatus): r.n for r in twin.collect()}

@@ -292,3 +292,22 @@ def test_vectorized_signatures_match_jvm_folds(spark):
     want = {r.vec_id: (r.s0, r.s1, r.s2) for r in jvm.collect()}
     got = {r.vec_id: tuple(r.ss) for r in vec.collect()}
     assert got == want
+
+
+def test_hll_merge_law_and_accuracy(spark, sf_dir):
+    # union of sketches ≡ sketch of union (exactly, same library both
+    # sides), and the estimate lands within HLL error of the exact count
+    from arrow_spark.operators.sketches import hll_build, hll_estimate, hll_merge
+
+    docs = table(spark, sf_dir, "documents")
+    merged = hll_estimate(hll_merge(hll_build(docs, ["lang", "source"], "text"), ["lang"]))
+    direct = hll_estimate(hll_build(docs, ["lang"], "text"))
+    got = {r.lang: r.approx_distinct for r in merged.collect()}
+    want = {r.lang: r.approx_distinct for r in direct.collect()}
+    assert got == want
+    exact = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.countDistinct("text").alias("n")).collect()
+    }
+    for lang, est in got.items():
+        assert abs(est - exact[lang]) / exact[lang] < 0.05, (lang, est, exact[lang])

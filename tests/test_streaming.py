@@ -137,3 +137,33 @@ def test_cascade_rollup_rejects_week_to_month_without_subweek(spark, sf_dir):
     events = table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="straddle"):
         cascade_rollup(events, "ts", "value", levels=["week", "month"])
+
+
+def test_stream_dedup_within_watermark_equals_batch(spark, sf_dir, tmp_path):
+    # real stream with planted duplicates: dropDuplicatesWithinWatermark
+    # must leave exactly the batch-distinct fingerprint set
+    from arrow_spark.streaming.dedup import stream_dedup_content
+    from arrow_spark.streaming import stream_from_directory
+
+    docs = table(spark, sf_dir, "documents").limit(200).select(
+        "doc_id", "text", F.current_timestamp().alias("ts")
+    )
+    dup = docs.union(docs)  # every doc arrives twice
+    src = str(tmp_path / "dedup_src")
+    dup.write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = stream_from_directory(spark, src, static.schema)
+    out = stream_dedup_content(stream, ts_col="ts", watermark="10 minutes")
+    q = (
+        out.select("fp")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.fp for r in spark.sql("SELECT * FROM dedup_test").collect()}
+    want = {r.fp for r in stream_dedup_content(static).select("fp").collect()}
+    assert got == want and len(want) > 0
