@@ -724,8 +724,8 @@ _reg(
     "gather by index array",
 )
 _reg("dictionary_encode", "vector", "physical", lambda a: _c(a), "physical encoding — logical no-op")
-_reg("run_end_encode", "vector", "physical", lambda a: _c(a), "physical encoding — logical no-op")
-_reg("run_end_decode", "vector", "physical", lambda a: _c(a), "physical encoding — logical no-op")
+_reg("run_end_encode", "vector", "physical", lambda a: _c(a), "physical encoding — logical no-op; relational form: operators/encodings.run_length_encode (oracle-checked)")
+_reg("run_end_decode", "vector", "physical", lambda a: _c(a), "physical encoding — logical no-op; relational form: operators/encodings.run_length_decode (round-trip tested)")
 
 # Window-backed ordered ops: impl(col) -> builder(window_spec) -> Column
 def _win(fn):

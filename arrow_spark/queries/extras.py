@@ -375,3 +375,40 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     per_source = hll_build(docs, ["lang", "source"], "text", lgk=12)
     return hll_estimate(hll_merge(per_source, ["lang"])).select("lang", "approx_distinct")
+
+
+RLE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN event_type IS NOT DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+), runs AS (
+  SELECT user_id, event_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_seq
+  FROM flagged
+)
+SELECT user_id, run_seq, any_value(event_type) AS value,
+       min(event_id) AS run_start, count(*) AS run_length
+FROM runs
+GROUP BY user_id, run_seq
+"""
+
+
+@query("encode_rle", oracle=RLE_ORACLE)
+def encode_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run-length encoding as a relational operator (Arrow REE
+    capability in logical form — vector_run_end_encode.cc): consecutive
+    event_type runs per user under event_id order; partition-parallel
+    (one shuffle on user_id, no global window); decode round-trip is
+    unit-tested."""
+    from arrow_spark.operators.encodings import run_length_encode
+
+    return run_length_encode(
+        table(spark, sf_dir, "events"),
+        "event_type",
+        order_by=["event_id"],
+        partition_by=["user_id"],
+    )

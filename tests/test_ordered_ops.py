@@ -47,3 +47,32 @@ def test_inverse_permutation(spark):
     inv = inverse_permutation(perm, "p", "i")
     got = {r.i: r.p for r in inv.collect()}
     assert got == {2: 0, 0: 1, 3: 2, 1: 3}
+
+
+def test_rle_round_trip(spark):
+    import pandas as pd
+
+    from arrow_spark.operators.encodings import run_length_decode, run_length_encode
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"] * 6 + ["b"] * 3,
+                "i": list(range(6)) + list(range(3)),
+                "v": ["x", "x", None, None, "x", "y", "z", "z", "z"],
+            }
+        )
+    )
+    runs = run_length_encode(df, "v", order_by=["i"], partition_by=["k"])
+    got = {(r.k, r.run_seq): (r.value, r.run_start, r.run_length) for r in runs.collect()}
+    assert got == {
+        ("a", 1): ("x", 0, 2),
+        ("a", 2): (None, 2, 2),
+        ("a", 3): ("x", 4, 1),
+        ("a", 4): ("y", 5, 1),
+        ("b", 1): ("z", 0, 3),
+    }
+    back = run_length_decode(runs, partition_by=["k"])
+    assert back.count() == df.count()
+    per_key = {r.k: r.n for r in back.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_key == {"a": 6, "b": 3}
