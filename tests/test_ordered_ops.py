@@ -76,3 +76,20 @@ def test_rle_round_trip(spark):
     assert back.count() == df.count()
     per_key = {r.k: r.n for r in back.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per_key == {"a": 6, "b": 3}
+
+
+def test_dictionary_round_trip(spark):
+    import pandas as pd
+
+    from arrow_spark.operators.encodings import dictionary_decode, dictionary_encode
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(6), "v": ["b", "a", "b", "c", "a", "b"]})
+    )
+    encoded, dictionary = dictionary_encode(df, "v")
+    codes = {r.v: r.code for r in dictionary.collect()}
+    assert codes == {"a": 0, "b": 1, "c": 2}  # sort-order assignment
+    back = dictionary_decode(encoded, dictionary)
+    assert {(r.i, r.v) for r in back.collect()} == {
+        (i, v) for i, v in zip(range(6), ["b", "a", "b", "c", "a", "b"])
+    }
