@@ -94,3 +94,61 @@ def test_distinct_union_matches_duckdb(spark, rows):
     got = sdf.select("k").union(sdf.select("k")).distinct().count()
     want = con.sql("SELECT count(*) FROM (SELECT DISTINCT k FROM (SELECT k FROM t UNION ALL SELECT k FROM t))").fetchone()[0]
     assert got == want
+
+
+@given(rows=frames)
+@SETTINGS
+def test_rle_round_trip_property(spark, rows):
+    # RLE(decode(encode(x))) preserves multiset per key; run lengths sum
+    # to group sizes; adjacent runs never share a value (null-safe)
+    from arrow_spark.operators.encodings import run_length_decode, run_length_encode
+
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    pdf["i"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf.astype({"k": "int64"}))
+    runs = run_length_encode(sdf, "s", order_by=["i"], partition_by=["k"]).collect()
+    by_key = {}
+    for r in runs:
+        by_key.setdefault(r.k, []).append((r.run_seq, r.value, r.run_length))
+    for k, rs in by_key.items():
+        rs.sort()
+        assert sum(n for _, _, n in rs) == (pdf["k"] == k).sum()
+        for (_, v1, _), (_, v2, _) in zip(rs, rs[1:]):
+            assert v1 != v2 or (v1 is None) != (v2 is None) or not (v1 == v2)
+    total = sum(r.run_length for r in runs)
+    assert total == len(pdf)
+
+
+@given(rows=frames)
+@SETTINGS
+def test_dictionary_encode_round_trip_property(spark, rows):
+    from arrow_spark.operators.encodings import dictionary_decode, dictionary_encode
+
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"]).drop(columns=["v"])
+    pdf["i"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf.astype({"k": "int64"}))
+    encoded, dictionary = dictionary_encode(sdf, "s")
+    d = dictionary.collect()
+    # codes are dense 0..card-1 in sort order
+    assert sorted(r.code for r in d) == list(range(len(d)))
+    assert [r.s for r in sorted(d, key=lambda r: r.code)] == sorted(r.s for r in d)
+    back = dictionary_decode(encoded, dictionary)
+    assert {(r.i, r.s) for r in back.collect()} == set(zip(pdf["i"], pdf["s"]))
+
+
+@given(rows=frames)
+@SETTINGS
+def test_stratified_sample_subset_and_deterministic(spark, rows):
+    from arrow_spark.llm.corpus import stratified_sample
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "v", "lang"]).drop(columns=["v"])
+    pdf = pdf.drop_duplicates("doc_id")
+    sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    kept = stratified_sample(sdf, {}, default_pct=50, strata_col="lang")
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids <= set(pdf["doc_id"])  # sample ⊆ population
+    again = {r.doc_id for r in stratified_sample(sdf, {}, default_pct=50, strata_col="lang").collect()}
+    assert ids == again
+    none_kept = stratified_sample(sdf, {}, default_pct=0, strata_col="lang").count()
+    all_kept = stratified_sample(sdf, {}, default_pct=100, strata_col="lang").count()
+    assert none_kept == 0 and all_kept == len(pdf)
