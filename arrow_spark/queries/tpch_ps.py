@@ -300,3 +300,72 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_suppkey")
         .orderBy("s_name")
     )
+
+
+# -- standalone generator gate (fixed sf=0.001: 1500 orders, ~6000
+# lineitems; the generator needs no input, so sf_dir is ignored) -----------
+
+TPCHGEN_ORDERS_ORACLE = """
+WITH r AS (SELECT unnest(generate_series(0, 1499)) AS i)
+SELECT i AS o_orderkey,
+       (i * 7919 + 3) % 150 AS o_custkey,
+       ['F','O','P'][(i % 3) + 1] AS o_orderstatus,
+       ((i * 48271) % 15000000 + 100000) / 100.0 AS o_totalprice,
+       (DATE '1992-01-01' + ((i * 2654435761) % 2406)::INT)::TIMESTAMP AS o_orderdate,
+       ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'][((i * 11) % 5) + 1]
+         AS o_orderpriority
+FROM r
+"""
+
+
+@query("tpchgen_orders", oracle=TPCHGEN_ORDERS_ORACLE)
+def tpchgen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """standalone dbgen-equivalent orders at sf=0.001 (tpch_node.cc
+    parity: generated from nothing but the scale factor; DuckDB
+    re-derives every column from the same integer formulas — the hash
+    match proves cross-engine generation, dates included)."""
+    from arrow_spark.sources.tpchgen import generate_tables
+
+    return generate_tables(spark, 0.001)["orders"]
+
+
+TPCHGEN_LINEITEM_ORACLE = """
+WITH r AS (SELECT unnest(generate_series(0, 1499)) AS i),
+o AS (
+  SELECT i AS o_orderkey,
+         DATE '1992-01-01' + ((i * 2654435761) % 2406)::INT AS odate
+  FROM r
+), l AS (
+  SELECT o_orderkey, odate,
+         unnest(generate_series(1, (o_orderkey % 7)::INT + 1)) AS l_linenumber
+  FROM o
+), cols AS (
+  SELECT o_orderkey, odate, l_linenumber,
+         (o_orderkey * 7 + l_linenumber * 13) % 200 AS lpart
+  FROM l
+)
+SELECT o_orderkey AS l_orderkey,
+       lpart AS l_partkey,
+       (lpart + (l_linenumber % 4) * (2 + (lpart // 10) % 2)) % 10 AS l_suppkey,
+       l_linenumber,
+       ((o_orderkey * 5 + l_linenumber * 7) % 50 + 1)::DOUBLE AS l_quantity,
+       ((o_orderkey * 5 + l_linenumber * 7) % 50 + 1)::DOUBLE
+         * (((lpart * 2654435761) % 20001 + 90000) / 100.0) AS l_extendedprice,
+       ((o_orderkey + l_linenumber) % 11) / 100.0 AS l_discount,
+       ((o_orderkey * 3 + l_linenumber) % 9) / 100.0 AS l_tax,
+       ['A','N','R'][((o_orderkey + l_linenumber) % 3) + 1] AS l_returnflag,
+       ['F','O'][((o_orderkey + l_linenumber * 3) % 2) + 1] AS l_linestatus,
+       (odate + ((o_orderkey + l_linenumber * 3) % 122 + 1)::INT)::TIMESTAMP AS l_shipdate
+FROM cols
+"""
+
+
+@query("tpchgen_lineitem", oracle=TPCHGEN_LINEITEM_ORACLE)
+def tpchgen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """standalone dbgen-equivalent lineitem at sf=0.001 — the 1..7
+    per-order line fan-out, FK-consistent part/supplier assignment
+    (lands inside generated partsupp by the shared stride formula), and
+    price arithmetic all re-derived by the DuckDB oracle."""
+    from arrow_spark.sources.tpchgen import generate_tables
+
+    return generate_tables(spark, 0.001)["lineitem"]

@@ -43,3 +43,45 @@ def test_partsupp_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, partsupp(spark, sf_dir).collect()))
     b = sorted(map(tuple, partsupp(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_generate_tables_fk_integrity_and_counts(spark):
+    from arrow_spark.sources.tpchgen import gen_sizes, generate_tables
+
+    t = generate_tables(spark, 0.001)
+    sz = gen_sizes(0.001)
+    for name in ("region", "nation", "supplier", "customer", "part", "orders"):
+        assert t[name].count() == sz[name], name
+    assert t["partsupp"].count() == 4 * sz["part"]
+    li = t["lineitem"]
+    # every lineitem (partkey, suppkey) exists in generated partsupp
+    orphans = li.join(
+        t["partsupp"],
+        (li.l_partkey == F.col("ps_partkey")) & (li.l_suppkey == F.col("ps_suppkey")),
+        "left_anti",
+    ).count()
+    assert orphans == 0
+    # o_custkey indexes customer; keys dense 0..n-1
+    assert t["orders"].agg(F.max("o_custkey")).first()[0] < sz["customer"]
+    # 1..7 lines per order, line numbers dense
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.max("l_linenumber").alias("mx")
+    )
+    assert per.where((F.col("n") != F.col("mx")) | (F.col("n") > 7)).count() == 0
+
+
+def test_generated_q1_runs_and_is_deterministic(spark):
+    # the tpch_benchmark.cc usage shape: run Q1 against generated data
+    from arrow_spark.sources.tpchgen import generate_tables
+
+    def q1(sf):
+        li = generate_tables(spark, sf)["lineitem"]
+        return {
+            (r.l_returnflag, r.l_linestatus): (round(r.s, 2), r.n)
+            for r in li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    a, b = q1(0.001), q1(0.001)
+    assert a == b and len(a) == 6
