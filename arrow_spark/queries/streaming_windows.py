@@ -212,3 +212,33 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return stream_dedup_content(docs).select("fp")
+
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   -- floor(epoch) on both terms: Spark's unix_timestamp
+                   -- truncates to whole seconds, so the oracle must too
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+FROM flagged
+"""
+
+
+@query("sessionize_events", oracle=SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """batch sessionization: per-user 30-minute-gap session labels on
+    every event row (the batch twin of session_window aggregation —
+    user-partitioned lag + running sum, one shuffle, no global window)."""
+    from arrow_spark.operators.sessions import sessionize
+
+    e = table(spark, sf_dir, "events")
+    out = sessionize(e, "user_id", "ts", 1800, tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "session_seq")

@@ -167,3 +167,20 @@ def test_stream_dedup_within_watermark_equals_batch(spark, sf_dir, tmp_path):
     got = {r.fp for r in spark.sql("SELECT * FROM dedup_test").collect()}
     want = {r.fp for r in stream_dedup_content(static).select("fp").collect()}
     assert got == want and len(want) > 0
+
+
+def test_sessionize_gap_semantics(spark):
+    from arrow_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),
+            (2, "u1", "2024-01-01 10:10:00"),  # 600s gap → same session
+            (3, "u1", "2024-01-01 11:00:00"),  # 3000s gap → new session
+            (4, "u2", "2024-01-01 10:00:00"),
+        ],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_id: r.session_seq for r in
+           sessionize(df, "user_id", "ts", 1800, tiebreak=["event_id"]).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
