@@ -17,7 +17,7 @@ growth-stable, no RNG state across executors).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from arrow_spark.llm.dedup import shingles, tokens
@@ -145,6 +145,46 @@ def mixture_weights(
     return (
         weighted.crossJoin(F.broadcast(total))
         .select(by, "n_docs", _floor6(F.col("__w__") / F.col("__tot__")).alias("share"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_len: int = 2048,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-split packing manifest: documents are
+    concatenated per shard (deterministic md5 shard assignment, doc_id
+    order) and split at ``max_len`` token boundaries; each doc gets its
+    (shard, start_tok, seq_first, seq_last) so a loader can materialize
+    fixed-length training sequences without ever re-scanning text.
+
+    Scale: token counts are a projection; the offset is a per-shard
+    running sum (one shuffle on shard, no global window); shard count
+    scales the packing parallelism and is growth-stable because shard
+    membership is hashed, not round-robin.
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % shards
+    )
+    d = docs.select(F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens"))
+    w = W.partitionBy("shard").orderBy(id_col)
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start.alias("start_tok"),
+        F.floor(start / max_len).alias("seq_first"),
+        F.floor((start + F.col("n_tokens") - 1) / max_len).alias("seq_last"),
     )
 
 

@@ -190,3 +190,35 @@ def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = redact_pii(d)
     return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
+
+
+PACK_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8
+           AS shard,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_tok
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, start_tok,
+       floor(start_tok / 512) AS seq_first,
+       floor((start_tok + n_tokens - 1) / 512) AS seq_last
+FROM offs
+"""
+
+
+@query("corpus_pack_sequences", oracle=PACK_ORACLE)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat-and-split packing manifest (max_len=512, 8 hash shards):
+    per-doc start offset and covered sequence range from a per-shard
+    running token sum — the exact table a training loader consumes; every
+    offset oracle-checked."""
+    from arrow_spark.llm.corpus import pack_sequences
+
+    return pack_sequences(table(spark, sf_dir, "documents"), max_len=512, shards=8)

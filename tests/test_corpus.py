@@ -89,3 +89,21 @@ def test_vocabulary_topk_deterministic_ties(spark):
     )
     rows = [(r.token, r.n) for r in vocabulary_topk(df, k=2).collect()]
     assert rows == [("a", 2), ("b", 2)]  # tie broken by token asc
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark, sf_dir):
+    from arrow_spark.catalog import table
+    from arrow_spark.llm.corpus import pack_sequences
+
+    out = pack_sequences(table(spark, sf_dir, "documents"), max_len=512, shards=4)
+    rows = sorted(
+        ((r.shard, r.start_tok, r.n_tokens) for r in out.collect())
+    )
+    by_shard = {}
+    for shard, start, n in rows:
+        by_shard.setdefault(shard, []).append((start, n))
+    for shard, entries in by_shard.items():
+        pos = 0
+        for start, n in entries:  # doc_id order == start_tok order
+            assert start == pos, (shard, start, pos)
+            pos += n
