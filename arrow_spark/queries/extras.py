@@ -438,3 +438,29 @@ def encode_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encoded, _ = dictionary_encode(l, "l_returnflag")
     return encoded.select("l_orderkey", "l_linenumber", "code")
+
+
+@query("multimodal_retrieval", oracle=None)
+def multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """end-to-end multimodal retrieval plumbing: binary payloads →
+    media contract (attach_binary_meta) → executor-side decode/feature
+    extraction (mapInPandas, deterministic fake codec) → exact cosine
+    top-k over the extracted embedding column. Rows-only (the decode is
+    a Python codec, not SQL); each stage is separately tested, and the
+    ANN stages have their own oracle-checked twins."""
+    from arrow_spark.llm.multimodal import attach_binary_meta, extract_features
+    from arrow_spark.llm.similarity import brute_force_topk
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    media = attach_binary_meta(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("img")),
+        "img",
+        mime="image/fake",
+        id_col="doc_id",
+    )
+    feats = extract_features(media)
+    corpus = feats.select(F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return brute_force_topk(corpus, queries, k=5).select("qid", "nid", "rank")
