@@ -86,6 +86,22 @@ def normalize_arrow_type(t):
         import pyarrow as pa2
 
         return pa2.map_(normalize_arrow_type(t.key_type), normalize_arrow_type(t.item_type))
+    if pa.types.is_union(t):
+        # sparse/dense union → struct(tag, one nullable field per branch):
+        # exactly one branch non-null per row, tag = the Arrow type code.
+        # Spark has no sum type; the tagged struct is the faithful logical
+        # encoding (type_fwd.h ids 27-29 — the last §1.2 deferral).
+        import pyarrow as pa2
+
+        # tag is logically non-null, but StructArray.from_arrays yields
+        # nullable children — declare nullable to keep the cast exact
+        fields = [pa2.field("tag", pa2.int8(), True)]
+        for i in range(t.num_fields):
+            f = t.field(i)
+            fields.append(
+                pa2.field(f.name or f"_{i}", normalize_arrow_type(f.type), True)
+            )
+        return pa2.struct(fields)
     return t
 
 
@@ -127,6 +143,8 @@ def normalize_batch(batch, target_schema):
             col = col.cast(pa.int64())
             if src.unit == "ns":
                 col = pc.divide(col, 1000)
+        elif pa.types.is_union(src):
+            col = _decode_union(col, f.type)
         elif not col.type.equals(f.type):
             # timestamps may truncate sub-target precision (ns→us) —
             # that's the documented adapter semantics, so cast unsafely
@@ -134,3 +152,37 @@ def normalize_batch(batch, target_schema):
             col = col.cast(f.type, safe=not unsafe)
         cols.append(col)
     return pa.RecordBatch.from_arrays(cols, schema=target_schema)
+
+
+def _decode_union(col, target_struct_type):
+    """UnionArray → StructArray(tag, branch...) per normalize_arrow_type.
+
+    Sparse unions mask each full-length child outside its rows; dense
+    unions scatter each compacted child back via its offsets (take with
+    null indices elsewhere)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = col.type
+    ids = np.asarray(col.type_codes)
+    n = len(col)
+    arrays = [pa.array(ids, pa.int8())]
+    dense = src.mode == "dense"
+    if dense:
+        offsets = np.asarray(col.offsets)
+    for pos in range(src.num_fields):
+        code = src.type_codes[pos]
+        mask = ids == code
+        child = col.field(pos)
+        target = target_struct_type.field(pos + 1).type
+        if dense:
+            idx = pa.array(np.where(mask, offsets, 0), pa.int64(), mask=~mask)
+            vals = pc.take(child, idx)
+        else:
+            vals = pc.if_else(pa.array(mask), child, pa.nulls(n, child.type))
+        if not vals.type.equals(target):
+            vals = vals.cast(target)
+        arrays.append(vals)
+    names = [target_struct_type.field(i).name for i in range(target_struct_type.num_fields)]
+    return pa.StructArray.from_arrays(arrays, names=names)

@@ -78,3 +78,39 @@ def test_nested_normalization():
     assert changed
     assert norm.field("l").type == pa.list_(pa.int32())
     assert norm.field("st").type == pa.struct([pa.field("x", pa.int64())])
+
+
+def test_union_decodes_to_tagged_struct(spark, tmp_path):
+    # sparse and dense unions (type_fwd.h ids 27-29) → struct(tag, branches)
+    # through the real IPC read path
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from arrow_spark.sources.ipc import read_ipc
+
+    ints = pa.array([1, None, 3, None], pa.int64())
+    strs = pa.array([None, "b", None, "d"], pa.string())
+    codes = pa.array([0, 1, 0, 1], pa.int8())
+    sparse = pa.UnionArray.from_sparse(codes, [ints, strs], field_names=["i", "s"])
+
+    dints = pa.array([1, 3], pa.int64())
+    dstrs = pa.array(["b", "d"], pa.string())
+    offsets = pa.array([0, 0, 1, 1], pa.int32())
+    dense = pa.UnionArray.from_dense(codes, offsets, [dints, dstrs], field_names=["i", "s"])
+
+    for name, arr in (("sparse", sparse), ("dense", dense)):
+        tbl = pa.table({"u": arr, "row": pa.array(range(4), pa.int64())})
+        path = str(tmp_path / f"union_{name}")
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with ipc.new_file(f"{path}/part0.arrow", tbl.schema) as w:
+            w.write_table(tbl)
+        df = read_ipc(spark, path)
+        rows = {r.row: (r.u.tag, r.u.i, r.u.s) for r in df.collect()}
+        assert rows == {
+            0: (0, 1, None),
+            1: (1, None, "b"),
+            2: (0, 3, None),
+            3: (1, None, "d"),
+        }, name
