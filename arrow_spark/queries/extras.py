@@ -464,3 +464,34 @@ def multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return brute_force_topk(corpus, queries, k=5).select("qid", "nid", "rank")
+
+
+ZORDER_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       (SELECT sum((((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))
+        FROM generate_series(0, 15) AS t(i)) AS zval
+FROM b
+"""
+
+
+@query("layout_zorder", oracle=ZORDER_ORACLE)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (l_partkey, l_suppkey) — the multi-dim
+    layout key zorder_by range-partitions on so parquet min/max stats
+    prune filters on either column; pure shift/add arithmetic, per-row
+    hash-checked against DuckDB."""
+    from arrow_spark.operators.layout import zorder_value
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value(
+            [F.pmod(F.col("l_partkey"), F.lit(65536)), F.pmod(F.col("l_suppkey"), F.lit(65536))]
+        ).alias("zval"),
+    )
