@@ -17,7 +17,7 @@ into a month) is a union + sum groupBy over ≤ depth × width rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -110,3 +110,50 @@ def hll_merge(sketches: DataFrame, key_cols) -> DataFrame:
 def hll_estimate(sketches: DataFrame, out_col: str = "approx_distinct") -> DataFrame:
     """Attach the distinct-count estimate for each group's sketch."""
     return sketches.withColumn(out_col, F.hll_sketch_estimate("hll"))
+
+
+# -- fixed-width histogram (mergeable quantile sketch) -----------------------
+
+
+def histogram_build(
+    df: DataFrame, value_col: str, keys=(), cents_per_bucket: int = 5000
+) -> DataFrame:
+    """Mergeable quantile sketch for 2-decimal money columns: bucket =
+    whole-cent value div bucket width — pure integer arithmetic, so the
+    sketch is bit-deterministic in any engine (unlike log-bucketing,
+    whose libm boundaries can differ). Quantile error ≤ one bucket
+    width; shuffle carries ≤ (keys × buckets) cells after map-side
+    combine, regardless of row count — the same scale contract as the
+    Count-Min and HLL families above."""
+    keys = list(keys)
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    bucket = F.floor(cents / F.lit(cents_per_bucket)).alias("bucket")
+    return df.groupBy(*keys, bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
+def histogram_merge(hists: DataFrame, keys=()) -> DataFrame:
+    """Merge sketches to coarser keys: union + sum (exact)."""
+    keys = list(keys)
+    return hists.groupBy(*keys, "bucket").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantile(
+    hist: DataFrame, q: float, keys=(), cents_per_bucket: int = 5000, out_col: str = "q_ub"
+) -> DataFrame:
+    """Quantile upper bound per key group: the smallest bucket whose
+    cumulative count reaches q·total, returned as the bucket's upper
+    value bound — deterministic integer arithmetic end to end."""
+    keys = list(keys)
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("bucket")
+    cum = F.sum("n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = F.sum("n").over(
+        (W.partitionBy(*keys) if keys else W.partitionBy()).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+    )
+    flagged = hist.select(*keys, "bucket", cum.alias("__cum__"), tot.alias("__tot__"))
+    hit = flagged.where(F.col("__cum__") * F.lit(1.0) >= F.lit(q) * F.col("__tot__"))
+    gb = hit.groupBy(*keys) if keys else hit.groupBy()
+    return gb.agg(
+        (((F.min("bucket") + 1) * cents_per_bucket) / F.lit(100.0)).alias(out_col)
+    )

@@ -495,3 +495,38 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.pmod(F.col("l_partkey"), F.lit(65536)), F.pmod(F.col("l_suppkey"), F.lit(65536))]
         ).alias("zval"),
     )
+
+
+HIST_QUANTILE_ORACLE = """
+WITH h AS (
+  SELECT l_returnflag, (round(l_extendedprice * 100)::BIGINT // 5000) AS bucket,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, bucket, n,
+         sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h
+)
+SELECT l_returnflag,
+       min(CASE WHEN cum * 1.0 >= 0.5 * tot THEN (bucket + 1) * 5000 / 100.0 END) AS p50_ub,
+       min(CASE WHEN cum * 1.0 >= 0.95 * tot THEN (bucket + 1) * 5000 / 100.0 END) AS p95_ub
+FROM c
+GROUP BY l_returnflag
+"""
+
+
+@query("sketch_histogram_quantiles", oracle=HIST_QUANTILE_ORACLE)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeable fixed-width histogram sketch → p50/p95 upper bounds per
+    returnflag. Integer cent-buckets make the whole sketch AND the
+    quantile pick bit-deterministic cross-engine (hash-checked), unlike
+    libm log-buckets; error ≤ one bucket width (unit-tested vs exact)."""
+    from arrow_spark.operators.sketches import histogram_build, histogram_quantile
+
+    l = table(spark, sf_dir, "lineitem")
+    h = histogram_build(l, "l_extendedprice", keys=["l_returnflag"])
+    p50 = histogram_quantile(h, 0.5, keys=["l_returnflag"], out_col="p50_ub")
+    p95 = histogram_quantile(h, 0.95, keys=["l_returnflag"], out_col="p95_ub")
+    return p50.join(p95, "l_returnflag")

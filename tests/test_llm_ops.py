@@ -311,3 +311,24 @@ def test_hll_merge_law_and_accuracy(spark, sf_dir):
     }
     for lang, est in got.items():
         assert abs(est - exact[lang]) / exact[lang] < 0.05, (lang, est, exact[lang])
+
+
+def test_histogram_sketch_merge_law_and_error_bound(spark, sf_dir):
+    from arrow_spark.operators.sketches import (
+        histogram_build,
+        histogram_merge,
+        histogram_quantile,
+    )
+
+    l = table(spark, sf_dir, "lineitem")
+    # merge law: per-flag sketches merged to global ≡ direct global build
+    per = histogram_build(l, "l_extendedprice", keys=["l_returnflag"])
+    merged = histogram_merge(per.drop("l_returnflag"))
+    direct = histogram_build(l, "l_extendedprice")
+    assert {(r.bucket, r.n) for r in merged.collect()} == {
+        (r.bucket, r.n) for r in direct.collect()
+    }
+    # error bound: estimate within one bucket width above the exact p95
+    est = histogram_quantile(direct, 0.95).first()[0]
+    exact = l.agg(F.percentile_approx("l_extendedprice", 0.95, 100000)).first()[0]
+    assert exact <= est <= exact + 50.0 + 1e-9  # 5000 cents = 50.0 width
