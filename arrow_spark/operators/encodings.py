@@ -63,18 +63,23 @@ def dictionary_encode(
     value sort order (deterministic — the oracle checks per-row codes),
     and encoded = df with ``value_col`` replaced by its code.
 
-    Scale: the dictionary frame is cardinality-sized; its code window is
-    a single-partition sort over DISTINCT values only (bounded by
-    dictionary size, never row count — same caveat class as
-    with_row_index). The encode itself is a plain equi-join Catalyst
-    will broadcast for any dictionary that deserves encoding.
+    Scale: codes come from range-partitioned sorted distinct values +
+    per-partition offsets (with_partitioned_row_index) — no global
+    window at ANY dictionary cardinality. Range boundaries are sampled,
+    but the global sorted rank is invariant to where the boundaries
+    land, so codes are deterministic. The encode itself is a plain
+    equi-join Catalyst will broadcast for any dictionary that deserves
+    encoding.
     """
-    w = W.orderBy(value_col)
-    dictionary = (
+    from arrow_spark.operators.ordered import with_partitioned_row_index
+
+    d = (
         df.select(value_col)
         .distinct()
-        .withColumn(code_col, F.dense_rank().over(w) - 1)
+        .repartitionByRange(F.col(value_col))
+        .sortWithinPartitions(value_col)
     )
+    dictionary = with_partitioned_row_index(d, index_col=code_col)
     encoded = (
         df.join(dictionary, value_col)
         .select(*[c for c in df.columns if c != value_col], code_col)

@@ -72,6 +72,19 @@ HEADLINE = [
     "substrait_subquery",
     "substrait_grouping_sets",
     "segment_agg",
+    # round-2 wave 2: corpus pipeline (contamination gram join, packing
+    # manifest, PII regex projection), sessionization, relational
+    # encodings, z-order layout key, histogram-sketch quantiles,
+    # streaming content dedup.
+    "corpus_contamination",
+    "corpus_pack_sequences",
+    "corpus_pii_redact",
+    "sessionize_events",
+    "encode_rle",
+    "encode_dictionary",
+    "layout_zorder",
+    "sketch_histogram_quantiles",
+    "stream_dedup",
 ]
 
 
