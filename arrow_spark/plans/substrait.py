@@ -711,6 +711,8 @@ class _Consumer:
         if distinct:
             if name == "sum":
                 return F.sum_distinct(args[0])
+            if name in ("min", "max"):  # DISTINCT is a no-op for extrema
+                return (F.min if name == "min" else F.max)(args[0])
             raise NotImplementedError(f"distinct {name} not supported")
         fns = {
             "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,

@@ -222,3 +222,75 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.corpus import pack_sequences
 
     return pack_sequences(table(spark, sf_dir, "documents"), max_len=512, shards=8)
+
+
+# the whole training-data pipeline as ONE relational plan: quality
+# filter → exact-dedup keepers → stratified sample → packing manifest.
+PIPELINE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+), quality AS (
+  SELECT * FROM scored WHERE n_tokens BETWEEN 20 AND 120
+), keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM quality
+  GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+), kept AS (
+  SELECT q.doc_id, q.lang, q.n_tokens
+  FROM quality q JOIN keepers USING (doc_id)
+), sampled AS (
+  SELECT * FROM kept
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+        < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)
+), sharded AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 4
+           AS shard
+  FROM sampled
+)
+SELECT doc_id, lang, shard, n_tokens,
+       coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS start_tok
+FROM sharded
+"""
+
+
+@query("corpus_pipeline_end_to_end", oracle=PIPELINE_ORACLE)
+def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the full pretraining-data pipeline as one Catalyst plan: token
+    quality gate → exact-dedup keepers (min doc_id per normalized
+    fingerprint) → per-language hash downsampling → sharded packing
+    offsets. Every stage composes relationally — filters push into the
+    scan, the dedup is one fingerprint shuffle, sampling is a map, the
+    manifest is a per-shard window — and the single DuckDB oracle
+    hash-checks the composition end to end."""
+    from arrow_spark.llm.dedup import normalize_text
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_tokens"),
+    )
+    quality = d.where(F.col("n_tokens").between(20, 120))
+    keepers = (
+        quality.groupBy(F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = quality.join(keepers, "doc_id").select("doc_id", "lang", "n_tokens")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+    )
+    sampled = kept.where(
+        (bucket % 100) < F.when(F.col("lang") == "en", 50).otherwise(100)
+    )
+    sharded = sampled.withColumn("shard", bucket % 4)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("doc_id")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    return sharded.select("doc_id", "lang", "shard", "n_tokens", start.alias("start_tok"))
