@@ -79,6 +79,10 @@ def start_flight_server(
         def __init__(self):
             super().__init__(location)
             self.tables: dict[str, pa.Table] = {}
+            # DoPut arrives on one gRPC stream PER UPLOADING PARTITION —
+            # concurrent read-modify-writes on the same name lose batches
+            # without this lock
+            self._put_lock = threading.Lock()
 
         def register(self, name: str, df: DataFrame) -> None:
             self.tables[name] = df.toArrow()
@@ -112,10 +116,13 @@ def start_flight_server(
         def do_put(self, context, descriptor, reader, writer):
             name = descriptor.path[0].decode()
             incoming = reader.read_all()
-            existing = self.tables.get(name)
-            self.tables[name] = (
-                pa.concat_tables([existing, incoming]) if existing is not None else incoming
-            )
+            with self._put_lock:
+                existing = self.tables.get(name)
+                self.tables[name] = (
+                    pa.concat_tables([existing, incoming])
+                    if existing is not None
+                    else incoming
+                )
 
         def do_action(self, context, action):
             if action.type == "list":
