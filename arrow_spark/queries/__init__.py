@@ -28,6 +28,7 @@ _MODULES = (
     "dedup",
     "corpus_q",
     "streaming_windows",
+    "timeseries",
     "extras",
     "substrait_q",
 )

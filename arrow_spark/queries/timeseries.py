@@ -1,0 +1,70 @@
+"""Time-series densification queries: gap-filled bucketed series with
+LOCF and linear interpolation (operators/gapfill.py). The oracle
+rebuilds the whole pipeline — epoch bucketing, per-group grid,
+IGNORE NULLS windows, the interpolation arithmetic — in DuckDB SQL, so
+the value hash checks every filled cell, not just shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.operators.gapfill import gap_fill
+from arrow_spark.queries.base import query
+
+GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         count(*) AS n_rows,
+         floor((round(sum(value), 2) / count(*)) * 1e6 + 0.5) / 1e6 AS v
+  FROM events
+  WHERE user_id < 8
+  GROUP BY 1, 2
+), s AS (
+  SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket FROM s
+), d AS (
+  SELECT grid.user_id, grid.bucket,
+         coalesce(b.n_rows, 0) AS n_rows, b.v
+  FROM grid LEFT JOIN b USING (user_id, bucket)
+), f AS (
+  SELECT user_id, bucket, n_rows, v,
+    last_value(v IGNORE NULLS) OVER past AS v_locf,
+    first_value(v IGNORE NULLS) OVER fut AS next_v,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER past AS prev_t,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER fut AS next_t
+  FROM d
+  WINDOW past AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fut AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket, n_rows, v, v_locf,
+  floor((CASE WHEN v IS NOT NULL THEN v
+              WHEN prev_t IS NULL THEN next_v
+              WHEN next_t IS NULL THEN v_locf
+              ELSE v_locf + (next_v - v_locf)
+                   * ((bucket - prev_t) / (next_t - prev_t))
+         END) * 1e6 + 0.5) / 1e6 AS v_interp
+FROM f
+"""
+
+
+@query("gapfill_timeseries", oracle=GAPFILL_ORACLE)
+def gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user mean event value, densified over each user's
+    active range with LOCF and linear interpolation filling the silent
+    hours (time_bucket_gapfill/locf/interpolate pattern; Arrow's own
+    surface stops at fill_null_forward over dense input)."""
+    e = table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    v = (
+        F.floor((F.round(F.sum("value"), 2) / F.count(F.lit(1))) * 1e6 + F.lit(0.5))
+        / 1e6
+    )
+    return gap_fill(e, "ts", 3600, ["user_id"], v, fill="both")
