@@ -188,6 +188,64 @@ def pack_sequences(
     )
 
 
+def unigram_logprob_score(
+    score_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM quality score: per document, the mean negative
+    log-likelihood of its tokens under an add-one-smoothed unigram model
+    trained on ``train_docs`` (the classic cheap perplexity filter —
+    boilerplate/gibberish scores high, fluent text low).
+
+    Returns (id, n_tokens, n_oov, nll); OOV tokens take the smoothed
+    zero-count probability 1/(N+V).
+
+    Determinism: each token's log-prob is snapped to integer micros
+    (floor(ln(p)·1e6 + 0.5) as a long) BEFORE the per-document sum, so
+    the aggregation is exact integer arithmetic — no cross-engine float
+    accumulation-order drift; only the final mean is floored back to 6
+    decimals.
+
+    Scale: the model is one count shuffle on token; scoring is a
+    token-equi-join (the vocab side is zipfian-small — broadcastable —
+    while the token stream stays partitioned) plus one groupBy(id).
+    Nothing is all-pairs and no UDF is involved.
+    """
+    vocab = (
+        train_docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = vocab.agg(
+        F.sum("c").alias("__n__"), F.count(F.lit(1)).alias("__v__")
+    )
+    toks = score_docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    denom = F.col("__n__") + F.col("__v__")
+    logp_micro = F.floor(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / denom) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return (
+        toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum(logp_micro).alias("__lp__"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            _floor6(-F.col("__lp__") / (F.col("n_tokens") * F.lit(1e6))).alias("nll"),
+        )
+    )
+
+
 # -- PII redaction -----------------------------------------------------------
 
 PII_PATTERNS: dict[str, str] = {

@@ -294,3 +294,53 @@ def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
     )
     return sharded.select("doc_id", "lang", "shard", "n_tokens", start.alias("start_tok"))
+
+
+LM_SCORE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
+           AS bucket,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, bucket, unnest(toks) AS token FROM t
+), vocab AS (
+  SELECT token, count(*) AS c FROM tok WHERE bucket < 8 GROUP BY token
+), tot AS (
+  SELECT sum(c) AS n, count(*) AS v FROM vocab
+), scored AS (
+  SELECT tok.doc_id, vocab.c FROM tok LEFT JOIN vocab USING (token)
+  WHERE tok.bucket = 9
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       floor((-sum(CAST(floor(ln((coalesce(c, 0) + 1) / (n + v)) * 1e6 + 0.5)
+                        AS BIGINT))
+              / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6 AS nll
+FROM scored, tot
+GROUP BY doc_id
+"""
+
+
+@query("corpus_lm_score", oracle=LM_SCORE_ORACLE)
+def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unigram-LM perplexity filter: add-one-smoothed model trained on
+    the md5 train split (buckets < 8), mean negative log-likelihood +
+    OOV count per test-split doc (bucket 9). Token log-probs snap to
+    integer micros before the sum, so cross-engine float accumulation
+    order cannot move the hash."""
+    from arrow_spark.llm.corpus import unigram_logprob_score
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 10
+    )
+    d = d.withColumn("__b__", bucket)
+    return unigram_logprob_score(
+        d.where(F.col("__b__") == 9), d.where(F.col("__b__") < 8)
+    )

@@ -82,3 +82,36 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4, n_iters=3)
     return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")
+
+
+QUANTIZE_ORACLE = """
+WITH x AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim
+  FROM embeddings
+), p AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim
+)
+SELECT x.vec_id, x.dim,
+       CAST(CASE WHEN mx = mn THEN 0
+                 ELSE floor((v - mn) / (mx - mn) * 254 + 0.5) - 127 END AS INT)
+         AS code
+FROM x JOIN p USING (dim)
+"""
+
+
+@query("embedding_quantize", oracle=QUANTIZE_ORACLE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """affine int8 quantization of the embedding corpus (per-dim min/max
+    codebook → codes in [-127, 127]), emitted in long form so the oracle
+    hash checks every code. The codebook is dim-row metadata; the
+    quantization itself is a UDF-free projection."""
+    from arrow_spark.llm.similarity import quantization_params, quantize_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    params = quantization_params(emb)
+    codes = quantize_embeddings(emb, params)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    )
