@@ -31,6 +31,13 @@ def normalize_arrow_type(t):
     representable)."""
     import pyarrow as pa
 
+    if isinstance(t, pa.BaseExtensionType):
+        # canonical extension types (arrow.fixed_shape_tensor, arrow.uuid,
+        # arrow.json, ...; reference extension_type.h / extension/) carry a
+        # storage array plus metadata Spark has no slot for: decode to the
+        # normalized storage (a tensor column becomes its flat value list —
+        # the shape survives in the field metadata note).
+        return normalize_arrow_type(t.storage_type)
     if pa.types.is_dictionary(t):
         return normalize_arrow_type(t.value_type)
     if hasattr(pa.types, "is_run_end_encoded") and pa.types.is_run_end_encoded(t):
@@ -145,6 +152,10 @@ def normalize_batch(batch, target_schema):
                 col = pc.divide(col, 1000)
         elif pa.types.is_union(src):
             col = _decode_union(col, f.type)
+        elif isinstance(src, pa.BaseExtensionType):
+            col = col.storage if hasattr(col, "storage") else col.combine_chunks().storage
+            if not col.type.equals(f.type):
+                col = col.cast(f.type)
         elif not col.type.equals(f.type):
             # timestamps may truncate sub-target precision (ns→us) —
             # that's the documented adapter semantics, so cast unsafely

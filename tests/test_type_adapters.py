@@ -114,3 +114,27 @@ def test_union_decodes_to_tagged_struct(spark, tmp_path):
             2: (0, 3, None),
             3: (1, None, "d"),
         }, name
+
+
+def test_fixed_shape_tensor_decodes_to_flat_list(spark, tmp_path):
+    """arrow.fixed_shape_tensor (canonical extension,
+    cpp/src/arrow/extension/fixed_shape_tensor.h) → flat value list;
+    the 2×2 shape survives only as the documented metadata note."""
+    import numpy as np
+
+    tensor_type = pa.fixed_shape_tensor(pa.float32(), [2, 2])
+    storage = pa.array(
+        [[1.0, 2.0, 3.0, 4.0], [5.0, 6.0, 7.0, 8.0]],
+        pa.list_(pa.float32(), 4),
+    )
+    arr = pa.ExtensionArray.from_storage(tensor_type, storage)
+    table = pa.table({"t": arr, "vec_id": pa.array([0, 1], pa.int64())})
+    path = _write_ipc_table(tmp_path, table)
+    df = read_ipc(spark, path)
+    assert dict(df.dtypes)["t"] == "array<float>"
+    got = {r["vec_id"]: list(r["t"]) for r in df.collect()}
+    assert got[0] == [1.0, 2.0, 3.0, 4.0]
+    assert got[1] == [5.0, 6.0, 7.0, 8.0]
+    norm, changed = normalize_arrow_schema(table.schema)
+    assert changed
+    assert b"fixed_shape_tensor" in norm.field("t").metadata[b"arrow_spark.original_type"]
