@@ -68,3 +68,58 @@ def gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1e6
     )
     return gap_fill(e, "ts", 3600, ["user_id"], v, fill="both")
+
+
+INTERVAL_JOIN_ORACLE = """
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), l AS (
+  SELECT event_id AS l_id, user_id, s AS ls, s + 600 AS le
+  FROM b WHERE event_type = 'view'
+), r AS (
+  SELECT event_id AS r_id, user_id, s AS rs, s + 300 AS re
+  FROM b WHERE event_type = 'click'
+)
+SELECT l.user_id, l_id, r_id,
+       greatest(ls, rs) AS ov_start, least(le, re) AS ov_end
+FROM l JOIN r ON l.user_id = r.user_id AND ls <= re AND rs <= le
+"""
+
+
+@query("interval_overlap_join", oracle=INTERVAL_JOIN_ORACLE)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range join: 10-minute view windows × 5-minute click windows per
+    user, overlapping pairs only. The engine path is the binned
+    equi-join (operators/rangejoin.py — owner-bin dedup, no cartesian);
+    the oracle is DuckDB's plain range-predicate join, so the hash
+    proves the binning is lossless and duplicate-free."""
+    from arrow_spark.operators.rangejoin import interval_join
+
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    left = base.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.col("s").alias("ls"),
+        (F.col("s") + 600).alias("le"),
+    )
+    right = base.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        "user_id",
+        F.col("s").alias("rs"),
+        (F.col("s") + 300).alias("re"),
+    )
+    out = interval_join(
+        left, right, "ls", "le", "rs", "re", by=["user_id"], bin_width=900
+    )
+    return out.select(
+        "user_id",
+        "l_id",
+        "r_id",
+        F.greatest("ls", "rs").alias("ov_start"),
+        F.least("le", "re").alias("ov_end"),
+    )
