@@ -188,6 +188,40 @@ def pack_sequences(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized
+    (Efraimidis–Spirakis A-Res with hash-derived uniforms): each row
+    draws u ∈ (0,1) from its md5 — u = (first-24-bits + 0.5)/2²⁴ — and
+    the k rows with the largest priority ln(u)/w win (order-equivalent
+    to u^(1/w); heavier rows draw priorities nearer 0).
+
+    Deterministic and growth-stable like the md5 split: membership
+    depends only on (id, weight, k), never on partitioning, executor
+    count, or RNG state. One TakeOrdered (map-side partial top-k) — the
+    driver sees k rows, nothing shuffles the corpus.
+    """
+    x = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+    u = (x + F.lit(0.5)) / F.lit(float(1 << 24))
+    priority = F.log(u) / F.col(weight_col)
+    return (
+        docs.select(F.col(id_col), F.col(weight_col), priority.alias("__p__"))
+        .orderBy(F.col("__p__").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            (F.floor(F.col("__p__") * 1e6 + F.lit(0.5)) / 1e6).alias("priority"),
+        )
+    )
+
+
 def unigram_logprob_score(
     score_docs: DataFrame,
     train_docs: DataFrame,

@@ -344,3 +344,28 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(
         d.where(F.col("__b__") == 9), d.where(F.col("__b__") < 8)
     )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+             + 0.5) / 16777216.0) / n_chars AS p
+  FROM documents
+)
+SELECT doc_id, n_chars, floor(p * 1e6 + 0.5) / 1e6 AS priority
+FROM d
+ORDER BY p DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+@query("corpus_weighted_sample", oracle=WEIGHTED_SAMPLE_ORACLE)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """derandomized Efraimidis–Spirakis weighted sampling without
+    replacement: 50 docs drawn by length-weighted priority ln(u)/w with
+    md5-derived uniforms — per-row membership is oracle-checked, so the
+    hash proves the sample is the exact deterministic winner set."""
+    from arrow_spark.llm.corpus import weighted_sample
+
+    return weighted_sample(table(spark, sf_dir, "documents"), "n_chars", 50)

@@ -530,3 +530,43 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 = histogram_quantile(h, 0.5, keys=["l_returnflag"], out_col="p50_ub")
     p95 = histogram_quantile(h, 0.95, keys=["l_returnflag"], out_col="p95_ub")
     return p50.join(p95, "l_returnflag")
+
+
+MERGE_UPSERT_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id AS seq,
+         value, (value < 1.0) AS deleted
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY seq DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_type, event_id, seq, value
+FROM ranked WHERE rn = 1 AND NOT deleted
+"""
+
+
+@query("merge_upsert_snapshot", oracle=MERGE_UPSERT_ORACLE)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (lakehouse MERGE): the first half of the event
+    stream is the base snapshot, the second half the change feed; the
+    latest version per (user, event_type) wins and tombstones (value <
+    1.0) drop out. One keys-hash shuffle (operators/upsert.py); the
+    oracle ranks the union the same way, so the hash checks every
+    surviving version choice."""
+    from arrow_spark.operators.upsert import merge_upsert
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_timestamp("ts") * 100000 + F.col("event_id")).alias("seq"),
+        "value",
+        (F.col("value") < 1.0).alias("deleted"),
+    )
+    base = e.where(F.col("event_id") < 5000)
+    upd = e.where(F.col("event_id") >= 5000)
+    out = merge_upsert(base, upd, ["user_id", "event_type"], "seq", "deleted")
+    return out.select("user_id", "event_type", "event_id", "seq", "value")
