@@ -85,6 +85,16 @@ HEADLINE = [
     "layout_zorder",
     "sketch_histogram_quantiles",
     "stream_dedup",
+    # round-2 wave 3: gap-filled time series (densify + interpolate
+    # windows), binned interval join (range join as equi-join), CDC
+    # merge-upsert, unigram-LM scoring (integer-micro logprob sums),
+    # int8 quantization projection, weighted sampling TakeOrdered.
+    "gapfill_timeseries",
+    "interval_overlap_join",
+    "merge_upsert_snapshot",
+    "corpus_lm_score",
+    "embedding_quantize",
+    "corpus_weighted_sample",
 ]
 
 
