@@ -157,3 +157,97 @@ def histogram_quantile(
     return gb.agg(
         (((F.min("bucket") + 1) * cents_per_bucket) / F.lit(100.0)).alias(out_col)
     )
+
+
+# -- Bloom filter ------------------------------------------------------------
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """k bit positions per value: xxhash64 seeded 0..k-1, mod m (same
+    deterministic hash family as the CMS cells)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    keys=(),
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Per-group Bloom filter as a relational sketch: one row per group
+    with a dense ``words`` array (m_bits/64 longs). The Arrow engine
+    builds blooms inside the hash join (reference
+    acero/bloom_filter.h — partitioned build, OR-merged); here the
+    filter is a first-class frame you can persist, ship, and AND into
+    any scan as a pre-join guard.
+
+    Scale: the shuffle after map-side bit_or is ≤ groups × m_bits/64
+    word cells regardless of input cardinality — the same bounded-state
+    argument as the CMS. Word index is dense via sequence, so absent
+    words materialize as 0 and merges stay positional.
+    """
+    n_words = (m_bits + 63) // 64
+    pos = F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
+    cells = (
+        df.select(*[F.col(c) for c in keys], pos)
+        .select(
+            *[F.col(c) for c in keys],
+            (F.col("pos") / 64).cast("int").alias("word"),
+            # the pyspark shiftleft wrapper takes only a literal shift;
+            # call_function reaches the SQL form, which shifts by a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy(*[F.col(c) for c in keys], F.col("word"))
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        # __wm__ is a MAP keyed by word index — element_at takes the key
+        # itself here (the 1-based form is for arrays)
+        lambda w: F.coalesce(
+            F.element_at(F.col("__wm__"), w.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        cells.groupBy(*[F.col(c) for c in keys])
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__wm__"))
+        .select(*[F.col(c) for c in keys], words.alias("words"))
+    )
+
+
+def bloom_merge(sketches: DataFrame, keys=()) -> DataFrame:
+    """OR-merge bloom rows that share ``keys`` (e.g. per-day builds into
+    one month filter): explode to word cells, bit_or, reassemble —
+    bounded by groups × words rows like the build."""
+    cells = sketches.select(
+        *[F.col(c) for c in keys], F.posexplode("words").alias("word", "bits")
+    ).groupBy(*[F.col(c) for c in keys], F.col("word")).agg(
+        F.bit_or("bits").alias("bits")
+    )
+    return (
+        cells.groupBy(*[F.col(c) for c in keys])
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "bits"))),
+                lambda s: s["bits"],
+            ).alias("words")
+        )
+    )
+
+
+def bloom_might_contain(words_col: Column, value: Column, m_bits: int, k: int) -> Column:
+    """Membership probe: all k bits set ⇒ maybe present (false positives
+    tunable via m/k); any bit clear ⇒ definitely absent. Pure codegen
+    expression — usable as a scan filter guard before an expensive join."""
+    return F.forall(
+        _bloom_positions(value, m_bits, k),
+        lambda p: F.getbit(
+            F.element_at(words_col, (p / 64).cast("int") + 1), (p % 64).cast("int")
+        )
+        == 1,
+    )

@@ -570,3 +570,32 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = e.where(F.col("event_id") >= 5000)
     out = merge_upsert(base, upd, ["user_id", "event_type"], "seq", "deleted")
     return out.select("user_id", "event_type", "event_id", "seq", "value")
+
+
+@query("sketch_bloom", oracle=None)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language Bloom filters over document tokens, probed with a
+    fixed word list (rows-only: xxhash64 has no DuckDB twin; the
+    no-false-negative and merge laws are unit-tested). The filter frame
+    is the relational form of the join-interior bloom the reference
+    builds in acero/bloom_filter.h."""
+    from arrow_spark.llm.dedup import tokens
+    from arrow_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    blooms = bloom_build(d, "token", keys=["lang"], m_bits=4096, k=4)
+    probes = F.array(*[F.lit(w) for w in ("the", "data", "zzzznotaword")])
+    hits = F.size(
+        F.filter(
+            probes,
+            lambda w: bloom_might_contain(F.col("words"), w, 4096, 4),
+        )
+    )
+    set_bits = F.aggregate(
+        F.col("words"), F.lit(0).cast("long"), lambda acc, w: acc + F.bit_count(w)
+    )
+    return blooms.select(
+        "lang", hits.alias("n_probe_hits"), set_bits.alias("set_bits")
+    ).orderBy("lang")
