@@ -599,3 +599,48 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blooms.select(
         "lang", hits.alias("n_probe_hits"), set_bits.alias("set_bits")
     ).orderBy("lang")
+
+
+BLOOM_GUARD_ORACLE = """
+SELECT o_orderkey, count(*) AS n_items,
+       floor(round(sum(l_extendedprice), 2) * 1e6 + 0.5) / 1e6 AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderkey
+"""
+
+
+@query("bloom_guarded_join", oracle=BLOOM_GUARD_ORACLE)
+def bloom_guarded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the reference's join-interior bloom pushdown
+    (acero/bloom_filter.h) as an explicit relational guard: a bloom
+    built from the selective orders side pre-filters the lineitem scan
+    before the real join. The oracle is the UNGUARDED join — the hash
+    match proves no-false-negatives makes the guard result-invariant
+    (false positives are removed by the join itself). At 100 TB the
+    1-row filter frame broadcasts and the fact scan drops most rows
+    before the shuffle."""
+    from arrow_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(o, "o_orderkey", m_bits=8192, k=4)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    guarded = (
+        li.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain(F.col("words"), F.col("l_orderkey"), 8192, 4))
+        .drop("words")
+    )
+    return (
+        guarded.join(o, guarded.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.floor(F.round(F.sum("l_extendedprice"), 2) * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("revenue"),
+        )
+    )

@@ -123,3 +123,62 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("ls", "rs").alias("ov_start"),
         F.least("le", "re").alias("ov_end"),
     )
+
+
+OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, bucket,
+       min(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       min(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_ticks,
+       floor(round(sum(value), 2) * 1e6 + 0.5) / 1e6 AS volume
+FROM r
+GROUP BY event_type, bucket
+"""
+
+
+@query("ohlc_resample", oracle=OHLC_ORACLE)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: hourly open/high/low/close per event type (the
+    financial resample pattern). Open/close pick the first/last tick by
+    the strictly-monotonic event_id, so ties can't flip between engines;
+    one window + one agg sharing the same (type, bucket) exchange."""
+    from pyspark.sql import Window as W
+
+    from arrow_spark.operators.gapfill import time_bucket
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        time_bucket(F.col("ts"), 3600).alias("bucket"),
+        "event_id",
+        "value",
+    )
+    wa = W.partitionBy("event_type", "bucket").orderBy(F.col("event_id").asc())
+    wd = W.partitionBy("event_type", "bucket").orderBy(F.col("event_id").desc())
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        (F.floor(F.round(F.sum("value"), 2) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "volume"
+        ),
+    )

@@ -95,6 +95,8 @@ HEADLINE = [
     "corpus_lm_score",
     "embedding_quantize",
     "corpus_weighted_sample",
+    "ohlc_resample",
+    "bloom_guarded_join",
 ]
 
 
