@@ -644,3 +644,29 @@ def bloom_guarded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+KEY_SKEW_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), t AS (
+  SELECT sum(n) AS tot FROM c
+)
+SELECT user_id, event_type, n, floor(n / tot * 1e6 + 0.5) / 1e6 AS share
+FROM c, t
+ORDER BY n DESC, user_id ASC, event_type ASC
+LIMIT 10
+"""
+
+
+@query("key_skew_profile", oracle=KEY_SKEW_ORACLE)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the pre-flight skew measurement for a planned (user, event_type)
+    shuffle: top-10 heaviest key groups and their row share (share ≫
+    1/shuffle-partitions ⇒ salt or AQE-split that key). One count
+    shuffle + TakeOrdered (operators/diagnostics.py)."""
+    from arrow_spark.operators.diagnostics import key_skew
+
+    return key_skew(
+        table(spark, sf_dir, "events"), ["user_id", "event_type"], top=10
+    )
