@@ -1,0 +1,75 @@
+"""Fuzzy (approximate-string) join between two tables: token-set
+Jaccard ≥ threshold, as an equi-join — the entity-matching primitive
+(probe titles/names/descriptions against a reference table).
+
+Same lossless length-bucket blocking as llm.dedup.jaccard_near_dup_pairs
+(J(A,B) ≤ min/max of the set sizes ⇒ matching pairs sit within one
+log_{1/t} bucket): the right side joins on its own bucket, the left
+explodes {k−1,k,k+1}, so candidates meet on a plain hash-shuffled
+equi-join key and each qualifying pair meets exactly once. The exact
+Jaccard filter then makes blocking result-invariant — the oracle query
+compares against the unblocked form.
+
+Scale: per-key work is bounded by bucket population (optionally × any
+exact `by` keys, which tighten blocks further), never |L|·|R|. At
+100 TB block additionally on a cheap exact key (language, category,
+first-token) or swap candidate generation to minhash_lsh_candidates and
+keep this as the verifier — identical to the dedup guidance.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arrow_spark.llm.dedup import tokens
+
+
+def _length_bucket(toks_col, threshold: float):
+    log_inv_t = math.log(1.0 / threshold)
+    raw = F.log(F.size(toks_col).cast("double")) / F.lit(log_inv_t)
+    # snap-floor near-integers (same boundary guard as dedup.py — keeps
+    # the ±1-bucket guarantee exact at power-of-1/t sizes)
+    return F.when(
+        F.abs(raw - F.round(raw, 0)) < 1e-9, F.round(raw, 0).cast("long")
+    ).otherwise(F.floor(raw))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_text: str,
+    r_text: str,
+    threshold: float = 0.5,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Inner join of rows whose whitespace token sets have Jaccard ≥
+    ``threshold`` (0 < t < 1), optionally within exact ``by`` keys.
+    Returns all columns of both sides plus ``jaccard`` — column-name
+    collisions outside ``by`` must be resolved by the caller."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    lt = F.array_distinct(tokens(F.col(l_text)))
+    rt = F.array_distinct(tokens(F.col(r_text)))
+    bucket_l = _length_bucket(F.col("__lt__"), threshold)
+    a = left.withColumn("__lt__", lt).withColumn(
+        "__lb__", F.explode(F.array(bucket_l - 1, bucket_l, bucket_l + 1))
+    )
+    b = right.withColumn("__rt__", rt).withColumn(
+        "__lb__", _length_bucket(F.col("__rt__"), threshold)
+    )
+    inter = F.size(F.array_intersect(F.col("__lt__"), F.col("__rt__")))
+    union = F.size("__lt__") + F.size("__rt__") - inter
+    jac = inter * 1.0 / union
+    sz_a, sz_b = F.size("__lt__"), F.size("__rt__")
+    ratio_ok = F.least(sz_a, sz_b) >= F.greatest(sz_a, sz_b) * F.lit(threshold) - 1e-9
+    return (
+        a.join(b, [*by, "__lb__"])
+        .where(ratio_ok)
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .drop("__lt__", "__rt__", "__lb__")
+    )

@@ -150,3 +150,52 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-pairs variant `dedup_clusters` is the oracle-checked twin,
     and LSH recall vs exact Jaccard is unit-tested."""
     return near_dup_clusters(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+FUZZY_JOIN_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS raw
+  FROM documents
+), corpus AS (
+  SELECT doc_id, list_distinct(raw) AS toks FROM t
+), probe AS (
+  SELECT doc_id AS probe_id,
+         list_distinct(list_slice(raw, 1, greatest(len(raw) - 5, 1))) AS ptoks
+  FROM t WHERE doc_id % 7 = 0
+), pairs AS (
+  SELECT probe_id, doc_id,
+         len(list_intersect(ptoks, toks)) * 1.0
+           / (len(ptoks) + len(toks) - len(list_intersect(ptoks, toks))) AS j
+  FROM probe, corpus
+)
+SELECT probe_id, doc_id, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+FROM pairs WHERE j >= 0.5
+"""
+
+
+@query("fuzzy_join_entity_match", oracle=FUZZY_JOIN_ORACLE)
+def fuzzy_join_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross-table entity matching: truncated probe texts (last 5 tokens
+    dropped) fuzzy-joined back to the corpus at Jaccard ≥ 0.5. The
+    engine path is the length-blocked equi-join
+    (operators/fuzzyjoin.py); the oracle is the unblocked quadratic
+    form, so the hash proves blocking is result-invariant."""
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join
+    from arrow_spark.llm.dedup import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    raw = _tokens(F.col("text"))
+    probe = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(
+            F.slice(raw, 1, F.greatest(F.size(raw) - 5, F.lit(1))), " "
+        ).alias("probe_text"),
+    )
+    corpus = d.select("doc_id", "text")
+    out = fuzzy_join(probe, corpus, "probe_text", "text", threshold=0.5)
+    return out.select(
+        "probe_id",
+        "doc_id",
+        (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+    )

@@ -182,3 +182,69 @@ def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume"
         ),
     )
+
+
+FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), s1 AS (
+  SELECT user_id, min(s) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.s) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.s > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.s) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.s > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, t1, t2, t3,
+       1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+         + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+@query("funnel_stages", oracle=FUNNEL_ORACLE)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ordered conversion funnel view → click → purchase per user: each
+    stage is the earliest qualifying event strictly after the previous
+    stage's timestamp. Three (user)-keyed aggregations — same shuffle
+    key throughout, so the exchanges line up — and no window over the
+    whole event stream."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("s") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("s") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3", stage.alias("stage"))
+    )

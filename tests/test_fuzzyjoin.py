@@ -1,0 +1,64 @@
+"""Cross-table fuzzy join: result-invariance vs naive form, exact-once."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from arrow_spark.operators.fuzzyjoin import fuzzy_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lid": [1, 2, 3],
+                "lt": [
+                    "alpha beta gamma delta",
+                    "one two three four five six seven eight",
+                    "zz yy xx",
+                ],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rid": [10, 20, 30],
+                "rt": [
+                    "alpha beta gamma delta epsilon",   # J=4/5 with lid 1
+                    "one two three nine",               # J=3/9 with lid 2
+                    "totally different words here now", # no match
+                ],
+            }
+        )
+    )
+    return left, right
+
+
+def test_matches_naive_jaccard(sides):
+    left, right = sides
+    out = fuzzy_join(left, right, "lt", "rt", threshold=0.5).collect()
+    pairs = sorted((r["lid"], r["rid"], round(r["jaccard"], 6)) for r in out)
+    assert pairs == [(1, 10, 0.8)]
+
+
+def test_lower_threshold_widens(sides):
+    left, right = sides
+    out = fuzzy_join(left, right, "lt", "rt", threshold=0.3).collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in out)
+    assert pairs == [(1, 10), (2, 20)]
+
+
+def test_identical_text_meets_exactly_once(spark):
+    l = spark.createDataFrame(pd.DataFrame({"lid": [1], "lt": ["same tokens here"]}))
+    r = spark.createDataFrame(pd.DataFrame({"rid": [2], "rt": ["same tokens here"]}))
+    out = fuzzy_join(l, r, "lt", "rt", threshold=0.9).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_bad_threshold_rejected(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_join(left, right, "lt", "rt", threshold=1.0)
