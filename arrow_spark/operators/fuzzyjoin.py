@@ -38,6 +38,61 @@ def _length_bucket(toks_col, threshold: float):
     ).otherwise(F.floor(raw))
 
 
+def fuzzy_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str,
+    l_text: str,
+    r_id: str,
+    r_text: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The 100 TB path for fuzzy_join: MinHash-banded candidates instead
+    of length blocks. Both sides' token sets union into one tagged frame
+    that feeds the SAME signature pipeline as dedup's minhash
+    (llm.dedup._lsh_candidates_from_sets — two shuffles total); only
+    cross-side candidate pairs are kept and exact-verified.
+
+    Approximate by design (banded-LSH recall < 1 below J=1; identical
+    texts are always caught — identical signatures share every bucket),
+    so there is no equality oracle: the exact `fuzzy_join` is the
+    verifier at test scale, this is the production plan. Returns
+    (l_id, r_id, jaccard) with the id columns as strings.
+    """
+    from arrow_spark.llm.dedup import _lsh_candidates_from_sets
+
+    def _tagged(df, id_col, text_col, tag):
+        return df.select(
+            F.concat(F.lit(tag), F.col(id_col).cast("string")).alias("id"),
+            F.array_distinct(tokens(F.col(text_col))).alias("sh"),
+        )
+
+    d = _tagged(left, l_id, l_text, "L:").unionByName(
+        _tagged(right, r_id, r_text, "R:")
+    ).repartition("id")
+    cands = _lsh_candidates_from_sets(d, num_hashes, bands)
+    # keep cross-side pairs only; "L:" < "R:" lexically, and the candidate
+    # generator emits id_a < id_b, so id_a is always the left row
+    cross = cands.where(
+        F.col("id_a").startswith("L:") & F.col("id_b").startswith("R:")
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = cross.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        j.select(
+            F.col("id_a").substr(F.lit(3), F.lit(1 << 30)).alias(l_id),
+            F.col("id_b").substr(F.lit(3), F.lit(1 << 30)).alias(r_id),
+            (F.floor(inter * 1.0 / union * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

@@ -199,3 +199,28 @@ def fuzzy_join_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
     )
+
+
+@query("fuzzy_join_lsh_match", oracle=None)
+def fuzzy_join_lsh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale path of fuzzy_join_entity_match: the same truncated probes
+    matched through MinHash-banded candidates (two shuffles, candidate
+    volume bounded by band buckets — never bucket-quadratic like the
+    length-blocked exact form, which stays the oracle-gated verifier).
+    Rows-only: banded LSH recall < 1 below J=1 by construction; the
+    identical-pair catch guarantee and recall floor are unit-tested."""
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_lsh
+    from arrow_spark.llm.dedup import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    raw = _tokens(F.col("text"))
+    probe = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(
+            F.slice(raw, 1, F.greatest(F.size(raw) - 5, F.lit(1))), " "
+        ).alias("probe_text"),
+    )
+    corpus = d.select("doc_id", "text")
+    return fuzzy_join_lsh(
+        probe, corpus, "probe_id", "probe_text", "doc_id", "text", threshold=0.5
+    )

@@ -97,6 +97,14 @@ HEADLINE = [
     "corpus_weighted_sample",
     "ohlc_resample",
     "bloom_guarded_join",
+    "funnel_stages",
+    "key_skew_profile",
+    "sketch_bloom",
+    # fuzzy_join_entity_match / fuzzy_join_lsh_match are NOT headlines
+    # for the dedup_jaccard_pairs reason: the templated fixture makes the
+    # legitimate match set itself quadratic in cluster size (~2M pairs at
+    # sf0.1), so wall time measures result volume, not plan quality. Both
+    # stay oracle/rows-gated at sf0.01.
 ]
 
 

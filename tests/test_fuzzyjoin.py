@@ -62,3 +62,41 @@ def test_bad_threshold_rejected(sides):
     left, right = sides
     with pytest.raises(ValueError, match="threshold"):
         fuzzy_join(left, right, "lt", "rt", threshold=1.0)
+
+
+def test_lsh_catches_identical_and_near_pairs(spark):
+    import pandas as pd
+
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_lsh
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    l = spark.createDataFrame(
+        pd.DataFrame({"lid": [1, 2], "lt": [base, "completely unrelated text"]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"rid": [7, 8], "rt": [base, "different words entirely here"]})
+    )
+    out = fuzzy_join_lsh(l, r, "lid", "lt", "rid", "rt", threshold=0.9).collect()
+    # identical signatures share every band bucket → guaranteed catch
+    assert [(r["lid"], r["rid"], r["jaccard"]) for r in out] == [("1", "7", 1.0)]
+
+
+def test_lsh_recall_floor_vs_exact(spark):
+    import pandas as pd
+
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join, fuzzy_join_lsh
+
+    words = [f"w{i}" for i in range(40)]
+    lefts, rights = [], []
+    for i in range(30):
+        toks = [words[(i * 7 + j) % 40] for j in range(14)]
+        lefts.append(" ".join(toks))
+        rights.append(" ".join(toks[:12]))  # J = 12/14 ≈ 0.857
+    l = spark.createDataFrame(pd.DataFrame({"lid": range(30), "lt": lefts}))
+    r = spark.createDataFrame(pd.DataFrame({"rid": range(30), "rt": rights}))
+    exact = fuzzy_join(l, r, "lt", "rt", threshold=0.5)
+    exact_pairs = {(str(x["lid"]), str(x["rid"])) for x in exact.collect()}
+    approx = fuzzy_join_lsh(l, r, "lid", "lt", "rid", "rt", threshold=0.5)
+    approx_pairs = {(x["lid"], x["rid"]) for x in approx.collect()}
+    assert approx_pairs <= exact_pairs  # verify step admits no false pair
+    assert len(approx_pairs) >= 0.6 * len(exact_pairs)
