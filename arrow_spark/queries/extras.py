@@ -670,3 +670,39 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew(
         table(spark, sf_dir, "events"), ["user_id", "event_type"], top=10
     )
+
+
+# one SQL text, two engines: NOT IN in FILTER context is where ANSI's
+# three-valued logic actually bites (Spark's projected NOT IN collapses
+# UNKNOWN to FALSE — engine divergence found while building this query —
+# but its null-aware anti join in WHERE is exact)
+_NOT_IN_BODY = """
+SELECT c_custkey,
+       c_custkey IN (SELECT o_custkey FROM {orders}
+                     WHERE o_totalprice > 400000) AS in_big_buyers,
+       (SELECT count(*) FROM {customer}
+        WHERE c_custkey NOT IN (SELECT CASE WHEN o_custkey % 997 = 0 THEN NULL
+                                            ELSE o_custkey END
+                                FROM {orders}
+                                WHERE o_totalprice > 400000)) AS n_pass_nullable
+FROM {customer}
+WHERE c_custkey NOT IN (SELECT o_custkey FROM {orders}
+                        WHERE o_totalprice > 450000)
+"""
+
+
+@query(
+    "not_in_null_semantics",
+    oracle=_NOT_IN_BODY.format(orders="orders", customer="customer"),
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN as a null-aware anti join: the WHERE-clause NOT IN
+    (null-free probe set) keeps true non-members; n_pass_nullable counts
+    survivors of a NOT IN whose set contains a planted NULL — zero in
+    BOTH engines, because UNKNOWN never satisfies a filter. The same SQL
+    text runs on Spark and DuckDB. (Projection-context NOT IN is
+    deliberately absent: Spark 4 collapses UNKNOWN→FALSE there, a real
+    cross-engine divergence this query documents.)"""
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"ni_{t}")
+    return spark.sql(_NOT_IN_BODY.format(orders="ni_orders", customer="ni_customer"))

@@ -135,8 +135,19 @@ def read_ipc(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
     files, root = _expand_paths(path)
     part_keys, part_vals = _partition_values(files, root)
+    # Fragment schemas may have evolved (columns added/dropped over time);
+    # unify footers like Arrow's dataset discovery does so late files'
+    # new columns surface (older batches pad them with nulls). Footer
+    # reads are metadata-only; at very large file counts this driver loop
+    # is the same cost profile as Spark's own parquet mergeSchema.
     raw_schema = _ipc_schema(files[0])
+    per_file = [raw_schema] + [_ipc_schema(p) for p in files[1:]]
+    if any(not s.equals(raw_schema) for s in per_file[1:]):
+        raw_schema = pa.unify_schemas(per_file)
     schema, needs_normalize = normalize_arrow_schema(raw_schema)
+    needs_normalize = needs_normalize or any(
+        not s.equals(raw_schema) for s in per_file
+    )
     try:
         from pyspark.sql.pandas.types import from_arrow_schema
 

@@ -139,8 +139,14 @@ def normalize_batch(batch, target_schema):
     import pyarrow.compute as pc
 
     cols = []
+    names = batch.schema.names
     for i, f in enumerate(target_schema):
-        col = batch.column(i)
+        # lookup by name: under unified (evolved) schemas a batch may lack
+        # a late-added column (pad nulls) or order fields differently
+        if f.name not in names:
+            cols.append(pa.nulls(batch.num_rows, f.type))
+            continue
+        col = batch.column(names.index(f.name))
         src = col.type
         if pa.types.is_time32(src):
             # time32 is seconds or millis since midnight; scale to micros

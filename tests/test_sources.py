@@ -138,3 +138,26 @@ def test_partitioned_arrow_ipc_via_dataset_facade(spark, sf_dir, tmp_path):
     assert back.count() == 500
     one = back.filter(F.col("o_orderstatus") == statuses[0]).count()
     assert one == src.filter(F.col("o_orderstatus") == statuses[0]).count()
+
+
+def test_ipc_schema_evolution_unifies_fragments(spark, tmp_path):
+    """late files add a column; early batches pad it with nulls (Arrow
+    dataset-style fragment schema unification)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from arrow_spark.sources.ipc import read_ipc
+
+    d = tmp_path / "evolved"
+    d.mkdir()
+    old = pa.table({"id": pa.array([1, 2], pa.int64())})
+    new = pa.table(
+        {"id": pa.array([3], pa.int64()), "score": pa.array([9.5], pa.float64())}
+    )
+    for name, t in (("a.arrow", old), ("b.arrow", new)):
+        with ipc.new_file(str(d / name), t.schema) as w:
+            w.write_table(t)
+    df = read_ipc(spark, str(d))
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 9.5}
+    assert dict(df.dtypes)["score"] == "double"
