@@ -228,12 +228,18 @@ def write_ipc(
     path: str,
     compression: str | None = "zstd",
     partition_by: Sequence[str] = (),
+    dict_encode: Sequence[str] = (),
 ) -> None:
     """Write a DataFrame as Arrow IPC, one file per task (the distributed
     analog of ipc::MakeFileWriter). With `partition_by`, rows land in
     hive-style key=value directories; the frame is pre-shuffled on the
     partition keys so each task holds few distinct keys (bounded open
-    writers — the standard dynamic-partition-write discipline)."""
+    writers — the standard dynamic-partition-write discipline).
+    `dict_encode` columns are dictionary-encoded on the wire (the
+    physical encoding the reference's IPC writer emits for categorical
+    columns — type_fwd.h DICTIONARY); the engine's reader decodes them
+    transparently (types.py), so the round trip is logically lossless
+    while the file stores each distinct value once per batch."""
     os.makedirs(path, exist_ok=True)
     partition_by = list(partition_by)
     if partition_by:
@@ -267,8 +273,20 @@ def write_ipc(
                 writers[key] = w
             return w
 
+        def _encode(b: pa.RecordBatch) -> pa.RecordBatch:
+            if not dict_encode:
+                return b
+            import pyarrow.compute as pc
+
+            cols = [
+                pc.dictionary_encode(c) if b.schema.names[i] in dict_encode else c
+                for i, c in enumerate(b.columns)
+            ]
+            return pa.RecordBatch.from_arrays(cols, names=b.schema.names)
+
         try:
             for b in batches:
+                b = _encode(b)
                 if not partition_by:
                     writer_for((), b.schema).write_batch(b)
                     continue

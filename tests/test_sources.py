@@ -161,3 +161,27 @@ def test_ipc_schema_evolution_unifies_fragments(spark, tmp_path):
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows == {1: None, 2: None, 3: 9.5}
     assert dict(df.dtypes)["score"] == "double"
+
+
+def test_ipc_dictionary_encoded_write_round_trip(spark, tmp_path):
+    """dict_encode columns hit the wire as DICTIONARY (footer-visible)
+    and decode back transparently on read."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from arrow_spark.sources.ipc import read_ipc, write_ipc
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'red' WHEN id % 3 = 1 THEN 'green' ELSE 'blue' END AS color"
+    )
+    out = str(tmp_path / "dictenc")
+    write_ipc(df.coalesce(1), out, dict_encode=["color"])
+    import glob
+
+    (f,) = glob.glob(out + "/*.arrow")
+    with ipc.open_file(f) as r:
+        assert pa.types.is_dictionary(r.schema.field("color").type)
+    got = read_ipc(spark, out)
+    assert dict(got.dtypes)["color"] == "string"
+    assert got.count() == 1000
+    assert got.where("color = 'red'").count() == 334
