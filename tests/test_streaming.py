@@ -184,3 +184,46 @@ def test_sessionize_gap_semantics(spark):
     out = {r.event_id: r.session_seq for r in
            sessionize(df, "user_id", "ts", 1800, tiebreak=["event_id"]).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_stream_cdc_upsert_folds_into_snapshot(spark, tmp_path):
+    """foreachBatch CDC apply: two change waves land in the snapshot as
+    latest-version-wins with tombstones removed."""
+    import pyspark.sql.types as T
+
+    from arrow_spark.streaming import stream_from_directory
+    from arrow_spark.streaming.upsert import apply_cdc_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    import pandas as pd
+
+    wave1 = pd.DataFrame(
+        {"k": ["a", "b"], "seq": [1, 1], "v": [10, 20], "deleted": [False, False]}
+    )
+    wave2 = pd.DataFrame(
+        {"k": ["a", "b", "c"], "seq": [2, 2, 2], "v": [11, 0, 30],
+         "deleted": [False, True, False]}
+    )
+    spark.createDataFrame(wave1, schema).write.parquet(src)
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+
+    changes = stream_from_directory(spark, src, schema)
+    q = apply_cdc_stream(
+        changes, snap, ["k"], "seq", "deleted",
+        checkpoint=str(tmp_path / "ckpt_cdc"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
+    assert got == {"a": 11, "c": 30}
