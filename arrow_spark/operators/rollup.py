@@ -42,6 +42,44 @@ def cascade_rollup(
     must hash-match.
     """
     order = [lv for lv in _LEVEL_ORDER if lv in levels]
+    return _cascade(df, ts_col, value_col, keys, levels, order)
+
+
+def refresh_rollup(
+    prev: DataFrame,
+    delta: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    level: str = "day",
+) -> DataFrame:
+    """Continuous-aggregate refresh: fold a raw ``delta`` into an
+    existing ``prev`` rollup at ``level`` WITHOUT rescanning history.
+    The delta is rolled up to the same level, then partials merge
+    (sum+sum, count+count, min∧min, max∨max) — algebraically exact for
+    the decomposable aggregates this frame carries, which is the whole
+    hypertable continuous-aggregate contract: the refresh touches only
+    the delta's buckets' worth of new data.
+
+    Scale: prev is bucket_count × keys rows (already tiny vs raw); the
+    delta pass is one groupBy over new rows only. An out-of-order
+    straggler lands correctly because merging partials is commutative —
+    no watermark needed at the rollup layer.
+    """
+    d = cascade_rollup(delta, ts_col, value_col, keys, levels=(level,))[level]
+    return (
+        prev.unionByName(d)
+        .groupBy("bucket", *[F.col(k) for k in keys])
+        .agg(
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("n_v").alias("n_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def _cascade(df, ts_col, value_col, keys, levels, order):
     if list(levels) != order:
         raise ValueError(f"levels must be increasing granularities, got {levels}")
     out: dict[str, DataFrame] = {}

@@ -242,3 +242,42 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     out = sessionize(e, "user_id", "ts", 1800, tiebreak=["event_id"])
     return out.select("event_id", "user_id", "session_seq")
+
+
+ROLLUP_REFRESH_ORACLE = """
+SELECT event_type,
+       date_trunc('day', ts)  AS bucket,
+       round(sum(value), 2)   AS sum_v,
+       count(value)           AS n_v,
+       round(min(value), 2)   AS min_v,
+       round(max(value), 2)   AS max_v
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("rollup_incremental_refresh", oracle=ROLLUP_REFRESH_ORACLE)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """continuous-aggregate refresh: the daily rollup of the first ~80%
+    of the stream is folded together with the late 20% delta via partial
+    merging (operators/rollup.py::refresh_rollup) — history is never
+    rescanned. The oracle aggregates ALL raw rows directly, so the hash
+    match proves the incremental path exactly equals a full recompute."""
+    from arrow_spark.operators.rollup import cascade_rollup, refresh_rollup
+
+    e = table(spark, sf_dir, "events")
+    cutoff = F.col("event_id") % 5 != 0  # deterministic 80/20 split
+    prev = cascade_rollup(
+        e.where(cutoff), "ts", "value", keys=["event_type"], levels=["day"]
+    )["day"]
+    merged = refresh_rollup(
+        prev, e.where(~cutoff), "ts", "value", keys=["event_type"], level="day"
+    )
+    return merged.select(
+        "event_type",
+        "bucket",
+        F.round("sum_v", 2).alias("sum_v"),
+        "n_v",
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+    )
