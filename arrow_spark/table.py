@@ -145,6 +145,34 @@ class Table:
         cond = _join_cond(ldf, rdf, lk, rk)
         return Table(ldf.join(rdf, cond, jt))
 
+    def join_asof(
+        self,
+        right: "Table",
+        on: str,
+        by: str | Sequence[str],
+        tolerance,
+        right_on: str | None = None,
+        right_by: str | Sequence[str] | None = None,
+    ) -> "Table":
+        """pyarrow Table.join_asof parity (table.pxi; AsofJoinNodeOptions
+        options.h:711-724): signed tolerance — matches right.on within
+        [on+tolerance, on] for negative tolerance (backward), [on,
+        on+tolerance] for positive (forward)."""
+        from pyspark.sql import functions as F
+
+        from arrow_spark.operators.asof import asof_join_arrow
+
+        lb = [by] if isinstance(by, str) else list(by)
+        rdf = right._df
+        if right_on is not None and right_on != on:
+            rdf = rdf.withColumnRenamed(right_on, on)
+        if right_by is not None:
+            rb = [right_by] if isinstance(right_by, str) else list(right_by)
+            for a, b in zip(rb, lb):
+                if a != b:
+                    rdf = rdf.withColumnRenamed(a, b)
+        return Table(asof_join_arrow(self._df, rdf, on, by=lb, tolerance=tolerance))
+
     def group_by(self, keys: str | Sequence[str]) -> "TableGroupBy":
         return TableGroupBy(self._df, [keys] if isinstance(keys, str) else list(keys))
 

@@ -63,3 +63,26 @@ def test_append_rename_drop(t):
 def test_eager_kernel_call(t):
     col = t.call_function("add", "v", "w")
     assert t.df.select(col.alias("s")).collect()[0].s == 11.0
+
+
+def test_join_asof_signed_tolerance(spark):
+    """Table.join_asof parity: negative tolerance = backward within
+    |tol| (pyarrow table.pxi semantics)."""
+    import pandas as pd
+
+    from arrow_spark.table import Table
+
+    quotes = Table.from_pandas(
+        spark,
+        pd.DataFrame({"t": [1, 5, 10], "k": ["x", "x", "x"], "px": [1.0, 2.0, 3.0]}),
+    )
+    trades = Table.from_pandas(
+        spark,
+        pd.DataFrame({"ts": [6, 12, 30], "sym": ["x", "x", "x"], "qty": [7, 8, 9]}),
+    )
+    out = quotes.join_asof(
+        trades, on="t", by="k", tolerance=-4, right_on="ts", right_by="sym"
+    )
+    rows = {r["t"]: r["qty"] for r in out.df.collect()}
+    # t=10 ← trade at 6 (within 4 back); t=1,5 have no trade ≤ them in range
+    assert rows == {1: None, 5: None, 10: 7}
