@@ -54,8 +54,14 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     # Left set for the session: the scan re-checks it lazily at execution.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        # NTZ wall-time == UTC instant here because the session tz is pinned
+        # UTC (see table()); casting keeps the wall clock and restores the
+        # TimestampType the temporal/window/watermark operators require.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
