@@ -218,9 +218,11 @@ class _Consumer:
         spark: SparkSession,
         table_provider: Callable[[Sequence[str]], DataFrame],
         functions: dict[int, str],
+        table_writer: Callable[[Sequence[str], DataFrame, int], None] | None = None,
     ):
         self.spark = spark
         self.provider = table_provider
+        self.writer = table_writer
         self.functions = functions  # anchor -> name (extension declarations)
         # subquery scopes: stack of enclosing-relation column lists for
         # OuterReference resolution; _mark_outer marks expressions that are
@@ -479,7 +481,9 @@ class _Consumer:
             7: self.project_rel,
             8: self.set_rel,
             12: self.cross_rel,
+            13: self.write_rel,
             17: self.window_rel,
+            20: self.expand_rel,
         }
         for n, h in handlers.items():
             if m.has(n):
@@ -722,6 +726,75 @@ class _Consumer:
             return fns[name](args[0])
         raise NotImplementedError(f"aggregate function {name!r} not supported")
 
+    def expand_rel(self, m: _Msg) -> DataFrame:
+        """ExpandRel { common=1, input=2, fields=3 }: emit one copy of
+        each input row per switching-duplicate; output = the declared
+        fields only. ExpandField is either consistent_field=3 (same
+        expression in every copy) or switching_expressions=2 (copy i
+        evaluates duplicates[i]) — algebra.proto field 20; reference
+        consumer cpp/src/arrow/engine/substrait/relation_internal.cc.
+
+        Spark-first: union-all of one projection per copy. This is the
+        same shape Catalyst's own Expand node lowers grouping sets to —
+        each branch stays in whole-stage codegen, no shuffle is added,
+        and the scan is reused across branches (Catalyst caches the
+        shared subplan)."""
+        df = self.rel(m.msg(2))
+        cols = df.columns
+        fields = m.msgs(3)
+        if not fields:
+            raise NotImplementedError("expand with no fields")
+        n_copies = max(
+            (len(f.msg(2).msgs(1)) for f in fields if f.has(2)), default=1
+        )
+        names = [f"{self._prefix}{j}" for j in range(len(fields))]
+        out = None
+        for i in range(n_copies):
+            row = []
+            for j, fld in enumerate(fields):
+                if fld.has(2):
+                    dups = fld.msg(2).msgs(1)
+                    if len(dups) != n_copies:
+                        raise ValueError(
+                            "switching fields must agree on duplicate count"
+                        )
+                    row.append(self.expr(dups[i], cols).alias(names[j]))
+                elif fld.has(3):
+                    row.append(self.expr(fld.msg(3), cols).alias(names[j]))
+                else:
+                    raise NotImplementedError(
+                        f"expand field kinds {sorted(fld.f)} not supported"
+                    )
+            branch = df.select(*row)
+            out = branch if out is None else out.union(branch)
+        return self._emit(out, m.msg(1), names=names)
+
+    def write_rel(self, m: _Msg) -> DataFrame:
+        """WriteRel { named_table=1, table_schema=3, op=4, input=5,
+        output=6, common=7 } — algebra.proto field 13; reference consumer
+        relation_internal.cc (Acero write node → dataset sink).
+
+        The input frame is renamed to table_schema.names (when present)
+        and handed to the session's table_writer callback — the Spark
+        analog of Acero's pluggable write node; the default writer in
+        ``run_substrait`` appends/overwrites a saveAsTable. Returns the
+        written rows (MODIFIED_RECORDS) or an empty frame (NO_OUTPUT),
+        per WriteRel.output_mode."""
+        if not m.has(1):
+            raise NotImplementedError("only named_table writes supported")
+        df = self.rel(m.msg(5))
+        schema = m.msg(3)
+        out_names = schema.strs(1) if schema else []
+        named = df.toDF(*out_names) if len(out_names) == len(df.columns) else df
+        op = m.u64(4, 1)  # 1=INSERT 2=DELETE 3=UPDATE 4=CTAS
+        if op not in (1, 4):
+            raise NotImplementedError(f"write op {op} not supported")
+        if self.writer is None:
+            raise ValueError("plan contains a WriteRel; pass table_writer=")
+        self.writer(m.msg(1).strs(1), named, op)
+        out = named.limit(0) if m.u64(6, 2) == 1 else named
+        return self._positional(out)
+
     def set_rel(self, m: _Msg) -> DataFrame:
         inputs = [self.rel(r) for r in m.msgs(2)]
         op = m.u64(3)
@@ -750,20 +823,37 @@ def _extension_functions(plan: _Msg) -> dict[int, str]:
     return out
 
 
+def default_table_writer(
+    spark: SparkSession,
+) -> Callable[[Sequence[str], DataFrame, int], None]:
+    """WriteRel sink: INSERT appends to, CTAS (re)creates, a catalog
+    table named by the dotted NamedObjectWrite path — Spark's durable
+    equivalent of Acero's dataset-write node."""
+
+    def write(names: Sequence[str], df: DataFrame, op: int) -> None:
+        qname = ".".join(names)
+        df.write.mode("append" if op == 1 else "overwrite").saveAsTable(qname)
+
+    return write
+
+
 def run_substrait(
     spark: SparkSession,
     plan_bytes: bytes,
     table_provider: Callable[[Sequence[str]], DataFrame],
+    table_writer: Callable[[Sequence[str], DataFrame, int], None] | None = None,
 ) -> DataFrame:
     """Execute a serialized substrait.Plan against Spark
     (pyarrow.substrait.run_query parity — serde.h:106).
 
     `table_provider` maps a qualified-name list (NamedTable.names) to a
-    DataFrame, exactly like run_query's table_provider. The final
+    DataFrame, exactly like run_query's table_provider. `table_writer`
+    receives (names, frame, write_op) for each WriteRel — pass
+    ``default_table_writer(spark)`` for saveAsTable semantics. The final
     DataFrame carries RelRoot.names.
     """
     plan = _Msg(bytes(plan_bytes))
-    consumer = _Consumer(spark, table_provider, _extension_functions(plan))
+    consumer = _Consumer(spark, table_provider, _extension_functions(plan), table_writer)
     for prel in plan.msgs(3):  # PlanRel { rel=1 | root=2 }
         root = prel.msg(2)
         if root is not None:

@@ -171,7 +171,8 @@ def agg_fn(anchor: int, args: list[bytes], output: bytes, distinct: bool = False
 
 def rel(kind: str, payload: bytes) -> bytes:
     nums = {"read": 1, "filter": 2, "fetch": 3, "aggregate": 4, "sort": 5,
-            "join": 6, "project": 7, "set": 8, "cross": 12}
+            "join": 6, "project": 7, "set": 8, "cross": 12, "write": 13,
+            "expand": 20}
     return f_msg(nums[kind], payload)
 
 
@@ -242,6 +243,35 @@ def join_rel(left: bytes, right: bytes, condition: bytes, join_type: int = 1) ->
 
 def set_rel(inputs: list[bytes], op: int = 6) -> bytes:
     return rel("set", b"".join(f_msg(2, r) for r in inputs) + f_varint(3, op))
+
+
+def expand_field_consistent(expr: bytes) -> bytes:
+    """ExpandField { consistent_field=3 }: same expression in every copy."""
+    return f_msg(3, expr)
+
+
+def expand_field_switching(duplicates: list[bytes]) -> bytes:
+    """ExpandField { switching_expressions=2 → SwitchingField.duplicates=1 }:
+    copy i evaluates duplicates[i]."""
+    return f_msg(2, b"".join(f_msg(1, d) for d in duplicates))
+
+
+def expand_rel(input_rel: bytes, fields: list[bytes]) -> bytes:
+    """ExpandRel { common=1, input=2, fields=3 } (algebra.proto field 20)."""
+    return rel("expand", f_msg(2, input_rel) + b"".join(f_msg(3, f) for f in fields))
+
+
+def write_rel_named(input_rel: bytes, table_names: list[str],
+                    col_names: list[str] | None = None,
+                    op: int = 1, output_mode: int = 2) -> bytes:
+    """WriteRel { named_table=1, table_schema=3, op=4, input=5, output=6 }
+    (algebra.proto field 13). op: 1=INSERT 2=DELETE 3=UPDATE 4=CTAS;
+    output_mode: 1=NO_OUTPUT 2=MODIFIED_RECORDS."""
+    body = f_msg(1, b"".join(f_str(1, n) for n in table_names))
+    if col_names is not None:
+        body += f_msg(3, b"".join(f_str(1, n) for n in col_names))
+    body += f_varint(4, op) + f_msg(5, input_rel) + f_varint(6, output_mode)
+    return rel("write", body)
 
 
 # -- plan assembly ----------------------------------------------------------

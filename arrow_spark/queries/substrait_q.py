@@ -285,3 +285,88 @@ def substrait_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_substrait(
         spark, _grouping_sets_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
     )
+
+
+SUBSTRAIT_EXPAND_ORACLE = """
+SELECT l_returnflag, kind, SUM(v) AS val, COUNT(*) AS n FROM (
+  SELECT l_returnflag, l_quantity AS v, 'qty' AS kind FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 1.0 AS v, 'rows' AS kind FROM lineitem
+) GROUP BY l_returnflag, kind
+"""
+
+
+def _expand_plan_bytes() -> bytes:
+    read = B.read_named(["lineitem"], ["l_returnflag", "l_quantity"], ["string", "fp64"])
+    ex = B.expand_rel(
+        read,
+        [
+            B.expand_field_consistent(B.field_ref(0)),
+            B.expand_field_switching([B.field_ref(1), B.lit_fp64(1.0)]),
+            B.expand_field_switching([B.lit_str("qty"), B.lit_str("rows")]),
+        ],
+    )
+    agg = B.aggregate_rel(
+        ex,
+        [B.field_ref(0), B.field_ref(2)],
+        [B.agg_fn(1, [B.field_ref(1)], B.typ("fp64")), B.agg_fn(2, [], B.typ("i64"))],
+    )
+    return B.plan(
+        agg,
+        ["l_returnflag", "kind", "val", "n"],
+        functions={1: (B.URI_ARITH, "sum"), 2: (B.URI_AGG, "count")},
+    )
+
+
+@query("substrait_expand", oracle=SUBSTRAIT_EXPAND_ORACLE)
+def substrait_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpandRel (row duplication with switching fields — the grouping-
+    sets building block, algebra.proto field 20) consumed as a union-all
+    of codegen'd projections, then aggregated. Whole-number sums keep the
+    value hash order-independent (reference consumer:
+    cpp/src/arrow/engine/substrait/relation_internal.cc)."""
+    return run_substrait(
+        spark, _expand_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
+    )
+
+
+SUBSTRAIT_WRITE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
+def _write_plan_bytes() -> bytes:
+    read = B.read_named(
+        ["orders"], ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        ["i64", "string", "fp64"],
+    )
+    gt = B.scalar_fn(1, [B.field_ref(2), B.lit_fp64(400000.0)], output=B.typ("bool"))
+    w = B.write_rel_named(
+        B.filter_rel(read, gt),
+        ["substrait_write_out"],
+        col_names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        op=4,  # CTAS
+        output_mode=2,  # MODIFIED_RECORDS
+    )
+    return B.plan(
+        w, ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        functions={1: (B.URI_CMP, "gt")},
+    )
+
+
+@query("substrait_write", oracle=SUBSTRAIT_WRITE_ORACLE)
+def substrait_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WriteRel (CTAS to a named table, algebra.proto field 13) consumed
+    through the pluggable table_writer sink; MODIFIED_RECORDS returns the
+    written rows so the write path is oracle-checkable. The writer here
+    lands the frame as a temp view (a durable saveAsTable writer is
+    provided as default_table_writer)."""
+    from arrow_spark.plans.substrait import run_substrait as _run
+
+    def writer(names, df, op):
+        df.createOrReplaceTempView("__".join(names))
+
+    return _run(
+        spark, _write_plan_bytes(), lambda names: table(spark, sf_dir, names[0]), writer
+    )

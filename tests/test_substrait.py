@@ -364,3 +364,71 @@ def test_measure_filter(spark):
                   for r in run_substrait(spark, p, _spark_only(spark)).collect())
     # t: x→[1,3,5], y→[2,4];  v>2: x→3+5 (2 rows), y→4 (1 row)
     assert rows == [("x", 8, 2), ("y", 4, 1)]
+
+
+def test_expand_rel_switching_and_consistent(spark):
+    # Each input row duplicates twice: copy 0 carries (k, v, 'v'), copy 1
+    # carries (k, 100, 'c') — consistent field + two switching fields.
+    fields = [
+        B.expand_field_consistent(B.field_ref(0)),
+        B.expand_field_switching([B.field_ref(1), B.lit_i64(100)]),
+        B.expand_field_switching([B.lit_str("v"), B.lit_str("c")]),
+    ]
+    p = B.plan(B.expand_rel(READ_T, fields), ["k", "val", "kind"])
+    rows = sorted(
+        (r.k, r.val, r.kind)
+        for r in run_substrait(spark, p, _spark_only(spark)).collect()
+    )
+    want = sorted(
+        [("x", 1, "v"), ("y", 2, "v"), ("x", 3, "v"), ("y", 4, "v"), ("x", 5, "v")]
+        + [("x", 100, "c"), ("y", 100, "c"), ("x", 100, "c"), ("y", 100, "c"), ("x", 100, "c")]
+    )
+    assert rows == want
+
+
+def test_expand_rel_mismatched_duplicates_rejected(spark):
+    fields = [
+        B.expand_field_switching([B.field_ref(1), B.lit_i64(0)]),
+        B.expand_field_switching([B.lit_i64(1)]),
+    ]
+    p = B.plan(B.expand_rel(READ_T, fields), ["a", "b"])
+    with pytest.raises(ValueError, match="duplicate count"):
+        run_substrait(spark, p, _spark_only(spark)).collect()
+
+
+def test_write_rel_modified_records_and_writer_callback(spark):
+    captured = {}
+
+    def writer(names, df, op):
+        captured["names"] = list(names)
+        captured["op"] = op
+        captured["rows"] = sorted((r.k, r.v) for r in df.collect())
+
+    gt = B.scalar_fn(1, [B.field_ref(1), B.lit_i64(2)], output=B.typ("bool"))
+    w = B.write_rel_named(
+        B.filter_rel(READ_T, gt), ["out", "t_big"], col_names=["k", "v"], op=4
+    )
+    p = B.plan(w, ["k", "v"], functions={1: (B.URI_CMP, "gt")})
+    rows = sorted(
+        (r.k, r.v)
+        for r in run_substrait(spark, p, _spark_only(spark), writer).collect()
+    )
+    assert rows == [("x", 3), ("x", 5), ("y", 4)]
+    assert captured["names"] == ["out", "t_big"]
+    assert captured["op"] == 4
+    assert captured["rows"] == rows
+
+
+def test_write_rel_no_output_mode(spark):
+    calls = []
+    w = B.write_rel_named(READ_T, ["sink"], op=1, output_mode=1)
+    p = B.plan(w, [])
+    out = run_substrait(spark, p, _spark_only(spark), lambda n, df, op: calls.append(op))
+    assert out.count() == 0
+    assert calls == [1]
+
+
+def test_write_rel_requires_writer(spark):
+    p = B.plan(B.write_rel_named(READ_T, ["sink"]), [])
+    with pytest.raises(ValueError, match="table_writer"):
+        run_substrait(spark, p, _spark_only(spark)).collect()
