@@ -108,6 +108,32 @@ HEADLINE = [
 ]
 
 
+def _host_calibration() -> dict[str, float]:
+    """Fixed single-thread CPU scores measured at bench time.
+
+    The host VM's absolute throughput varies between runs (measured
+    1.4-1.9× uniform swings across rounds with identical code, configs,
+    and plans — see SCALE.md 'Round-over-round variance'). These two
+    deterministic scores (pure-Python loop ≈ interpreter+memory latency;
+    numpy matmul ≈ vector ALU throughput) let any two BENCH_r{N}.json
+    lines be compared on a normalized basis: query_time / pyloop_sec is
+    stable where raw wall time is not.
+    """
+    import numpy as np
+
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    pyloop = time.perf_counter() - t0
+    a = np.full((1024, 1024), 1.0001)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        a = np.clip(a @ a, 0.5, 1.5)
+    matmul = time.perf_counter() - t0
+    return {"pyloop_sec": round(pyloop, 4), "matmul_sec": round(matmul, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -116,11 +142,15 @@ def main() -> None:
         sf = -1.0
     spark = get_spark("arrow_spark-bench")
     qs = load_all()
+    # archery-style subsetting for per-query regression diffs:
+    # SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,join_inner" runs just those.
+    only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+    headline = [q for q in HEADLINE if q in only] if only else HEADLINE
     # Warm the JVM + parquet footer caches with the cheapest query once.
     qs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name].fn
         # min of two runs: the host VM shows up-to-10× timing noise, and
         # min-of-2 reflects warm steady-state (what a long-running cluster
@@ -140,6 +170,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "calibration": _host_calibration(),
             }
         )
     )
