@@ -2,11 +2,14 @@
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (mapInPandas) so decode work distributes with the data.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED behind ``DecoderRegistry`` — either a clearly-marked
-NotImplementedError or a deterministic fake (for tests). Everything
-around the stub — schema contract, batch iteration, partition-parallel
-execution, metadata propagation — is real and tested.
+Decode kernels resolve through ``DecoderRegistry``. PNG and WAV are REAL
+pure-stdlib decoders (``llm/codecs.py``: zlib scanline unfiltering /
+wave PCM) registered by default; other mimes stay behind a
+clearly-marked NotImplementedError or a deterministic fake (for tests)
+because the container ships no external codec library (PIL/cv2/imageio
+probe negative — SCALE.md). The plumbing — schema contract, batch
+iteration, partition-parallel execution, metadata propagation — is the
+same for all of them.
 
 At 100 TB: binary payloads stay in executor memory one Arrow batch at a
 time (maxRecordsPerBatch bounds peak), feature outputs are columnar, and
@@ -79,6 +82,14 @@ class DecoderRegistry:
 
 DEFAULT_REGISTRY = DecoderRegistry()
 DEFAULT_REGISTRY.register("image/fake", fake_image_decode)
+
+# Real stdlib-backed codecs (llm/codecs.py). Imported lazily-safe: the
+# module itself is stdlib-only, so this cannot fail in this container.
+from arrow_spark.llm.codecs import png_features, wav_features  # noqa: E402
+
+DEFAULT_REGISTRY.register("image/png", png_features)
+DEFAULT_REGISTRY.register("audio/wav", wav_features)
+DEFAULT_REGISTRY.register("audio/x-wav", wav_features)
 
 
 def attach_binary_meta(
