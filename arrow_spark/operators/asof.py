@@ -253,11 +253,18 @@ def asof_join_arrow(
     by: Sequence[str] = (),
     tolerance=None,
     suffix: str = "_r",
+    left_cols: Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Arrow-exact signature: signed tolerance, backward when negative
-    (AsofJoinNodeOptions options.h:711-724)."""
+    (AsofJoinNodeOptions options.h:711-724). ``left_cols``/``right_cols``
+    prune each side to (by, on, requested) before execution so wide
+    frames never ship unrequested columns through the cogroup exchange."""
     direction, tol = _signed_to_direction(tolerance)
-    return asof_join(left, right, on, by=by, tolerance=tol, direction=direction, suffix=suffix)
+    return asof_join(
+        left, right, on, by=by, tolerance=tol, direction=direction, suffix=suffix,
+        left_cols=left_cols, right_cols=right_cols,
+    )
 
 
 def sorted_merge(inputs: Sequence[DataFrame], on: str, ascending: bool = True) -> DataFrame:

@@ -10,7 +10,8 @@ declared shape literally, we hand it to an optimizer.
 
 Supported factories (≡ SURVEY §2.1): table_source / named_table / scan,
 filter, project, aggregate (scalar + group-by), hashjoin, asofjoin,
-union, order_by, fetch, select_k, pivot_longer, write.
+union, order_by, fetch, select_k, pivot_longer, sorted_merge, tee,
+write.
 """
 
 from __future__ import annotations
@@ -148,13 +149,17 @@ def _asofjoin(spark, opts, ins):
 
     left = ins[0]
     out = left
-    for right in ins[1:]:
+    for i, right in enumerate(ins[1:]):
         out = asof_join_arrow(
             out,
             right,
             on=opts["on"],
             by=opts.get("by", ()),
             tolerance=opts.get("tolerance"),
+            # prune the original left only once: later folds' left side
+            # already carries the earlier rights' value columns
+            left_cols=opts.get("left_cols") if i == 0 else None,
+            right_cols=opts.get("right_cols"),
         )
     return out
 
@@ -200,6 +205,33 @@ def _pivot_longer(spark, opts, ins):
     )
 
 
+def _sorted_merge(spark, opts, ins):
+    """sorted_merge factory (exec_plan.cc:1105-1121 registry;
+    sorted_merge_node.cc): N pre-sorted inputs → one totally-ordered
+    stream. Options mirror OrderByNodeOptions' sort_keys subset: a
+    single (key, order) pair."""
+    from arrow_spark.operators.asof import sorted_merge
+
+    key, order = opts["sort_keys"][0] if "sort_keys" in opts else (opts["on"], "ascending")
+    return sorted_merge(ins, on=key, ascending=order.startswith("asc"))
+
+
+def _tee(spark, opts, ins):
+    """tee factory (exec_plan.cc:1105-1121): write the stream to a
+    dataset AND pass it through to the downstream node — Acero's
+    TeeNodeOptions is exactly a non-consuming write."""
+    from arrow_spark.sources.dataset import write_dataset
+
+    write_dataset(
+        ins[0],
+        opts["base_dir"],
+        fmt=opts.get("format", "parquet"),
+        partition_by=opts.get("partitioning", ()),
+        max_rows_per_file=opts.get("max_rows_per_file"),
+    )
+    return ins[0]
+
+
 def _write(spark, opts, ins):
     from arrow_spark.sources.dataset import write_dataset
 
@@ -228,5 +260,7 @@ _FACTORIES = {
     "fetch": _fetch,
     "select_k_sink": _select_k,
     "pivot_longer": _pivot_longer,
+    "sorted_merge": _sorted_merge,
+    "tee": _tee,
     "write": _write,
 }

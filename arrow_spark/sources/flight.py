@@ -31,13 +31,24 @@ def _flight():
         ) from e
 
 
-def list_flights(location: str) -> list[dict]:
+def _call_options(token: str | None):
+    """FlightCallOptions carrying a bearer token (server.h:248-311 auth
+    handler surface, client side). None → default options."""
+    flight = _flight()
+    if token is None:
+        return None
+    return flight.FlightCallOptions(
+        headers=[(b"authorization", f"Bearer {token}".encode())]
+    )
+
+
+def list_flights(location: str, token: str | None = None) -> list[dict]:
     """ListFlights (server.h:248): driver-side catalog listing — one dict
     per advertised flight: path, row/byte totals, endpoint count."""
     flight = _flight()
     client = flight.connect(location)
     out = []
-    for info in client.list_flights():
+    for info in client.list_flights(options=_call_options(token)):
         out.append(
             {
                 "path": [p.decode() for p in info.descriptor.path],
@@ -53,6 +64,7 @@ def start_flight_server(
     dfs: dict[str, DataFrame] | None = None,
     rows_per_endpoint: int = 65536,
     location: str = "grpc://127.0.0.1:0",
+    auth_token: str | None = None,
 ):
     """Serve engine results over Flight (server.h:248-311 — SURVEY §2.3's
     'Flight server exposing our engine' stretch goal).
@@ -68,6 +80,11 @@ def start_flight_server(
     lightweight exchange point between engines. DoAction 'list' returns
     the catalog; 'drop' unregisters.
 
+    ``auth_token`` enables bearer auth (server.h:248-311 auth-handler
+    parity): every RPC must carry ``authorization: Bearer <token>`` or is
+    rejected with UNAUTHENTICATED before the handler body runs — the
+    middleware sees only headers, never payloads.
+
     Returns the started server (daemon thread); call ``.shutdown()``.
     """
     import threading
@@ -75,9 +92,24 @@ def start_flight_server(
     flight = _flight()
     import pyarrow as pa
 
+    class _BearerMiddlewareFactory(flight.ServerMiddlewareFactory):
+        def __init__(self, token: str):
+            self._want = f"Bearer {token}"
+
+        def start_call(self, info, headers):
+            got = headers.get("authorization") or headers.get("Authorization") or []
+            if self._want not in got:
+                raise flight.FlightUnauthenticatedError(
+                    "missing or invalid bearer token"
+                )
+
+    middleware = (
+        {"auth": _BearerMiddlewareFactory(auth_token)} if auth_token else None
+    )
+
     class _EngineFlightServer(flight.FlightServerBase):
         def __init__(self):
-            super().__init__(location)
+            super().__init__(location, middleware=middleware or {})
             self.tables: dict[str, pa.Table] = {}
             # DoPut arrives on one gRPC stream PER UPLOADING PARTITION —
             # concurrent read-modify-writes on the same name lose batches
@@ -139,17 +171,23 @@ def start_flight_server(
     return srv
 
 
-def do_action(location: str, action_type: str, body: bytes = b"") -> list[bytes]:
+def do_action(
+    location: str, action_type: str, body: bytes = b"", token: str | None = None
+) -> list[bytes]:
     """DoAction (server.h:248-311): fire an opaque server action from the
     driver and collect its result payloads (admin/metadata ops —
     compaction triggers, cache drops, health checks)."""
     flight = _flight()
     client = flight.connect(location)
-    return [r.body.to_pybytes() for r in client.do_action((action_type, body))]
+    return [
+        r.body.to_pybytes()
+        for r in client.do_action((action_type, body), options=_call_options(token))
+    ]
 
 
 def exchange_flight(
-    df: DataFrame, location: str, descriptor_path: str, out_schema
+    df: DataFrame, location: str, descriptor_path: str, out_schema,
+    token: str | None = None,
 ) -> DataFrame:
     """DoExchange: stream each partition to the server and read the
     server's transformed stream back — remote compute as a relational
@@ -163,7 +201,14 @@ def exchange_flight(
 
         client = fl.connect(location)
         descriptor = fl.FlightDescriptor.for_path(descriptor_path)
-        writer, reader = client.do_exchange(descriptor)
+        opts = (
+            fl.FlightCallOptions(
+                headers=[(b"authorization", f"Bearer {token}".encode())]
+            )
+            if token is not None
+            else None
+        )
+        writer, reader = client.do_exchange(descriptor, options=opts)
         batches = iter(batches)
         try:
             first = next(batches)
@@ -182,17 +227,20 @@ def exchange_flight(
     return df.mapInArrow(exchange_partition, schema=out_schema)
 
 
-def read_flight(spark: SparkSession, location: str, descriptor_path: str) -> DataFrame:
+def read_flight(
+    spark: SparkSession, location: str, descriptor_path: str, token: str | None = None
+) -> DataFrame:
     """Read a Flight dataset: one Spark task per Flight endpoint.
 
     GetFlightInfo happens on the driver (metadata only); each task opens
     DoGet(ticket) against the endpoint's preferred location and streams
-    RecordBatches through mapInArrow.
+    RecordBatches through mapInArrow. ``token`` rides along to every
+    executor task as a closure constant (bearer-auth servers).
     """
     flight = _flight()
     client = flight.connect(location)
     descriptor = flight.FlightDescriptor.for_path(descriptor_path)
-    info = client.get_flight_info(descriptor)
+    info = client.get_flight_info(descriptor, options=_call_options(token))
     from pyspark.sql.pandas.types import from_arrow_schema
 
     spark_schema = from_arrow_schema(info.schema)
@@ -216,19 +264,28 @@ def read_flight(spark: SparkSession, location: str, descriptor_path: str) -> Dat
     def read_endpoint(batches):
         import pyarrow.flight as fl
 
+        opts = (
+            fl.FlightCallOptions(
+                headers=[(b"authorization", f"Bearer {token}".encode())]
+            )
+            if token is not None
+            else None
+        )
         for b in batches:
             tickets = b.column("ticket").to_pylist()
             locs = b.column("location").to_pylist()
             for raw, loc in zip(tickets, locs):
                 cl = fl.connect(loc)
-                reader = cl.do_get(fl.Ticket.deserialize(raw))
+                reader = cl.do_get(fl.Ticket.deserialize(raw), options=opts)
                 for chunk in reader:
                     yield chunk.data
 
     return eps_df.mapInArrow(read_endpoint, schema=spark_schema)
 
 
-def write_flight(df: DataFrame, location: str, descriptor_path: str) -> None:
+def write_flight(
+    df: DataFrame, location: str, descriptor_path: str, token: str | None = None
+) -> None:
     """DoPut: one upload stream per partition."""
     _flight()
     schema_df = df
@@ -239,11 +296,18 @@ def write_flight(df: DataFrame, location: str, descriptor_path: str) -> None:
 
         client = fl.connect(location)
         descriptor = fl.FlightDescriptor.for_path(descriptor_path)
+        opts = (
+            fl.FlightCallOptions(
+                headers=[(b"authorization", f"Bearer {token}".encode())]
+            )
+            if token is not None
+            else None
+        )
         writer = None
         try:
             for b in batches:
                 if writer is None:
-                    writer, _ = client.do_put(descriptor, b.schema)
+                    writer, _ = client.do_put(descriptor, b.schema, options=opts)
                 writer.write_batch(b)
         finally:
             if writer is not None:

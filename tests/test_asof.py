@@ -159,3 +159,37 @@ def test_merge_path_prunes_unrequested_columns(spark):
     assert "fat_payload" not in physical and "fat_quote" not in physical
     rows = {(r.t, r.qty, r.px) for r in out.collect()}
     assert rows == {(1, 10, 1.5), (5, 20, 1.5)}
+
+
+def test_arrow_facade_and_declaration_prune(spark):
+    # VERDICT r2 item 8: the Arrow-exact facade and the Declaration
+    # factory both forward left_cols/right_cols into the operator.
+    from arrow_spark.operators.asof import asof_join_arrow
+    from arrow_spark.plans import Declaration
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [2, 9], "v": [1, 2], "wide": ["x" * 8] * 2})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "t": [1], "px": [2.5], "wide_r": ["y" * 8]})
+    )
+    out = asof_join_arrow(
+        left, right, on="t", by=["k"], tolerance=-10,
+        left_cols=["v"], right_cols=["px"],
+    )
+    assert sorted(out.columns) == ["k", "px", "t", "t_r", "v"]
+    assert {(r.t, r.v, r.px) for r in out.collect()} == {(2, 1, 2.5), (9, 2, 2.5)}
+
+    plan = Declaration(
+        "asofjoin",
+        {"on": "t", "by": ["k"], "tolerance": -10,
+         "left_cols": ["v"], "right_cols": ["px"]},
+        inputs=[
+            Declaration("table_source", {"dataframe": left}),
+            Declaration("table_source", {"dataframe": right}),
+        ],
+    )
+    got = plan.to_dataframe(spark)
+    assert sorted(got.columns) == ["k", "px", "t", "t_r", "v"]
+    physical = got._jdf.queryExecution().executedPlan().toString()
+    assert "wide" not in physical

@@ -130,3 +130,50 @@ def test_aggregate_with_segment_keys(spark, sf_dir):
         .agg(F.count("l_quantity").alias("n"))
     )
     assert got == {(r.l_returnflag, r.l_linestatus): r.n for r in twin.collect()}
+
+
+def test_sorted_merge_factory(spark, sf_dir):
+    evens = Declaration(
+        "filter",
+        {"filter_expression": F.col("o_orderkey") % 2 == 0},
+        inputs=[Declaration("scan", {"path": f"{sf_dir}/orders.parquet",
+                                     "columns": ["o_orderkey", "o_totalprice"]})],
+    )
+    odds = Declaration(
+        "filter",
+        {"filter_expression": F.col("o_orderkey") % 2 == 1},
+        inputs=[Declaration("scan", {"path": f"{sf_dir}/orders.parquet",
+                                     "columns": ["o_orderkey", "o_totalprice"]})],
+    )
+    plan = Declaration(
+        "sorted_merge", {"sort_keys": [("o_orderkey", "ascending")]},
+        inputs=[evens, odds],
+    )
+    got = [r.o_orderkey for r in plan.to_dataframe(spark).collect()]
+    assert got == sorted(got)
+    assert len(got) == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def test_tee_factory_writes_and_passes_through(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "tee_out")
+    plan = Declaration(
+        "fetch", {"count": 5},
+        inputs=[
+            Declaration(
+                "tee", {"base_dir": out_dir},
+                inputs=[
+                    Declaration(
+                        "scan",
+                        {"path": f"{sf_dir}/region.parquet",
+                         "columns": ["r_regionkey", "r_name"]},
+                    )
+                ],
+            )
+        ],
+    )
+    passed = plan.to_dataframe(spark)
+    assert passed.count() == 5
+    written = spark.read.parquet(out_dir)
+    assert sorted(r.r_name for r in written.collect()) == sorted(
+        r.r_name for r in spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    )

@@ -186,3 +186,35 @@ def test_engine_flight_server_serves_query_results(spark, sf_dir):
         assert sorted(r.n for r in round_tripped.collect()) == list(range(30))
     finally:
         srv.shutdown()
+
+
+def test_bearer_auth_required_and_accepted(spark):
+    """server.h:248-311 auth-handler parity: RPCs without the bearer
+    token are rejected UNAUTHENTICATED; with it, the full
+    list/get/read_flight path works."""
+    import pyarrow.flight as fl
+
+    from arrow_spark.sources.flight import do_action, start_flight_server
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    srv = start_flight_server({"nums": df}, auth_token="sekrit-42")
+    loc = f"grpc://127.0.0.1:{srv.port}"
+    try:
+        # no token → rejected before the handler body runs
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            list_flights(loc)
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            do_action(loc, "list")
+        # wrong token → rejected
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            list_flights(loc, token="wrong")
+        # right token → catalog, action, and the distributed DoGet path
+        assert list_flights(loc, token="sekrit-42")[0]["path"] == ["nums"]
+        assert do_action(loc, "list", token="sekrit-42") == [b"nums"]
+        got = read_flight(spark, loc, "nums", token="sekrit-42")
+        assert sorted(r.v for r in got.collect()) == list(range(10))
+        # executor-side DoPut with the token, then read the table back
+        write_flight(df.selectExpr("v + 100 as v"), loc, "uploaded", token="sekrit-42")
+        assert b"uploaded" in do_action(loc, "list", token="sekrit-42")
+    finally:
+        srv.shutdown()
