@@ -781,3 +781,26 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.round(F.element_at("features", 6), 6).alias("amp"),
     )
+
+
+BLOOM_LOOKUP_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+"""
+
+
+@query("parquet_bloom_point_lookup", oracle=BLOOM_LOOKUP_ORACLE)
+def parquet_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned parquet point lookup (bloom_filter_reader.cc analog):
+    a distributed sidecar bloom index over the orders file prunes row
+    groups driver-side; only admitted row groups are scanned, with the
+    exact predicate re-applied (false positives cost I/O, not
+    correctness). The probe key is min(o_orderkey) — one scalar of
+    metadata — so the oracle is pure SQL."""
+    from arrow_spark.sources.bloom_index import build_bloom_index, point_lookup
+
+    path = f"{sf_dir}/orders.parquet"
+    probe = spark.read.parquet(path).agg(F.min("o_orderkey")).collect()[0][0]
+    index = build_bloom_index(spark, path, "o_orderkey")
+    out = point_lookup(spark, path, "o_orderkey", int(probe), index)
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")

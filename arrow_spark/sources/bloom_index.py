@@ -1,0 +1,189 @@
+"""Parquet bloom-filter row-group pruning (reference analog:
+cpp/src/parquet/bloom_filter_reader.cc + bloom_filter.h).
+
+Spark's native parquet reader prunes row groups on min/max statistics
+only; the reference additionally consults per-row-group bloom filters,
+which is what makes needle-in-haystack point lookups cheap on columns
+whose values are NOT clustered (min/max ranges overlap every row group,
+but each bloom excludes most of them). Neither Spark nor this build of
+pyarrow (16.1 — probed, no read or write surface) exposes the parquet-
+native bloom pages, so this module re-creates the capability as a
+SIDECAR INDEX, engine-owned end to end:
+
+- ``build_bloom_index``: one Spark task per data file opens the footer
+  with pyarrow, streams each row group's column, and emits
+  (file, row_group, num_rows, bloom_bitmap) rows — the index build is
+  distributed, payload bytes never reach the driver, and the result is
+  a tiny DataFrame (#row-groups × bloom_bytes) you persist next to the
+  dataset.
+- ``point_lookup``: reads the index (driver-side metadata, KB–MB),
+  keeps only row groups whose bloom may contain the probe value, and
+  scans JUST those row groups via one Spark task per candidate
+  (pyarrow ``read_row_group``) with the exact filter re-applied.
+
+At 100 TB: a 4 KiB bloom per row group over ~100k row groups is a
+~400 MB index — a broadcast-sized frame that turns a full-table point
+lookup into a handful of row-group reads, exactly the
+bloom_filter_reader.cc trade. False positives only cost extra row-group
+scans; correctness comes from the exact filter on the pruned scan.
+
+The bloom itself is the standard k-hash-double-hashing construction
+(h_i = h1 + i·h2 mod m) over crc32/md5 — deterministic across Python
+processes, no seed state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _hash_pair(value: object) -> tuple[int, int]:
+    raw = repr(value).encode("utf-8")
+    h1 = zlib.crc32(raw)
+    h2 = int.from_bytes(hashlib.md5(raw).digest()[:4], "big") | 1  # odd → full cycle
+    return h1, h2
+
+
+def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for expected insertions at target fpp."""
+    expected = max(1, expected)
+    m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8  # byte-align
+    k = max(1, round(m / expected * math.log(2)))
+    return m, k
+
+
+def _bloom_add(bits: bytearray, m: int, k: int, value: object) -> None:
+    h1, h2 = _hash_pair(value)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        bits[pos >> 3] |= 1 << (pos & 7)
+
+
+def _bloom_may_contain(bits: bytes, m: int, k: int, value: object) -> bool:
+    h1, h2 = _hash_pair(value)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("row_group", T.IntegerType(), False),
+        T.StructField("num_rows", T.LongType(), False),
+        T.StructField("m_bits", T.IntegerType(), False),
+        T.StructField("k_hashes", T.IntegerType(), False),
+        T.StructField("bloom", T.BinaryType(), False),
+    ]
+)
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    return [path]
+
+
+def build_bloom_index(
+    spark: SparkSession, path: str, column: str, fpp: float = 0.01
+) -> DataFrame:
+    """Distributed sidecar-bloom build: one task per parquet file, one
+    bloom per row group over ``column``. Returns the index DataFrame
+    (INDEX_SCHEMA); persist it wherever the dataset's metadata lives."""
+    files = _list_parquet_files(spark, path)
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "file: string"
+    ).repartition(max(1, len(files)))
+
+    def scan_footers(iterator):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in iterator:
+            out = []
+            for fname in pdf["file"]:
+                pf = pq.ParquetFile(fname)
+                for rg in range(pf.metadata.num_row_groups):
+                    tbl = pf.read_row_group(rg, columns=[column])
+                    vals = tbl.column(0).to_pylist()
+                    m, k = _bloom_params(len(vals), fpp)
+                    bits = bytearray(m // 8)
+                    for v in vals:
+                        if v is not None:
+                            _bloom_add(bits, m, k, v)
+                    out.append((fname, rg, len(vals), m, k, bytes(bits)))
+            yield pd.DataFrame(
+                out,
+                columns=["file", "row_group", "num_rows", "m_bits", "k_hashes", "bloom"],
+            )
+
+    return files_df.mapInPandas(scan_footers, schema=INDEX_SCHEMA)
+
+
+def prune_row_groups(index_rows: list, value: object) -> list[tuple[str, int]]:
+    """Driver-side pruning: (file, row_group) pairs whose bloom may
+    contain ``value`` — the read set for the point lookup."""
+    return [
+        (r["file"], r["row_group"])
+        for r in index_rows
+        if _bloom_may_contain(r["bloom"], r["m_bits"], r["k_hashes"], value)
+    ]
+
+
+def point_lookup(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    index: DataFrame,
+    out_schema=None,
+) -> DataFrame:
+    """Bloom-pruned point lookup: scan ONLY row groups the index admits.
+
+    ``index`` is a build_bloom_index result (or a re-read persisted copy).
+    The candidate list is index metadata (small); each candidate row
+    group is read by its own Spark task with the exact predicate
+    re-applied, so bloom false positives cost I/O, never correctness.
+    """
+    candidates = prune_row_groups(index.collect(), value)
+    if out_schema is None:
+        from pyspark.sql.pandas.types import from_arrow_schema
+        import pyarrow.parquet as pq
+
+        files = _list_parquet_files(spark, path)
+        out_schema = from_arrow_schema(pq.read_schema(files[0]))
+    if not candidates:
+        return spark.createDataFrame([], out_schema)
+    cand_df = spark.createDataFrame(
+        candidates, "file: string, row_group: int"
+    ).repartition(len(candidates))
+
+    # mapInArrow keeps the row-group bytes in Arrow end to end.
+    def read_arrow(batches):
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+
+        for b in batches:
+            for fname, rg in zip(
+                b.column("file").to_pylist(), b.column("row_group").to_pylist()
+            ):
+                tbl = pq.ParquetFile(fname).read_row_group(int(rg))
+                tbl = tbl.filter(pc.equal(tbl.column(column), value))
+                for out in tbl.to_batches():
+                    if out.num_rows:
+                        yield out
+
+    return cand_df.mapInArrow(read_arrow, schema=out_schema)

@@ -1,0 +1,74 @@
+"""Sidecar bloom index: row-group pruning for point lookups
+(bloom_filter_reader.cc analog — see sources/bloom_index.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arrow_spark.sources.bloom_index import (
+    build_bloom_index,
+    point_lookup,
+    prune_row_groups,
+)
+
+
+@pytest.fixture(scope="module")
+def rg_dataset(tmp_path_factory):
+    """One parquet file, 8 row groups of 1000 rows; keys are hashed so
+    min/max stats overlap every row group (the case min/max pruning
+    cannot help with) but each key lives in exactly one group."""
+    path = str(tmp_path_factory.mktemp("bloomds") / "data.parquet")
+    n, rg_size = 8000, 1000
+    keys = [(i * 2654435761) % (1 << 31) for i in range(n)]
+    vals = [f"row-{i}" for i in range(n)]
+    tbl = pa.table({"key": pa.array(keys, pa.int64()), "val": vals})
+    pq.write_table(tbl, path, row_group_size=rg_size)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 8
+    return path, keys
+
+
+def test_index_shape_and_pruning_skips_row_groups(spark, rg_dataset):
+    path, keys = rg_dataset
+    index = build_bloom_index(spark, path, "key", fpp=0.01).collect()
+    assert len(index) == 8
+    assert all(r["num_rows"] == 1000 for r in index)
+    # a present key: its true row group always survives; at fpp=1% the
+    # expected candidate count is ~1 + 7*0.01 — pin "skips most groups"
+    probe = keys[4321]
+    cands = prune_row_groups([r.asDict() for r in index], probe)
+    assert ("data.parquet" in cands[0][0]) and len(cands) <= 3
+    assert (path, 4) in cands  # row 4321 lives in row group 4
+    # an absent key: overwhelmingly likely zero candidates at 1% fpp × 8
+    absent_cands = prune_row_groups([r.asDict() for r in index], -99999)
+    assert len(absent_cands) <= 2
+
+
+def test_point_lookup_reads_only_candidates_and_is_exact(spark, rg_dataset):
+    path, keys = rg_dataset
+    index = build_bloom_index(spark, path, "key", fpp=0.01)
+    probe = keys[7001]
+    got = point_lookup(spark, path, "key", probe, index).collect()
+    assert [(r.key, r.val) for r in got] == [(probe, "row-7001")]
+    # absent value → empty result (and possibly zero tasks at all)
+    assert point_lookup(spark, path, "key", -5, index).count() == 0
+
+
+def test_point_lookup_multifile_directory(spark, tmp_path):
+    d = str(tmp_path / "multi")
+    os.makedirs(d)
+    for i in range(3):
+        tbl = pa.table(
+            {
+                "key": pa.array(range(i * 100, (i + 1) * 100), pa.int64()),
+                "val": [f"f{i}-{j}" for j in range(100)],
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, f"part-{i}.parquet"), row_group_size=50)
+    index = build_bloom_index(spark, d, "key")
+    assert index.count() == 6  # 3 files × 2 row groups
+    got = point_lookup(spark, d, "key", 205, index).collect()
+    assert [(r.key, r.val) for r in got] == [(205, "f2-5")]
