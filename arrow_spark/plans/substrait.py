@@ -482,7 +482,10 @@ class _Consumer:
             8: self.set_rel,
             12: self.cross_rel,
             13: self.write_rel,
+            14: self.ddl_rel,
             17: self.window_rel,
+            18: self.nested_loop_join_rel,
+            19: self.exchange_rel,
             20: self.expand_rel,
         }
         for n, h in handlers.items():
@@ -725,6 +728,83 @@ class _Consumer:
         if name in fns and len(args) == 1:
             return fns[name](args[0])
         raise NotImplementedError(f"aggregate function {name!r} not supported")
+
+    def nested_loop_join_rel(self, m: _Msg) -> DataFrame:
+        """NestedLoopJoinRel { common=1, left=2, right=3, expression=4,
+        type=5 } — algebra.proto field 18. The theta condition is
+        arbitrary (no equi-keys required); Spark-first this is the same
+        DataFrame join — Catalyst picks BroadcastNestedLoopJoin when no
+        equi-conjunct exists and the small side fits the broadcast
+        threshold, which is the scalable physical shape for theta joins.
+        No expression ⇒ always-true (the spec default)."""
+        left, right = self.rel(m.msg(2)), self.rel(m.msg(3))
+        nl = len(left.columns)
+        right_r = right.toDF(*[f"{self._prefix}g{i}" for i in range(len(right.columns))])
+        combined = left.columns + right_r.columns
+        jtype = {1: "inner", 2: "full_outer", 3: "left_outer", 4: "right_outer",
+                 5: "left_semi", 6: "left_anti"}[m.u64(5, 1)]
+        cond = self.expr(m.msg(4), combined) if m.has(4) else F.lit(True)
+        out = left.join(right_r, cond, jtype)
+        if jtype in ("left_semi", "left_anti"):
+            out = out.select(*left.columns)
+        else:
+            out = out.toDF(*[f"{self._prefix}{i}" for i in range(nl + len(right_r.columns))])
+        return self._emit(out, m.msg(1))
+
+    def exchange_rel(self, m: _Msg) -> DataFrame:
+        """ExchangeRel { common=1, input=2, partition_count=3,
+        scatter_by_fields=4 | single_target=5 | multi_target=6 |
+        round_robin=7 | broadcast=8 } — algebra.proto field 19.
+
+        Spark-first mapping: scatter → hash repartition on the fields
+        (an Exchange hashpartitioning), round-robin → repartition(n)
+        (RoundRobinPartitioning), broadcast → the broadcast hint
+        consumed by the next join. Row content is unchanged — only the
+        physical distribution moves, same as Acero's exchange."""
+        df = self.rel(m.msg(2))
+        cols = df.columns
+        n = m.u64(3, 0)
+        if m.has(4):  # ScatterFields { fields=1 } — bare FieldReferences
+            keys = [F.col(cols[self.field_index(f)]) for f in m.msg(4).msgs(1)]
+            out = df.repartition(n, *keys) if n else df.repartition(*keys)
+        elif m.has(7):
+            out = df.repartition(n) if n else df.repartition()
+        elif m.has(8):
+            out = F.broadcast(df)
+        else:
+            raise NotImplementedError(
+                f"exchange kinds {sorted(m.f)} not supported (single/multi target)"
+            )
+        return self._emit(out, m.msg(1), names=cols)
+
+    def ddl_rel(self, m: _Msg) -> DataFrame:
+        """DdlRel { named_object=1, table_schema=3, object=5, op=6,
+        view_definition=7 } — algebra.proto field 14. Supported surface:
+        VIEW CREATE / CREATE_OR_REPLACE (registers the view_definition
+        as a session temp view) and TABLE/VIEW DROP / DROP_IF_EXIST.
+        Returns the defined view's frame (CREATE) or an empty frame
+        (DROP), positionally named like every relation."""
+        if not m.has(1):
+            raise NotImplementedError("only named_object DDL supported")
+        name = "_".join(m.msg(1).strs(1))
+        obj, op = m.u64(5, 1), m.u64(6, 1)
+        if op in (1, 2):  # CREATE / CREATE_OR_REPLACE
+            if obj != 2 or not m.has(7):
+                raise NotImplementedError("CREATE supported for VIEW with definition")
+            view = self._positional(self.rel(m.msg(7)))
+            schema = m.msg(3)
+            out_names = schema.strs(1) if schema else []
+            registered = (
+                view.toDF(*out_names) if len(out_names) == len(view.columns) else view
+            )
+            registered.createOrReplaceTempView(name)
+            return view
+        if op in (4, 5):  # DROP / DROP_IF_EXIST
+            dropped = self.spark.catalog.dropTempView(name)
+            if not dropped and op == 4:
+                raise ValueError(f"view {name!r} does not exist")
+            return self._positional(self.spark.range(0).select())
+        raise NotImplementedError(f"ddl op {op} not supported")
 
     def expand_rel(self, m: _Msg) -> DataFrame:
         """ExpandRel { common=1, input=2, fields=3 }: emit one copy of

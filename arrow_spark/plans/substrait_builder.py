@@ -172,7 +172,7 @@ def agg_fn(anchor: int, args: list[bytes], output: bytes, distinct: bool = False
 def rel(kind: str, payload: bytes) -> bytes:
     nums = {"read": 1, "filter": 2, "fetch": 3, "aggregate": 4, "sort": 5,
             "join": 6, "project": 7, "set": 8, "cross": 12, "write": 13,
-            "expand": 20}
+            "ddl": 14, "nested_loop_join": 18, "exchange": 19, "expand": 20}
     return f_msg(nums[kind], payload)
 
 
@@ -243,6 +243,57 @@ def join_rel(left: bytes, right: bytes, condition: bytes, join_type: int = 1) ->
 
 def set_rel(inputs: list[bytes], op: int = 6) -> bytes:
     return rel("set", b"".join(f_msg(2, r) for r in inputs) + f_varint(3, op))
+
+
+def raw_field_ref(idx: int) -> bytes:
+    """Bare FieldReference message (not wrapped in Expression) — what
+    ExchangeRel.ScatterFields carries."""
+    seg = f_msg(2, f_varint(1, idx))  # StructField { field=1 }
+    return f_msg(1, seg) + f_msg(4, b"")  # direct_reference + RootReference
+
+
+def nested_loop_join_rel(left: bytes, right: bytes, expression: bytes | None = None,
+                         join_type: int = 1) -> bytes:
+    """NestedLoopJoinRel { common=1, left=2, right=3, expression=4,
+    type=5 } (algebra.proto field 18). No expression → always-true."""
+    body = f_msg(2, left) + f_msg(3, right)
+    if expression is not None:
+        body += f_msg(4, expression)
+    body += f_varint(5, join_type)
+    return rel("nested_loop_join", body)
+
+
+def exchange_rel(input_rel: bytes, partition_count: int = 0,
+                 scatter_fields: list[int] | None = None,
+                 round_robin: bool = False, broadcast: bool = False) -> bytes:
+    """ExchangeRel { common=1, input=2, partition_count=3,
+    scatter_by_fields=4 | round_robin=7 | broadcast=8 } (field 19)."""
+    body = f_msg(2, input_rel)
+    if partition_count:
+        body += f_varint(3, partition_count)
+    if scatter_fields is not None:
+        body += f_msg(4, b"".join(f_msg(1, raw_field_ref(i)) for i in scatter_fields))
+    elif round_robin:
+        body += f_msg(7, b"")
+    elif broadcast:
+        body += f_msg(8, b"")
+    return rel("exchange", body)
+
+
+def ddl_rel(table_names: list[str], obj: int, op: int,
+            view_definition: bytes | None = None,
+            col_names: list[str] | None = None,
+            col_kinds: list[str] | None = None) -> bytes:
+    """DdlRel { named_object=1, table_schema=3, object=5, op=6,
+    view_definition=7 } (algebra.proto field 14). obj: 1=TABLE 2=VIEW;
+    op: 1=CREATE 2=CREATE_OR_REPLACE 4=DROP 5=DROP_IF_EXIST."""
+    body = f_msg(1, b"".join(f_str(1, n) for n in table_names))
+    if col_names is not None:
+        body += f_msg(3, named_struct(col_names, col_kinds or []))
+    body += f_varint(5, obj) + f_varint(6, op)
+    if view_definition is not None:
+        body += f_msg(7, view_definition)
+    return rel("ddl", body)
 
 
 def expand_field_consistent(expr: bytes) -> bytes:

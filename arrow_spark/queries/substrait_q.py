@@ -370,3 +370,36 @@ def substrait_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark, _write_plan_bytes(), lambda names: table(spark, sf_dir, names[0]), writer
     )
+
+
+SUBSTRAIT_NLJ_ORACLE = """
+SELECT n_name, r_name
+FROM nation, region
+WHERE nation.n_regionkey <> region.r_regionkey
+"""
+
+
+def _nlj_plan_bytes() -> bytes:
+    nation = B.read_named(["nation"], ["n_name", "n_regionkey"], ["string", "i64"])
+    region = B.read_named(["region"], ["r_regionkey", "r_name"], ["i64", "string"])
+    neq = B.scalar_fn(1, [B.field_ref(1), B.field_ref(2)], output=B.typ("bool"))
+    nlj = B.nested_loop_join_rel(nation, region, expression=neq, join_type=1)
+    # exchange the result by n_name (ExchangeRel scatter) before emitting:
+    # exercises the repartition mapping inside a consumed plan
+    ex = B.exchange_rel(B.project_rel(nlj, [], emit=[0, 3]), partition_count=8,
+                        scatter_fields=[0])
+    return B.plan(
+        ex, ["n_name", "r_name"], functions={1: (B.URI_CMP, "not_equal")}
+    )
+
+
+@query("substrait_nested_loop_join", oracle=SUBSTRAIT_NLJ_ORACLE)
+def substrait_nested_loop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NestedLoopJoinRel (pure theta condition, algebra.proto field 18)
+    + ExchangeRel scatter (field 19) consumed into a DataFrame join —
+    Catalyst lowers the no-equi-conjunct condition to
+    BroadcastNestedLoopJoin with the 5-row region side broadcast, the
+    scalable physical shape for theta joins."""
+    return run_substrait(
+        spark, _nlj_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
+    )

@@ -432,3 +432,64 @@ def test_write_rel_requires_writer(spark):
     p = B.plan(B.write_rel_named(READ_T, ["sink"]), [])
     with pytest.raises(ValueError, match="table_writer"):
         run_substrait(spark, p, _spark_only(spark)).collect()
+
+
+def test_nested_loop_join_theta(spark):
+    # t.v < u.w/100 — pure theta condition, no equi-keys
+    lt = B.scalar_fn(1, [B.field_ref(1), B.field_ref(3)], output=B.typ("bool"))
+    nlj = B.nested_loop_join_rel(READ_T, READ_U, expression=lt, join_type=1)
+    p = B.plan(nlj, ["k", "v", "k2", "w"], functions={1: (B.URI_CMP, "lt")})
+    rows = sorted(
+        (r.k, r.v, r.k2, r.w)
+        for r in run_substrait(spark, p, _spark_only(spark)).collect()
+    )
+    want = sorted(
+        (k, v, k2, w)
+        for k, v in zip(["x", "y", "x", "y", "x"], [1, 2, 3, 4, 5])
+        for k2, w in zip(["x", "y", "z"], [100, 200, 300])
+        if v < w
+    )
+    assert rows == want
+
+
+def test_nested_loop_join_no_expression_is_cross(spark):
+    nlj = B.nested_loop_join_rel(READ_T, READ_U)
+    p = B.plan(nlj, ["k", "v", "k2", "w"])
+    assert run_substrait(spark, p, _spark_only(spark)).count() == 15
+
+
+def test_exchange_rel_scatter_and_broadcast(spark):
+    # scatter by k into 4 partitions: content unchanged, hash exchange in plan
+    ex = B.exchange_rel(READ_T, partition_count=4, scatter_fields=[0])
+    p = B.plan(ex, ["k", "v"])
+    df = run_substrait(spark, p, _spark_only(spark))
+    assert sorted((r.k, r.v) for r in df.collect()) == sorted(
+        zip(["x", "y", "x", "y", "x"], [1, 2, 3, 4, 5])
+    )
+    assert df.rdd.getNumPartitions() == 4
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in physical
+    # broadcast: content unchanged, hint survives to the consumer
+    bx = B.exchange_rel(READ_T, broadcast=True)
+    p2 = B.plan(bx, ["k", "v"])
+    assert run_substrait(spark, p2, _spark_only(spark)).count() == 5
+
+
+def test_ddl_rel_create_and_drop_view(spark):
+    big = B.scalar_fn(1, [B.field_ref(1), B.lit_i64(2)], output=B.typ("bool"))
+    create = B.ddl_rel(["ddl", "t_big"], obj=2, op=2,
+                       view_definition=B.filter_rel(READ_T, big),
+                       col_names=["k", "v"], col_kinds=["string", "i64"])
+    p = B.plan(create, ["k", "v"], functions={1: (B.URI_CMP, "gt")})
+    out = run_substrait(spark, p, _spark_only(spark))
+    assert sorted((r.k, r.v) for r in out.collect()) == [("x", 3), ("x", 5), ("y", 4)]
+    # the view is now addressable as a named_table by a SECOND plan
+    read_view = B.read_named(["ddl_t_big"], ["k", "v"], ["string", "i64"])
+    p2 = B.plan(read_view, ["k", "v"])
+    got = run_substrait(spark, p2, lambda names: spark.table(names[0]))
+    assert got.count() == 3
+    # drop, then DROP (strict) on the gone view raises
+    drop = B.ddl_rel(["ddl", "t_big"], obj=2, op=4)
+    run_substrait(spark, B.plan(drop, []), _spark_only(spark))
+    with pytest.raises(ValueError, match="does not exist"):
+        run_substrait(spark, B.plan(drop, []), _spark_only(spark))
