@@ -219,11 +219,15 @@ class _Consumer:
         table_provider: Callable[[Sequence[str]], DataFrame],
         functions: dict[int, str],
         table_writer: Callable[[Sequence[str], DataFrame, int], None] | None = None,
+        plan_rels: list["_Msg"] | None = None,
     ):
         self.spark = spark
         self.provider = table_provider
         self.writer = table_writer
         self.functions = functions  # anchor -> name (extension declarations)
+        # all PlanRel trees in declaration order — ReferenceRel targets
+        self.plan_rels = plan_rels or []
+        self._subtree_cache: dict[int, DataFrame] = {}
         # subquery scopes: stack of enclosing-relation column lists for
         # OuterReference resolution; _mark_outer marks expressions that are
         # evaluated in the enclosing scope but embedded inside a subquery
@@ -487,6 +491,7 @@ class _Consumer:
             18: self.nested_loop_join_rel,
             19: self.exchange_rel,
             20: self.expand_rel,
+            21: self.reference_rel,
         }
         for n, h in handlers.items():
             if m.has(n):
@@ -729,6 +734,21 @@ class _Consumer:
             return fns[name](args[0])
         raise NotImplementedError(f"aggregate function {name!r} not supported")
 
+    def reference_rel(self, m: _Msg) -> DataFrame:
+        """ReferenceRel { subtree_ordinal=1 } — algebra.proto field 21:
+        reference another PlanRel tree by declaration order (common-
+        subplan sharing from producers). Compiled once and cached at the
+        logical level; where the physical plan allows, Catalyst further
+        collapses the duplicates into a ReusedExchange."""
+        k = m.u64(1, 0)
+        if k >= len(self.plan_rels):
+            raise ValueError(
+                f"reference to subtree {k} but plan has {len(self.plan_rels)} relations"
+            )
+        if k not in self._subtree_cache:
+            self._subtree_cache[k] = self.rel(self.plan_rels[k])
+        return self._positional(self._subtree_cache[k])
+
     def nested_loop_join_rel(self, m: _Msg) -> DataFrame:
         """NestedLoopJoinRel { common=1, left=2, right=3, expression=4,
         type=5 } — algebra.proto field 18. The theta condition is
@@ -933,13 +953,26 @@ def run_substrait(
     DataFrame carries RelRoot.names.
     """
     plan = _Msg(bytes(plan_bytes))
-    consumer = _Consumer(spark, table_provider, _extension_functions(plan), table_writer)
+    # Collect every PlanRel tree first: non-root entries are subtrees
+    # that ReferenceRel addresses by declaration order.
+    rel_msgs: list[_Msg] = []
+    result_root = None
     for prel in plan.msgs(3):  # PlanRel { rel=1 | root=2 }
         root = prel.msg(2)
         if root is not None:
-            df = consumer.rel(root.msg(1))
-            names = root.strs(2)
-            return df.toDF(*names) if names else df
-        if prel.has(1):
-            return consumer.rel(prel.msg(1))
+            rel_msgs.append(root.msg(1))
+            if result_root is None:
+                result_root = (len(rel_msgs) - 1, root)
+        elif prel.has(1):
+            rel_msgs.append(prel.msg(1))
+    consumer = _Consumer(
+        spark, table_provider, _extension_functions(plan), table_writer, rel_msgs
+    )
+    if result_root is not None:
+        idx, root = result_root
+        df = consumer.rel(rel_msgs[idx])
+        names = root.strs(2)
+        return df.toDF(*names) if names else df
+    if rel_msgs:
+        return consumer.rel(rel_msgs[-1])
     raise ValueError("plan has no relations")

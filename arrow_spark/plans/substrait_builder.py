@@ -172,7 +172,8 @@ def agg_fn(anchor: int, args: list[bytes], output: bytes, distinct: bool = False
 def rel(kind: str, payload: bytes) -> bytes:
     nums = {"read": 1, "filter": 2, "fetch": 3, "aggregate": 4, "sort": 5,
             "join": 6, "project": 7, "set": 8, "cross": 12, "write": 13,
-            "ddl": 14, "nested_loop_join": 18, "exchange": 19, "expand": 20}
+            "ddl": 14, "nested_loop_join": 18, "exchange": 19, "expand": 20,
+            "reference": 21}
     return f_msg(nums[kind], payload)
 
 
@@ -328,12 +329,22 @@ def write_rel_named(input_rel: bytes, table_names: list[str],
 # -- plan assembly ----------------------------------------------------------
 
 
+def reference_rel(subtree_ordinal: int) -> bytes:
+    """ReferenceRel { subtree_ordinal=1 } (algebra.proto field 21):
+    points at plan.relations[ordinal] — common-subplan sharing."""
+    return rel("reference", f_varint(1, subtree_ordinal))
+
+
 def plan(root_rel: bytes, names: list[str],
-         functions: dict[int, tuple[str, str]] | None = None) -> bytes:
+         functions: dict[int, tuple[str, str]] | None = None,
+         subtrees: list[bytes] | None = None) -> bytes:
     """Assemble substrait.Plan bytes.
 
     functions: anchor -> (uri, name). URIs get uri anchors 1..N;
     declarations bind (uri anchor, function anchor, name).
+    subtrees: extra non-root PlanRel entries, emitted BEFORE the root in
+    declaration order — ReferenceRel ordinals index this list (the root
+    is the last relation and referenceable too).
     """
     functions = functions or {}
     uris: dict[str, int] = {}
@@ -345,6 +356,8 @@ def plan(root_rel: bytes, names: list[str],
     for anchor, (uri, name) in functions.items():
         ext_fn = f_varint(1, uris[uri]) + f_varint(2, anchor) + f_str(3, name)
         out += f_msg(2, f_msg(3, ext_fn))  # SimpleExtensionDeclaration.extension_function
+    for sub in subtrees or []:
+        out += f_msg(3, f_msg(1, sub))  # PlanRel.rel (referenceable subtree)
     root = f_msg(1, root_rel) + b"".join(f_str(2, n) for n in names)
     out += f_msg(3, f_msg(2, root))  # PlanRel.root
     out += f_msg(6, f_varint(1, 0) + f_varint(2, 44) + f_varint(3, 0)

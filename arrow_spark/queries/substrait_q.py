@@ -403,3 +403,39 @@ def substrait_nested_loop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_substrait(
         spark, _nlj_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
     )
+
+
+SUBSTRAIT_REFERENCE_ORACLE = """
+SELECT l_returnflag, 2*COUNT(*) AS n, 2*SUM(l_quantity) AS sum_qty
+FROM lineitem WHERE l_quantity < 3.0 GROUP BY l_returnflag
+"""
+
+
+def _reference_plan_bytes() -> bytes:
+    read = B.read_named(["lineitem"], ["l_returnflag", "l_quantity"], ["string", "fp64"])
+    lt = B.scalar_fn(1, [B.field_ref(1), B.lit_fp64(3.0)], output=B.typ("bool"))
+    sub = B.filter_rel(read, lt)
+    # the same subtree consumed twice through ReferenceRel ordinals
+    union = B.set_rel([B.reference_rel(0), B.reference_rel(0)], op=6)
+    agg = B.aggregate_rel(
+        union,
+        [B.field_ref(0)],
+        [B.agg_fn(2, [], B.typ("i64")), B.agg_fn(3, [B.field_ref(1)], B.typ("fp64"))],
+    )
+    return B.plan(
+        agg, ["l_returnflag", "n", "sum_qty"], subtrees=[sub],
+        functions={1: (B.URI_CMP, "lt"), 2: (B.URI_AGG, "count"),
+                   3: (B.URI_ARITH, "sum")},
+    )
+
+
+@query("substrait_reference", oracle=SUBSTRAIT_REFERENCE_ORACLE)
+def substrait_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReferenceRel (common-subplan sharing, algebra.proto field 21): a
+    filtered-scan subtree declared once as a non-root PlanRel is consumed
+    twice by ordinal (union-all of itself), then aggregated. The oracle
+    doubles count/sum to mirror the sharing. Whole-number quantity sums
+    keep the value hash order-independent."""
+    return run_substrait(
+        spark, _reference_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
+    )

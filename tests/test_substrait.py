@@ -493,3 +493,29 @@ def test_ddl_rel_create_and_drop_view(spark):
     run_substrait(spark, B.plan(drop, []), _spark_only(spark))
     with pytest.raises(ValueError, match="does not exist"):
         run_substrait(spark, B.plan(drop, []), _spark_only(spark))
+
+
+def test_reference_rel_shared_subtree(spark):
+    # subtree 0: t filtered to v > 1; root: subtree JOIN subtree on k —
+    # the same tree consumed twice via ReferenceRel ordinals.
+    gt = B.scalar_fn(1, [B.field_ref(1), B.lit_i64(1)], output=B.typ("bool"))
+    sub = B.filter_rel(READ_T, gt)
+    eq = B.scalar_fn(2, [B.field_ref(0), B.field_ref(2)], output=B.typ("bool"))
+    root = B.join_rel(B.reference_rel(0), B.reference_rel(0), eq, join_type=1)
+    p = B.plan(root, ["k1", "v1", "k2", "v2"], subtrees=[sub],
+               functions={1: (B.URI_CMP, "gt"), 2: (B.URI_CMP, "equal")})
+    rows = sorted(
+        (r.k1, r.v1, r.k2, r.v2)
+        for r in run_substrait(spark, p, _spark_only(spark)).collect()
+    )
+    # filtered t = {x:3, x:5, y:2, y:4}; self-join on k → 4 x-pairs + 4 y-pairs
+    want = sorted(
+        ("x", a, "x", b) for a in (3, 5) for b in (3, 5)
+    ) + sorted(("y", a, "y", b) for a in (2, 4) for b in (2, 4))
+    assert rows == sorted(want)
+
+
+def test_reference_rel_out_of_range(spark):
+    p = B.plan(B.reference_rel(5), ["k", "v"])
+    with pytest.raises(ValueError, match="subtree 5"):
+        run_substrait(spark, p, _spark_only(spark))
