@@ -305,3 +305,41 @@ def redact_pii(
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return out.withColumn(out_col, red)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-window document chunking with overlap — the standard
+    pre-tokenization split for long documents in a pretraining pipeline
+    (each chunk keeps `overlap` trailing chars of its predecessor for
+    context continuity).
+
+    Chunk i covers [i·stride, i·stride + window) with
+    stride = window − overlap; a document of length L yields
+    max(1, ceil((L − overlap) / stride)) chunks, so every character
+    lands in ≥1 chunk and only the last chunk may be short. Pure
+    codegen: sequence → transform → posexplode — no UDF, no shuffle
+    beyond the explode's partition-local fan-out; at 100 TB chunking is
+    map-only and composes with downstream token counting/packing.
+
+    Output: (id, chunk_index, chunk, chunk_len).
+    """
+    if overlap >= window:
+        raise ValueError("overlap must be smaller than window")
+    stride = window - overlap
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.length(F.col(text_col)) - overlap) / F.lit(stride))
+    ).cast("int")
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col(text_col).substr(i * stride + 1, F.lit(window)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(pieces).alias("chunk_index", "chunk"),
+    ).withColumn("chunk_len", F.length("chunk"))

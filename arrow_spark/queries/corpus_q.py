@@ -369,3 +369,39 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.corpus import weighted_sample
 
     return weighted_sample(table(spark, sf_dir, "documents"), "n_chars", 50)
+
+
+CHUNK_ORACLE = """
+WITH n AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(CEIL((LENGTH(text) - 64) / 448.0) AS INT)) AS k
+  FROM documents
+), e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, k - 1)) AS chunk_index
+  FROM n
+)
+SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
+       substr(text, chunk_index * 448 + 1, 512) AS chunk,
+       CAST(LENGTH(substr(text, chunk_index * 448 + 1, 512)) AS INT) AS chunk_len
+FROM e
+"""
+
+
+@query("corpus_chunk_documents", oracle=CHUNK_ORACLE)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-window document chunking with 64-char overlap (window 512,
+    stride 448) — the pre-tokenization split for long documents. Pure
+    codegen sequence→transform→posexplode, map-only at any scale; every
+    chunk boundary is oracle-checked."""
+    from arrow_spark.llm.corpus import chunk_documents
+
+    out = chunk_documents(
+        table(spark, sf_dir, "documents"), window=512, overlap=64
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        "chunk",
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+    )

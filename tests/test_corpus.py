@@ -4,6 +4,7 @@ oracle gate (corpus_* queries) covers the fixture-scale behavior."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -107,3 +108,35 @@ def test_pack_sequences_offsets_are_contiguous_per_shard(spark, sf_dir):
         for start, n in entries:  # doc_id order == start_tok order
             assert start == pos, (shard, start, pos)
             pos += n
+
+
+def test_chunk_documents_boundaries(spark):
+    from arrow_spark.llm.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 10),          # shorter than window → 1 chunk
+            (2, "b" * 512),         # exactly one window → 1 chunk
+            (3, "x" * 513),         # one char over → 2 chunks
+            (4, "".join(chr(97 + i % 26) for i in range(1500))),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = chunk_documents(docs, window=512, overlap=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "a" * 10
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 512
+    assert len(by_doc[3]) == 2
+    # stride = 448: chunk 1 starts at 448, so it overlaps chunk 0 by 64
+    c3 = sorted(by_doc[3], key=lambda r: r.chunk_index)
+    assert c3[0].chunk_len == 512 and c3[1].chunk_len == 513 - 448
+    # every character covered, in order, for the long doc
+    text4 = "".join(chr(97 + i % 26) for i in range(1500))
+    c4 = sorted(by_doc[4], key=lambda r: r.chunk_index)
+    rebuilt = c4[0].chunk + "".join(c.chunk[64:] for c in c4[1:])
+    assert rebuilt == text4
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, window=64, overlap=64)
