@@ -10,8 +10,8 @@ declared shape literally, we hand it to an optimizer.
 
 Supported factories (≡ SURVEY §2.1): table_source / named_table / scan,
 filter, project, aggregate (scalar + group-by), hashjoin, asofjoin,
-union, order_by, fetch, select_k, pivot_longer, sorted_merge, tee,
-write.
+union, order_by, fetch, select_k, pivot_longer, pivot_wider,
+sorted_merge, tee, write.
 """
 
 from __future__ import annotations
@@ -205,6 +205,24 @@ def _pivot_longer(spark, opts, ins):
     )
 
 
+def _pivot_wider(spark, opts, ins):
+    """pivot_wider factory (aggregate_pivot.cc PivotWiderOptions:
+    key_name column's values spread into one output column per entry of
+    ``key_names``, aggregated by ``agg`` over ``values``). The fixed key
+    list mirrors Arrow's required PivotWiderOptions.key_names — no
+    key-discovery scan, so the plan stays one hash aggregate."""
+    from arrow_spark.functions.registry import call
+
+    keys = opts["keys"] if isinstance(opts["keys"], list) else [opts["keys"]]
+    agg_col = call(opts.get("agg", "sum"), opts["values"])
+    return (
+        ins[0]
+        .groupBy(*keys)
+        .pivot(opts["key_name"], opts["key_names"])
+        .agg(agg_col)
+    )
+
+
 def _sorted_merge(spark, opts, ins):
     """sorted_merge factory (exec_plan.cc:1105-1121 registry;
     sorted_merge_node.cc): N pre-sorted inputs → one totally-ordered
@@ -260,6 +278,7 @@ _FACTORIES = {
     "fetch": _fetch,
     "select_k_sink": _select_k,
     "pivot_longer": _pivot_longer,
+    "pivot_wider": _pivot_wider,
     "sorted_merge": _sorted_merge,
     "tee": _tee,
     "write": _write,

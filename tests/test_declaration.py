@@ -177,3 +177,22 @@ def test_tee_factory_writes_and_passes_through(spark, sf_dir, tmp_path):
     assert sorted(r.r_name for r in written.collect()) == sorted(
         r.r_name for r in spark.read.parquet(f"{sf_dir}/region.parquet").collect()
     )
+
+
+def test_pivot_wider_factory(spark, sf_dir):
+    plan = Declaration(
+        "pivot_wider",
+        {"keys": ["l_returnflag"], "key_name": "l_linestatus",
+         "key_names": ["O", "F"], "values": "l_quantity", "agg": "sum"},
+        inputs=[Declaration("scan", {"path": f"{sf_dir}/lineitem.parquet"})],
+    )
+    got = {r.l_returnflag: (r.O, r.F) for r in plan.to_dataframe(spark).collect()}
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = {
+        r.l_returnflag: (r.O, r.F)
+        for r in l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .collect()
+    }
+    assert got == want
