@@ -487,6 +487,8 @@ class _Consumer:
             12: self.cross_rel,
             13: self.write_rel,
             14: self.ddl_rel,
+            15: self.hash_join_rel,
+            16: self.merge_join_rel,
             17: self.window_rel,
             18: self.nested_loop_join_rel,
             19: self.exchange_rel,
@@ -733,6 +735,43 @@ class _Consumer:
         if name in fns and len(args) == 1:
             return fns[name](args[0])
         raise NotImplementedError(f"aggregate function {name!r} not supported")
+
+    def _keyed_join(self, m: _Msg, kind: str) -> DataFrame:
+        """Shared body for HashJoinRel (field 15) and MergeJoinRel
+        (field 16): { common=1, left=2, right=3, left_keys=4 (bare
+        FieldReferences), right_keys=5, post_join_filter=6, type=7 }.
+        Both lower to the same logical equi-join — physical strategy
+        (broadcast-hash / shuffled-hash / sort-merge) is Catalyst's
+        decision, which is the architectural point: the producer's
+        algorithm hint doesn't constrain the optimizer."""
+        left, right = self.rel(m.msg(2)), self.rel(m.msg(3))
+        nl = len(left.columns)
+        right_r = right.toDF(*[f"{self._prefix}g{i}" for i in range(len(right.columns))])
+        combined = left.columns + right_r.columns
+        lkeys = [self.field_index(r) for r in m.msgs(4)]
+        rkeys = [self.field_index(r) for r in m.msgs(5)]
+        if len(lkeys) != len(rkeys) or not lkeys:
+            raise ValueError(f"{kind} join needs matching non-empty key lists")
+        cond = None
+        for li, ri in zip(lkeys, rkeys):
+            c = F.col(left.columns[li]) == F.col(right_r.columns[ri])
+            cond = c if cond is None else cond & c
+        jtype = {1: "inner", 2: "full_outer", 3: "left_outer", 4: "right_outer",
+                 5: "left_semi", 6: "left_anti"}[m.u64(7, 1)]
+        out = left.join(right_r, cond, jtype)
+        if m.has(6):
+            out = out.where(self.expr(m.msg(6), combined))
+        if jtype in ("left_semi", "left_anti"):
+            out = out.select(*left.columns)
+        else:
+            out = out.toDF(*[f"{self._prefix}{i}" for i in range(nl + len(right_r.columns))])
+        return self._emit(out, m.msg(1))
+
+    def hash_join_rel(self, m: _Msg) -> DataFrame:
+        return self._keyed_join(m, "hash")
+
+    def merge_join_rel(self, m: _Msg) -> DataFrame:
+        return self._keyed_join(m, "merge")
 
     def reference_rel(self, m: _Msg) -> DataFrame:
         """ReferenceRel { subtree_ordinal=1 } — algebra.proto field 21:

@@ -172,7 +172,8 @@ def agg_fn(anchor: int, args: list[bytes], output: bytes, distinct: bool = False
 def rel(kind: str, payload: bytes) -> bytes:
     nums = {"read": 1, "filter": 2, "fetch": 3, "aggregate": 4, "sort": 5,
             "join": 6, "project": 7, "set": 8, "cross": 12, "write": 13,
-            "ddl": 14, "nested_loop_join": 18, "exchange": 19, "expand": 20,
+            "ddl": 14, "hash_join": 15, "merge_join": 16,
+            "nested_loop_join": 18, "exchange": 19, "expand": 20,
             "reference": 21}
     return f_msg(nums[kind], payload)
 
@@ -251,6 +252,21 @@ def raw_field_ref(idx: int) -> bytes:
     ExchangeRel.ScatterFields carries."""
     seg = f_msg(2, f_varint(1, idx))  # StructField { field=1 }
     return f_msg(1, seg) + f_msg(4, b"")  # direct_reference + RootReference
+
+
+def keyed_join_rel(left: bytes, right: bytes, left_keys: list[int],
+                   right_keys: list[int], join_type: int = 1,
+                   kind: str = "hash", post_filter: bytes | None = None) -> bytes:
+    """HashJoinRel (field 15) / MergeJoinRel (field 16):
+    { left=2, right=3, left_keys=4, right_keys=5, post_join_filter=6,
+    type=7 }; keys are bare FieldReferences into each side's own schema."""
+    body = f_msg(2, left) + f_msg(3, right)
+    body += b"".join(f_msg(4, raw_field_ref(i)) for i in left_keys)
+    body += b"".join(f_msg(5, raw_field_ref(i)) for i in right_keys)
+    if post_filter is not None:
+        body += f_msg(6, post_filter)
+    body += f_varint(7, join_type)
+    return rel(f"{kind}_join", body)
 
 
 def nested_loop_join_rel(left: bytes, right: bytes, expression: bytes | None = None,

@@ -519,3 +519,27 @@ def test_reference_rel_out_of_range(spark):
     p = B.plan(B.reference_rel(5), ["k", "v"])
     with pytest.raises(ValueError, match="subtree 5"):
         run_substrait(spark, p, _spark_only(spark))
+
+
+@pytest.mark.parametrize("kind", ["hash", "merge"])
+def test_keyed_join_rels(spark, kind):
+    # t ⋈ u on k, with a post-join filter w >= 200
+    gte = B.scalar_fn(1, [B.field_ref(3), B.lit_i64(200)], output=B.typ("bool"))
+    j = B.keyed_join_rel(READ_T, READ_U, [0], [0], join_type=1, kind=kind,
+                         post_filter=gte)
+    p = B.plan(j, ["k", "v", "k2", "w"], functions={1: (B.URI_CMP, "gte")})
+    rows = sorted(
+        (r.k, r.v, r.k2, r.w)
+        for r in run_substrait(spark, p, _spark_only(spark)).collect()
+    )
+    assert rows == [("y", 2, "y", 200), ("y", 4, "y", 200)]
+
+
+def test_keyed_join_semi_and_empty_keys(spark):
+    semi = B.keyed_join_rel(READ_T, READ_U, [0], [0], join_type=5)
+    p = B.plan(semi, ["k", "v"])
+    rows = run_substrait(spark, p, _spark_only(spark)).collect()
+    assert len(rows) == 5 and rows[0].__fields__ == ["k", "v"]
+    bad = B.keyed_join_rel(READ_T, READ_U, [], [], join_type=1)
+    with pytest.raises(ValueError, match="key lists"):
+        run_substrait(spark, B.plan(bad, ["k", "v"]), _spark_only(spark))
