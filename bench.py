@@ -100,6 +100,14 @@ HEADLINE = [
     "funnel_stages",
     "key_skew_profile",
     "sketch_bloom",
+    # round-3 wave: new substrait rels (expand + theta NLJ w/ exchange),
+    # REAL PNG decode end-to-end, bloom-pruned parquet point lookup,
+    # fixed-window document chunking.
+    "substrait_expand",
+    "substrait_nested_loop_join",
+    "multimodal_png_decode",
+    "parquet_bloom_point_lookup",
+    "corpus_chunk_documents",
     # fuzzy_join_entity_match / fuzzy_join_lsh_match are NOT headlines
     # for the dedup_jaccard_pairs reason: the templated fixture makes the
     # legitimate match set itself quadratic in cluster size (~2M pairs at

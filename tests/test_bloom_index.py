@@ -72,3 +72,47 @@ def test_point_lookup_multifile_directory(spark, tmp_path):
     assert index.count() == 6  # 3 files × 2 row groups
     got = point_lookup(spark, d, "key", 205, index).collect()
     assert [(r.key, r.val) for r in got] == [(205, "f2-5")]
+
+
+def test_vectorized_build_matches_scalar_probe_bitwise(tmp_path):
+    """The numpy (mod-2^64) build and the Python (unbounded-int, masked)
+    probe must place bits identically — regression for the wrap
+    mismatch: every inserted int key must probe positive."""
+    import numpy as np
+
+    from arrow_spark.sources.bloom_index import (
+        _bloom_add,
+        _bloom_may_contain,
+        _bloom_params,
+        _hash_pair,
+    )
+
+    keys = [0, 1, -1, 2**63 - 1, -(2**63), 123456789, (7 << 40) + 3]
+    m, k = _bloom_params(len(keys), 0.01)
+    # scalar build
+    bits = bytearray(m // 8)
+    for v in keys:
+        _bloom_add(bits, m, k, v)
+    # numpy-style build (mirrors scan_footers' int path)
+    def mixnp(x):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    bits_np = np.zeros(m // 8, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        arr = np.array(keys, dtype=np.int64).astype(np.uint64)
+        h1 = mixnp(arr)
+        h2 = mixnp(h1) | np.uint64(1)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits_np,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+            )
+    assert bytes(bits) == bits_np.tobytes()
+    for v in keys:
+        assert _bloom_may_contain(bits_np.tobytes(), m, k, v)
+        assert _hash_pair(np.int64(v) if v >= 0 else v)[0] == _hash_pair(v)[0]
