@@ -185,3 +185,20 @@ def test_ipc_dictionary_encoded_write_round_trip(spark, tmp_path):
     assert dict(got.dtypes)["color"] == "string"
     assert got.count() == 1000
     assert got.where("color = 'red'").count() == 334
+
+
+def test_filesystem_scheme_uris_pass_through(spark, sf_dir, tmp_path):
+    """Filesystem support is inherited from Hadoop's FileSystem registry
+    (s3a/gs/abfss/hdfs resolve by URI scheme at runtime); the only
+    scheme testable in-container is file://, which pins the mechanism:
+    scheme-qualified URIs flow through read_dataset/write_dataset
+    untouched."""
+    from arrow_spark.sources.dataset import read_dataset, write_dataset
+
+    src = read_dataset(spark, f"file://{sf_dir}/region.parquet")
+    out_uri = f"file://{tmp_path}/region_out"
+    write_dataset(src, out_uri, fmt="parquet")
+    back = read_dataset(spark, out_uri)
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in src.collect()
+    )
