@@ -185,10 +185,12 @@ def shingle_sets(
     return d.repartition("id") if partition_by_id else d
 
 
-def _lsh_candidates_from_sets(
-    d: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    """Banded LSH candidate pairs from a (id, sh) shingle-set frame."""
+def _band_signatures(d: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bsig) banded MinHash signatures from a (id, sh)
+    shingle-set frame — the unit the bucket joins (self- OR incremental)
+    key on. Deterministic for a fixed (num_hashes, bands, shingle_n),
+    so a persisted store built earlier joins exactly against signatures
+    computed today."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     # One row per (doc, shingle), then num_hashes seeded-hash COLUMNS and a
@@ -219,12 +221,17 @@ def _lsh_candidates_from_sets(
         )
         for b in range(bands)
     ]
+    return sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bsig"))
+
+
+def _lsh_candidates_from_sets(
+    d: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded LSH candidate pairs from a (id, sh) shingle-set frame."""
     # Both self-join sides shuffle the identical upstream on the same keys
     # → Catalyst reuses one exchange (ReusedExchange); no cache needed, and
     # no cache entries leak into the caller's long-lived session.
-    band_sig = sig.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band", "bsig")
-    )
+    band_sig = _band_signatures(d, num_hashes, bands)
     left = band_sig.select("band", "bsig", F.col("id").alias("id_a"))
     right = band_sig.select("band", "bsig", F.col("id").alias("id_b"))
     return (
@@ -286,6 +293,83 @@ def minhash_near_dups(
         j.select(
             "id_a",
             "id_b",
+            (F.floor(inter * 1.0 / union * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def band_signature_store(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistable dedup index for INCREMENTAL ingestion: one
+    (id, band, bsig) row per document band. Build once over the
+    accepted corpus, write partitioned/bucketed by (band, bsig); each
+    new batch then probes it with an equi-join instead of re-shingling
+    the corpus. Size: bands rows per doc — index metadata scale, not
+    corpus scale."""
+    return _band_signatures(
+        shingle_sets(docs, shingle_n, id_col, text_col), num_hashes, bands
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    store: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup detection of a NEW batch against an EXISTING corpus —
+    the daily-ingest shape: shingle/sign only the batch (cost ∝ batch,
+    not corpus), equi-join its band signatures against the persisted
+    ``store``, and exact-verify candidates with shingle Jaccard.
+
+    ``corpus`` supplies text for verification; only candidate old-ids
+    are re-shingled (the candidate list is LSH-bucketed and small, so
+    it broadcasts into a semi-join that prunes the corpus scan before
+    the shingle projection runs). Returns (new_id, dup_of, jaccard) for
+    pairs at/above threshold — batch rows absent from the result are
+    novel documents, appendable to the store via band_signature_store.
+
+    At 100 TB: the store is the only corpus-scale input and it is read
+    by equi-join on (band, bsig) — partition/bucket it on those keys
+    and the probe touches matching buckets only. The corpus text scan
+    is candidate-pruned. Nothing rescans or re-signs the full corpus.
+    """
+    d_new = shingle_sets(new_docs, shingle_n, id_col, text_col, partition_by_id=True)
+    new_bands = _band_signatures(d_new, num_hashes, bands)
+    cands = (
+        new_bands.join(store, ["band", "bsig"])
+        .where(new_bands["id"] != store["id"])
+        .select(new_bands["id"].alias("new_id"), store["id"].alias("dup_of"))
+        .distinct()
+    )
+    old_ids = cands.select(F.col("dup_of").alias("id")).distinct()
+    d_old = shingle_sets(
+        corpus.join(F.broadcast(old_ids), corpus[id_col] == old_ids["id"], "left_semi"),
+        shingle_n,
+        id_col,
+        text_col,
+    )
+    a = d_new.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
+    b = d_old.select(F.col("id").alias("dup_of"), F.col("sh").alias("sh_b"))
+    j = cands.join(a, "new_id").join(b, "dup_of")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter  # sets are distinct
+    return (
+        j.select(
+            "new_id",
+            "dup_of",
             (F.floor(inter * 1.0 / union * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -224,3 +224,23 @@ def fuzzy_join_lsh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_lsh(
         probe, corpus, "probe_id", "probe_text", "doc_id", "text", threshold=0.5
     )
+
+
+@query("dedup_incremental", oracle=None)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental ingest dedup: documents with doc_id % 5 == 0 play the
+    incoming batch, the rest the accepted corpus; the batch's band
+    signatures probe the corpus's persisted signature store by equi-join
+    and candidates are exact-verified by shingle Jaccard (rows-only:
+    xxhash64 band signatures aren't reproducible in DuckDB; equivalence
+    to the batch-side slice of the full near-dup pair set is pinned in
+    tests/test_llm_ops.py)."""
+    from arrow_spark.llm.dedup import band_signature_store, incremental_near_dups
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = band_signature_store(corpus, num_hashes=16, bands=4)
+    return incremental_near_dups(
+        batch, store, corpus, threshold=0.5, num_hashes=16, bands=4
+    )

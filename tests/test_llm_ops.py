@@ -332,3 +332,52 @@ def test_histogram_sketch_merge_law_and_error_bound(spark, sf_dir):
     est = histogram_quantile(direct, 0.95).first()[0]
     exact = l.agg(F.percentile_approx("l_extendedprice", 0.95, 100000)).first()[0]
     assert exact <= est <= exact + 50.0 + 1e-9  # 5000 cents = 50.0 width
+
+
+def test_incremental_near_dups_against_store(spark):
+    from arrow_spark.llm.dedup import (
+        band_signature_store,
+        incremental_near_dups,
+        minhash_near_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "an entirely different document about distributed query engines"),
+            (3, "pack my box with five dozen liquor jugs for the festival"),
+        ],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-copy of doc 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat again and again"),
+            # novel content
+            (11, "completely unrelated text that matches nothing in the corpus"),
+            # exact copy of doc 3
+            (12, "pack my box with five dozen liquor jugs for the festival"),
+        ],
+        "doc_id: long, text: string",
+    )
+    store = band_signature_store(corpus, num_hashes=16, bands=8)
+    got = {
+        (r.new_id, r.dup_of): r.jaccard
+        for r in incremental_near_dups(
+            batch, store, corpus, threshold=0.3, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert (12, 3) in got and got[(12, 3)] == 1.0
+    assert (10, 1) in got and 0.3 <= got[(10, 1)] < 1.0
+    assert not any(new_id == 11 for new_id, _ in got)
+    # equivalence: the incremental result equals the (batch × corpus)
+    # slice of the full-union near-dup pair set at the same parameters
+    full = minhash_near_dups(
+        corpus.union(batch), threshold=0.3, num_hashes=16, bands=8
+    ).collect()
+    want = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.jaccard
+        for r in full
+        if (r.id_a < 10) != (r.id_b < 10)  # cross batch/corpus pairs only
+    }
+    assert got == want
