@@ -270,6 +270,32 @@ class _Consumer:
             sl = m.msg(8)
             v = self.expr(sl.msg(1), cols)
             return v.isin([self.expr(o, cols) for o in sl.msgs(2)])
+        if m.has(9):  # MultiOrList { value=1 (repeated), options=2 Record }
+            ml = m.msg(9)
+            vals = [self.expr(v, cols) for v in ml.msgs(1)]
+            cond = None
+            for opt in ml.msgs(2):  # Record { fields=1 }
+                fields = [self.expr(f, cols) for f in opt.msgs(1)]
+                c = None
+                for v, f in zip(vals, fields):
+                    e = v == f
+                    c = e if c is None else c & e
+                cond = c if cond is None else cond | c
+            return cond if cond is not None else F.lit(False)
+        if m.has(13):  # Nested { struct=3, list=4, map=5 }
+            nst = m.msg(13)
+            if nst.has(4):  # List { values=1 }
+                return F.array(*[self.expr(v, cols) for v in nst.msg(4).msgs(1)])
+            if nst.has(3):  # Struct { fields=1 }
+                return F.struct(*[self.expr(v, cols) for v in nst.msg(3).msgs(1)])
+            if nst.has(5):  # Map { key_values=1 { key=1, value=2 } }
+                kvs = nst.msg(5).msgs(1)
+                flat = []
+                for kv in kvs:
+                    flat.append(self.expr(kv.msg(1), cols))
+                    flat.append(self.expr(kv.msg(2), cols))
+                return F.create_map(*flat)
+            raise NotImplementedError("empty Nested expression")
         if m.has(11):  # Cast { type=1, input=2, failure_behavior=3 }
             c = m.msg(11)
             to = _decode_type(c.msg(1))

@@ -124,6 +124,36 @@ def outer_field_ref(idx: int, steps_out: int = 1) -> bytes:
     return f_msg(2, ref)
 
 
+def or_list(value: bytes, options: list[bytes]) -> bytes:
+    """Expression.SingularOrList { value=1, options=2 } → IN-list."""
+    return f_msg(8, f_msg(1, value) + b"".join(f_msg(2, o) for o in options))
+
+
+def multi_or_list(values: list[bytes], options: list[list[bytes]]) -> bytes:
+    """Expression.MultiOrList { value=1, options=2 Record{fields=1} } —
+    row-wise IN: (v1,v2) IN ((a,b),(c,d))."""
+    body = b"".join(f_msg(1, v) for v in values)
+    for opt in options:
+        body += f_msg(2, b"".join(f_msg(1, f) for f in opt))
+    return f_msg(9, body)
+
+
+def nested_list(values: list[bytes]) -> bytes:
+    """Expression.Nested.List { values=1 } (Nested = field 13, list=4)."""
+    return f_msg(13, f_msg(4, b"".join(f_msg(1, v) for v in values)))
+
+
+def nested_struct(fields: list[bytes]) -> bytes:
+    """Expression.Nested.Struct { fields=1 } (struct=3)."""
+    return f_msg(13, f_msg(3, b"".join(f_msg(1, v) for v in fields)))
+
+
+def nested_map(pairs: list[tuple[bytes, bytes]]) -> bytes:
+    """Expression.Nested.Map { key_values=1 {key=1, value=2} } (map=5)."""
+    body = b"".join(f_msg(1, f_msg(1, k) + f_msg(2, v)) for k, v in pairs)
+    return f_msg(13, f_msg(5, body))
+
+
 def subquery_scalar(rel_bytes: bytes) -> bytes:
     """Expression.Subquery.Scalar { input=1 } (Expression oneof field 12)."""
     return f_msg(12, f_msg(1, f_msg(1, rel_bytes)))

@@ -543,3 +543,40 @@ def test_keyed_join_semi_and_empty_keys(spark):
     bad = B.keyed_join_rel(READ_T, READ_U, [], [], join_type=1)
     with pytest.raises(ValueError, match="key lists"):
         run_substrait(spark, B.plan(bad, ["k", "v"]), _spark_only(spark))
+
+
+def test_singular_or_list_in_filter(spark):
+    # v IN (1, 4, 5)
+    inlist = B.or_list(B.field_ref(1), [B.lit_i64(1), B.lit_i64(4), B.lit_i64(5)])
+    p = B.plan(B.filter_rel(READ_T, inlist), ["k", "v"])
+    rows = sorted((r.k, r.v) for r in run_substrait(spark, p, _spark_only(spark)).collect())
+    assert rows == [("x", 1), ("x", 5), ("y", 4)]
+
+
+def test_multi_or_list_in_filter(spark):
+    # (k, v) IN (('x', 3), ('y', 2))
+    ml = B.multi_or_list(
+        [B.field_ref(0), B.field_ref(1)],
+        [[B.lit_str("x"), B.lit_i64(3)], [B.lit_str("y"), B.lit_i64(2)]],
+    )
+    p = B.plan(B.filter_rel(READ_T, ml), ["k", "v"])
+    rows = sorted((r.k, r.v) for r in run_substrait(spark, p, _spark_only(spark)).collect())
+    assert rows == [("x", 3), ("y", 2)]
+
+
+def test_nested_list_struct_map_construction(spark):
+    proj = B.project_rel(
+        READ_T,
+        [
+            B.nested_list([B.field_ref(1), B.lit_i64(100)]),
+            B.nested_struct([B.field_ref(0), B.field_ref(1)]),
+            B.nested_map([(B.lit_str("v"), B.field_ref(1))]),
+        ],
+        emit=[0, 2, 3, 4],
+    )
+    p = B.plan(proj, ["k", "arr", "st", "mp"])
+    rows = run_substrait(spark, p, _spark_only(spark)).collect()
+    first = next(r for r in rows if r.k == "x" and r.arr[0] == 1)
+    assert first.arr == [1, 100]
+    assert first.st[0] == "x" and first.st[1] == 1
+    assert first.mp == {"v": 1}
