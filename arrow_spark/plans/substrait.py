@@ -266,6 +266,17 @@ class _Consumer:
             if it.has(2):
                 col = col.otherwise(self.expr(it.msg(2), cols))
             return col
+        if m.has(7):  # SwitchExpression { match=1, ifs=2 {if=1,then=2}, else=3 }
+            sw = m.msg(7)
+            match = self.expr(sw.msg(1), cols)
+            col = None
+            for c in sw.msgs(2):
+                cond = match == self.literal(c.msg(1))
+                then = self.expr(c.msg(2), cols)
+                col = F.when(cond, then) if col is None else col.when(cond, then)
+            if sw.has(3):
+                col = col.otherwise(self.expr(sw.msg(3), cols))
+            return col
         if m.has(8):  # SingularOrList { value=1, options=2 } → IN
             sl = m.msg(8)
             v = self.expr(sl.msg(1), cols)

@@ -124,6 +124,30 @@ def outer_field_ref(idx: int, steps_out: int = 1) -> bytes:
     return f_msg(2, ref)
 
 
+def raw_lit_i64(v: int) -> bytes:
+    """Bare Literal message (i64) — for contexts that embed Literal
+    directly rather than Expression (SwitchExpression.IfValue.if)."""
+    return f_varint(7, v)
+
+
+def raw_lit_str(s: str) -> bytes:
+    """Bare Literal message (string)."""
+    return f_str(12, s)
+
+
+def switch(match: bytes, cases: list[tuple[bytes, bytes]],
+           els: bytes | None = None) -> bytes:
+    """Expression.SwitchExpression { match=1, ifs=2 {if=Literal,
+    then=2}, else=3 } — simple CASE. Each case's `if` is LITERAL BYTES
+    (the Literal message, not an Expression)."""
+    body = f_msg(1, match)
+    for lit, then in cases:
+        body += f_msg(2, f_msg(1, lit) + f_msg(2, then))
+    if els is not None:
+        body += f_msg(3, els)
+    return f_msg(7, body)
+
+
 def or_list(value: bytes, options: list[bytes]) -> bytes:
     """Expression.SingularOrList { value=1, options=2 } → IN-list."""
     return f_msg(8, f_msg(1, value) + b"".join(f_msg(2, o) for o in options))

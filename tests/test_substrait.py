@@ -580,3 +580,20 @@ def test_nested_list_struct_map_construction(spark):
     assert first.arr == [1, 100]
     assert first.st[0] == "x" and first.st[1] == 1
     assert first.mp == {"v": 1}
+
+
+def test_switch_expression_simple_case(spark):
+    # CASE k WHEN 'x' THEN v*10 WHEN 'y' THEN v ELSE 0 END
+    mul = B.scalar_fn(1, [B.field_ref(1), B.lit_i64(10)], output=B.typ("i64"))
+    sw = B.switch(
+        B.field_ref(0),
+        [(B.raw_lit_str("x"), mul), (B.raw_lit_str("y"), B.field_ref(1))],
+        els=B.lit_i64(0),
+    )
+    p = B.plan(B.project_rel(READ_T, [sw], emit=[0, 1, 2]), ["k", "v", "cased"],
+               functions={1: (B.URI_ARITH, "multiply")})
+    rows = sorted(
+        (r.k, r.v, r.cased)
+        for r in run_substrait(spark, p, _spark_only(spark)).collect()
+    )
+    assert rows == [("x", 1, 10), ("x", 3, 30), ("x", 5, 50), ("y", 2, 2), ("y", 4, 4)]
