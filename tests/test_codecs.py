@@ -155,3 +155,41 @@ def test_real_png_decode_distributed(spark):
         want_mean = (64 * d + 2016 - 256 * max(0, d - 192)) / 64 / 255
         assert r.features[0] == 8.0 and r.features[2] == 1.0
         assert r.features[7] == pytest.approx(want_mean)
+
+
+# -- property-based round-trips (hypothesis) ---------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        data=st.data(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_roundtrip_property(w, h, ch, data):
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                )
+            )
+        )
+        assert decode_png(encode_png(w, h, ch, pix)) == (w, h, ch, pix)
+
+    @given(
+        samples=st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), max_size=64
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip_property(samples):
+        if not samples:
+            return
+        _, _, _, vals = decode_wav(encode_wav(samples))
+        assert vals == pytest.approx(samples, abs=2 / 32768)
+
+except ImportError:  # pragma: no cover
+    pass
