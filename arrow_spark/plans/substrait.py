@@ -220,10 +220,12 @@ class _Consumer:
         functions: dict[int, str],
         table_writer: Callable[[Sequence[str], DataFrame, int], None] | None = None,
         plan_rels: list["_Msg"] | None = None,
+        extension_handler: Callable[[str, bytes, list[DataFrame]], DataFrame] | None = None,
     ):
         self.spark = spark
         self.provider = table_provider
         self.writer = table_writer
+        self.extension_handler = extension_handler
         self.functions = functions  # anchor -> name (extension declarations)
         # all PlanRel trees in declaration order — ReferenceRel targets
         self.plan_rels = plan_rels or []
@@ -521,6 +523,9 @@ class _Consumer:
             6: self.join_rel,
             7: self.project_rel,
             8: self.set_rel,
+            9: self.extension_single_rel,
+            10: self.extension_multi_rel,
+            11: self.extension_leaf_rel,
             12: self.cross_rel,
             13: self.write_rel,
             14: self.ddl_rel,
@@ -810,6 +815,35 @@ class _Consumer:
     def merge_join_rel(self, m: _Msg) -> DataFrame:
         return self._keyed_join(m, "merge")
 
+    def _extension(self, m: _Msg, detail_field: int, inputs: list[DataFrame]) -> DataFrame:
+        """Route an extension rel's Any detail { type_url=1, value=2 }
+        through the session's extension_handler — the Spark analog of
+        Acero's ExtensionProvider (engine/substrait/extension_set.h:
+        custom rels like Acero's as-of join arrive exactly this way).
+        The handler returns a DataFrame; its output is positionalized
+        like every relation."""
+        if self.extension_handler is None:
+            raise NotImplementedError(
+                "plan contains an extension relation; pass extension_handler="
+            )
+        detail = m.msg(detail_field)
+        type_url = detail.s(1) if detail else ""
+        value = (detail.raw(2) if detail else None) or b""
+        out = self.extension_handler(type_url, value, inputs)
+        return self._positional(out)
+
+    def extension_single_rel(self, m: _Msg) -> DataFrame:
+        # ExtensionSingleRel { common=1, input=2, detail=3 }
+        return self._extension(m, 3, [self.rel(m.msg(2))])
+
+    def extension_multi_rel(self, m: _Msg) -> DataFrame:
+        # ExtensionMultiRel { common=1, inputs=2, detail=3 }
+        return self._extension(m, 3, [self.rel(r) for r in m.msgs(2)])
+
+    def extension_leaf_rel(self, m: _Msg) -> DataFrame:
+        # ExtensionLeafRel { common=1, detail=2 }
+        return self._extension(m, 2, [])
+
     def reference_rel(self, m: _Msg) -> DataFrame:
         """ReferenceRel { subtree_ordinal=1 } — algebra.proto field 21:
         reference another PlanRel tree by declaration order (common-
@@ -1018,6 +1052,7 @@ def run_substrait(
     plan_bytes: bytes,
     table_provider: Callable[[Sequence[str]], DataFrame],
     table_writer: Callable[[Sequence[str], DataFrame, int], None] | None = None,
+    extension_handler: Callable[[str, bytes, list[DataFrame]], DataFrame] | None = None,
 ) -> DataFrame:
     """Execute a serialized substrait.Plan against Spark
     (pyarrow.substrait.run_query parity — serde.h:106).
@@ -1042,7 +1077,8 @@ def run_substrait(
         elif prel.has(1):
             rel_msgs.append(prel.msg(1))
     consumer = _Consumer(
-        spark, table_provider, _extension_functions(plan), table_writer, rel_msgs
+        spark, table_provider, _extension_functions(plan), table_writer, rel_msgs,
+        extension_handler,
     )
     if result_root is not None:
         idx, root = result_root

@@ -228,7 +228,8 @@ def rel(kind: str, payload: bytes) -> bytes:
             "join": 6, "project": 7, "set": 8, "cross": 12, "write": 13,
             "ddl": 14, "hash_join": 15, "merge_join": 16,
             "nested_loop_join": 18, "exchange": 19, "expand": 20,
-            "reference": 21}
+            "reference": 21, "extension_single": 9, "extension_multi": 10,
+            "extension_leaf": 11}
     return f_msg(nums[kind], payload)
 
 
@@ -397,6 +398,27 @@ def write_rel_named(input_rel: bytes, table_names: list[str],
 
 
 # -- plan assembly ----------------------------------------------------------
+
+
+def _any(type_url: str, value: bytes) -> bytes:
+    """google.protobuf.Any { type_url=1, value=2 }."""
+    return f_str(1, type_url) + f_msg(2, value)
+
+
+def extension_single_rel(input_rel: bytes, type_url: str, value: bytes = b"") -> bytes:
+    """ExtensionSingleRel { common=1, input=2, detail=3 } (field 9)."""
+    return rel("extension_single", f_msg(2, input_rel) + f_msg(3, _any(type_url, value)))
+
+
+def extension_multi_rel(inputs: list[bytes], type_url: str, value: bytes = b"") -> bytes:
+    """ExtensionMultiRel { common=1, inputs=2, detail=3 } (field 10)."""
+    body = b"".join(f_msg(2, r) for r in inputs) + f_msg(3, _any(type_url, value))
+    return rel("extension_multi", body)
+
+
+def extension_leaf_rel(type_url: str, value: bytes = b"") -> bytes:
+    """ExtensionLeafRel { common=1, detail=2 } (field 11)."""
+    return rel("extension_leaf", f_msg(2, _any(type_url, value)))
 
 
 def reference_rel(subtree_ordinal: int) -> bytes:

@@ -597,3 +597,40 @@ def test_switch_expression_simple_case(spark):
         for r in run_substrait(spark, p, _spark_only(spark)).collect()
     )
     assert rows == [("x", 1, 10), ("x", 3, 30), ("x", 5, 50), ("y", 2, 2), ("y", 4, 4)]
+
+
+def test_extension_rels_route_through_handler(spark):
+    """ExtensionSingle/Multi/Leaf route their Any detail through the
+    pluggable extension_handler — the Spark analog of Acero's
+    ExtensionProvider (custom nodes like as-of join arrive this way)."""
+    import json
+
+    def handler(type_url, value, inputs):
+        if type_url == "arrow_spark/asof":
+            from arrow_spark.operators.asof import asof_join_arrow
+
+            opts = json.loads(value.decode())
+            return asof_join_arrow(inputs[0], inputs[1], **opts)
+        if type_url == "arrow_spark/range":
+            return spark.range(int(value.decode())).withColumnRenamed("id", "n")
+        raise NotImplementedError(type_url)
+
+    # leaf: generates rows from the payload
+    leaf = B.extension_leaf_rel("arrow_spark/range", b"4")
+    p = B.plan(B.fetch_rel(leaf, count=10), ["n"])
+    got = sorted(r.n for r in run_substrait(
+        spark, p, _spark_only(spark), extension_handler=handler).collect())
+    assert got == [0, 1, 2, 3]
+
+    # multi: as-of join of t (as left) with u (as right) on v/w never
+    # matches backward within 10 of 100 — use tolerance wide enough
+    opts = json.dumps({"on": "_f1", "by": [], "tolerance": -1000}).encode()
+    # rename both sides positionally first via project emit (identity)
+    multi = B.extension_multi_rel([READ_T, READ_U], "arrow_spark/asof", opts)
+    p2 = B.plan(multi, ["k", "v", "k2", "w"])
+    rows = run_substrait(spark, p2, _spark_only(spark), extension_handler=handler)
+    assert rows.count() == 5  # every left row survives (as-of left outer)
+
+    # missing handler → clear error
+    with pytest.raises(NotImplementedError, match="extension_handler"):
+        run_substrait(spark, p, _spark_only(spark)).collect()
