@@ -439,3 +439,43 @@ def substrait_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_substrait(
         spark, _reference_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
     )
+
+
+SUBSTRAIT_CASE_INLIST_ORACLE = """
+SELECT l_returnflag,
+       CASE l_returnflag WHEN 'A' THEN 1 WHEN 'R' THEN 2 ELSE 0 END AS flag_code,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_linenumber IN (1, 2)
+GROUP BY l_returnflag, flag_code
+"""
+
+
+def _case_inlist_plan_bytes() -> bytes:
+    read = B.read_named(
+        ["lineitem"], ["l_returnflag", "l_quantity", "l_linenumber"],
+        ["string", "fp64", "i64"],
+    )
+    inlist = B.or_list(B.field_ref(2), [B.lit_i64(1), B.lit_i64(2)])
+    sw = B.switch(
+        B.field_ref(0),
+        [(B.raw_lit_str("A"), B.lit_i64(1)), (B.raw_lit_str("R"), B.lit_i64(2))],
+        els=B.lit_i64(0),
+    )
+    proj = B.project_rel(B.filter_rel(read, inlist), [sw], emit=[0, 3])
+    agg = B.aggregate_rel(
+        proj, [B.field_ref(0), B.field_ref(1)], [B.agg_fn(1, [], B.typ("i64"))]
+    )
+    return B.plan(
+        agg, ["l_returnflag", "flag_code", "n"], functions={1: (B.URI_AGG, "count")}
+    )
+
+
+@query("substrait_case_inlist", oracle=SUBSTRAIT_CASE_INLIST_ORACLE)
+def substrait_case_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingularOrList (IN-list) filter + SwitchExpression (simple CASE)
+    arriving as substrait bytes, then grouped-count — the expression
+    oneofs beyond functions/literals, oracle-checked end to end."""
+    return run_substrait(
+        spark, _case_inlist_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
+    )
