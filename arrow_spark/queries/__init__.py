@@ -79,6 +79,19 @@ def load_all() -> dict[str, QueryDef]:
         "fill_null_forward_backward",
         "pairwise_diff",
         "temporal_strftime_strptime",
+        # operators NEW in round 3 — the ops this round's verdict will
+        # check for driver rows; without promotion they sort behind the
+        # older unverified backlog and miss the sampled prefix
+        "substrait_expand",
+        "substrait_write",
+        "substrait_nested_loop_join",
+        "substrait_reference",
+        "substrait_case_inlist",
+        "multimodal_png_decode",
+        "multimodal_wav_decode",
+        "parquet_bloom_point_lookup",
+        "corpus_chunk_documents",
+        "dedup_incremental",
     )
     first = {k: REGISTRY[k] for k in priority if k in REGISTRY}
     fresh = {k: v for k, v in REGISTRY.items() if k not in verified and k not in first}
