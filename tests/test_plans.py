@@ -165,3 +165,39 @@ def test_partsupp_queries_broadcast_and_bounded_shuffles(spark, sf_dir, name):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2
     assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_substrait_read_prunes_scan_columns(spark, sf_dir):
+    """A substrait plan reading a 3-column base schema from the 16-column
+    lineitem must push the projection into the parquet scan."""
+    p = plan(QUERIES["substrait_filter_agg"].fn(spark, sf_dir))
+    assert "ReadSchema" in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_substrait_nlj_broadcasts_small_side(spark, sf_dir):
+    """The theta-join (no equi-conjunct) must lower to
+    BroadcastNestedLoopJoin with the 5-row region side broadcast — the
+    scalable physical shape; a CartesianProduct would be a plan bug."""
+    p = plan(QUERIES["substrait_nested_loop_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Document chunking must add no Exchange: sequence/transform/
+    posexplode are all narrow."""
+    p = plan(QUERIES["corpus_chunk_documents"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_ivf_assignment_has_no_cross_join(spark, sf_dir):
+    """Post-rewrite IVF: centroid assignment is a pandas-UDF projection
+    (map-only), so the plan has no cross join of corpus × centroids —
+    the only remaining window is the final per-query top-k ranking."""
+    p = plan(QUERIES["similarity_ivf_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p or "PythonUDF" in p
