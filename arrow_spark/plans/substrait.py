@@ -1060,8 +1060,10 @@ def run_substrait(
     `table_provider` maps a qualified-name list (NamedTable.names) to a
     DataFrame, exactly like run_query's table_provider. `table_writer`
     receives (names, frame, write_op) for each WriteRel — pass
-    ``default_table_writer(spark)`` for saveAsTable semantics. The final
-    DataFrame carries RelRoot.names.
+    ``default_table_writer(spark)`` for saveAsTable semantics.
+    `extension_handler(type_url, value, inputs)` consumes
+    ExtensionSingle/Multi/Leaf rels (the ExtensionProvider analog).
+    The final DataFrame carries RelRoot.names.
     """
     plan = _Msg(bytes(plan_bytes))
     # Collect every PlanRel tree first: non-root entries are subtrees
