@@ -24,3 +24,21 @@ __version__ = "0.1.0"
 
 from arrow_spark.session import get_spark  # noqa: F401
 from arrow_spark.catalog import TABLES, load_tables  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (kept lazy so `import arrow_spark`
+    stays light — no plan/flight modules until first use)."""
+    if name == "Table":
+        from arrow_spark.table import Table
+
+        return Table
+    if name == "Declaration":
+        from arrow_spark.plans import Declaration
+
+        return Declaration
+    if name == "run_substrait":
+        from arrow_spark.plans.substrait import run_substrait
+
+        return run_substrait
+    raise AttributeError(f"module 'arrow_spark' has no attribute {name!r}")
