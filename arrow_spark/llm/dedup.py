@@ -543,6 +543,7 @@ def near_dup_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    keeper_by: str | None = None,
 ) -> DataFrame:
     """Cluster documents by transitive near-duplication.
 
@@ -579,7 +580,9 @@ def near_dup_clusters(
         )
     else:
         raise ValueError(f"bad pair_source {pair_source!r}")
-    return clusters_from_pairs(docs, pairs, id_col=id_col, max_iter=max_iter)
+    return clusters_from_pairs(
+        docs, pairs, id_col=id_col, max_iter=max_iter, keeper_by=keeper_by
+    )
 
 
 def clusters_from_pairs(
@@ -589,18 +592,51 @@ def clusters_from_pairs(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    keeper_by: str | None = None,
 ) -> DataFrame:
     """Cluster assignment from an arbitrary near-dup edge list (exact
     Jaccard pairs, minhash-LSH candidates, embedding-cosine pairs, ...):
     connected components + join-back so every document gets a
-    (cluster_id, is_keeper) row, singletons included."""
+    (cluster_id, is_keeper) row, singletons included.
+
+    ``keeper_by`` selects WHICH duplicate to retain: None keeps the min
+    doc_id (cheapest, fully deterministic); a quality column name keeps
+    the cluster's argmax of that column (ties → min doc_id) — the shape
+    real pipelines want ("keep the longest / highest-quality copy, drop
+    the rest"). Quality selection adds one cluster-keyed max_by
+    aggregate (map-side combined) and an equi-join — no extra corpus
+    scan. Numeric ids assumed (the tiebreak negates the id).
+    """
     comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
-    out = docs.select(F.col(id_col).alias("doc_id")).join(
+    extra = [F.col(keeper_by).alias("__q__")] if keeper_by else []
+    out = docs.select(F.col(id_col).alias("doc_id"), *extra).join(
         comp, F.col("doc_id") == comp.v, "left"
     )
     cluster = F.coalesce(F.col("component"), F.col("doc_id"))
-    return out.select(
+    if keeper_by is None:
+        return out.select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("is_keeper"),
+        )
+    assigned = out.select("doc_id", cluster.alias("cluster_id"), F.col("__q__"))
+    # lexicographic struct max = (max quality, then min id via negation);
+    # kid rides along so the winner's id pops out of one aggregate
+    best = (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__q__").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                    F.col("doc_id").alias("kid"),
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", F.col("b.kid").alias("__keeper__"))
+    )
+    return assigned.join(best, "cluster_id").select(
         "doc_id",
-        cluster.alias("cluster_id"),
-        (cluster == F.col("doc_id")).alias("is_keeper"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("__keeper__")).alias("is_keeper"),
     )

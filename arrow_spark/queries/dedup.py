@@ -244,3 +244,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dups(
         batch, store, corpus, threshold=0.5, num_hashes=16, bands=4
     )
+
+
+CLUSTERS_QUALITY_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT doc_id AS id, lang,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM d a JOIN d b ON a.lang = b.lang AND a.id < b.id
+  WHERE (len(list_intersect(a.toks, b.toks)) * 1.0
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(v, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a
+), assigned AS (
+  SELECT doc_id, n_chars, coalesce(comp.c, doc_id) AS cluster_id
+  FROM documents
+  LEFT JOIN (SELECT v, least(min(r), v) AS c FROM reach GROUP BY v) comp
+    ON doc_id = comp.v
+), ranked AS (
+  SELECT cluster_id, doc_id AS keeper,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM assigned
+), best AS (
+  SELECT cluster_id, keeper FROM ranked WHERE rn = 1
+)
+SELECT a.doc_id, a.cluster_id, a.doc_id = b.keeper AS is_keeper
+FROM assigned a JOIN best b USING (cluster_id)
+"""
+
+
+@query("dedup_clusters_quality_keeper", oracle=CLUSTERS_QUALITY_ORACLE)
+def dedup_clusters_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-aware keeper selection: within each transitive near-dup
+    cluster, keep the LONGEST document (n_chars argmax, ties to min
+    doc_id) instead of the min id — the 'retain the best copy' shape
+    real pipelines use. One extra cluster-keyed max_by aggregate over
+    the min-id variant; the oracle replays the same argmax in SQL."""
+    return near_dup_clusters(
+        table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        block_cols=("lang",),
+        pair_source="exact",
+        keeper_by="n_chars",
+    )
