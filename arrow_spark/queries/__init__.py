@@ -92,6 +92,7 @@ def load_all() -> dict[str, QueryDef]:
         "parquet_bloom_point_lookup",
         "corpus_chunk_documents",
         "dedup_incremental",
+        "dedup_clusters_quality_keeper",
     )
     first = {k: REGISTRY[k] for k in priority if k in REGISTRY}
     fresh = {k: v for k, v in REGISTRY.items() if k not in verified and k not in first}
