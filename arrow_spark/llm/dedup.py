@@ -320,7 +320,7 @@ def band_signature_store(
 
 def incremental_near_dups(
     new_docs: DataFrame,
-    store: DataFrame,
+    store: DataFrame | None,
     corpus: DataFrame,
     threshold: float = 0.5,
     num_hashes: int = 16,
@@ -328,6 +328,8 @@ def incremental_near_dups(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidate_source: str = "lsh",
+    block_cols: tuple = (),
 ) -> DataFrame:
     """Near-dup detection of a NEW batch against an EXISTING corpus —
     the daily-ingest shape: shingle/sign only the batch (cost ∝ batch,
@@ -341,11 +343,37 @@ def incremental_near_dups(
     pairs at/above threshold — batch rows absent from the result are
     novel documents, appendable to the store via band_signature_store.
 
+    ``candidate_source="exact"`` replaces the LSH store probe with
+    all (new × corpus) pairs inside ``block_cols`` — recall 1 by
+    construction, so the result is SQL-expressible and DuckDB-oracled
+    (the store is unused and may be None). That is the verification
+    path; "lsh" is the scale path whose recall the exact path gates.
+
     At 100 TB: the store is the only corpus-scale input and it is read
     by equi-join on (band, bsig) — partition/bucket it on those keys
     and the probe touches matching buckets only. The corpus text scan
     is candidate-pruned. Nothing rescans or re-signs the full corpus.
     """
+    if candidate_source == "exact":
+        sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
+        blocks = [F.col(c) for c in block_cols]
+        a = new_docs.select(F.col(id_col).alias("new_id"), *blocks, sh.alias("sh_a"))
+        b = corpus.select(F.col(id_col).alias("dup_of"), *blocks, sh.alias("sh_b"))
+        j = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size("sh_a") + F.size("sh_b") - inter  # sets are distinct
+        return (
+            j.select(
+                "new_id",
+                "dup_of",
+                (F.floor(inter * 1.0 / union * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    if candidate_source != "lsh":
+        raise ValueError(f"unknown candidate_source {candidate_source!r}")
+    if store is None:
+        raise ValueError("candidate_source='lsh' requires a signature store")
     d_new = shingle_sets(new_docs, shingle_n, id_col, text_col, partition_by_id=True)
     new_bands = _band_signatures(d_new, num_hashes, bands)
     cands = (

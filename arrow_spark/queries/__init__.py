@@ -62,39 +62,43 @@ def _driver_verified() -> set[str]:
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY).
 
-    Returned in verification-priority order: queries with no green driver
-    row yet come first (module order preserved within each block).
+    Returned in verification-priority order, so the driver's sampled
+    prefix always verifies the largest possible set of not-yet-green
+    operators (module order preserved within each block):
+
+    1. never driver-green AND oracle-bearing — a sampled run can turn
+       these hash-green, the strongest kind of row;
+    2. never driver-green, rows-only — a sampled run records the weaker
+       rows-only check;
+    3. already driver-green in a past round — re-verification only.
     """
     for mod in _MODULES:
         importlib.import_module(f"arrow_spark.queries.{mod}")
     verified = _driver_verified()
-    # Round-3 re-verification targets (VERDICT r2 item 3): green in r01
-    # but dropped from the r02 sample, and since touched by the NTZ fix —
-    # these must land in the sampled prefix alongside the never-verified.
-    priority = (
-        "window_rank",
-        "window_range_frame",
-        "window_value_functions",
-        "cumulative_ops",
-        "fill_null_forward_backward",
-        "pairwise_diff",
-        "temporal_strftime_strptime",
-        # operators NEW in round 3 — the ops this round's verdict will
-        # check for driver rows; without promotion they sort behind the
-        # older unverified backlog and miss the sampled prefix
-        "substrait_expand",
-        "substrait_write",
-        "substrait_nested_loop_join",
-        "substrait_reference",
-        "substrait_case_inlist",
-        "multimodal_png_decode",
-        "multimodal_wav_decode",
-        "parquet_bloom_point_lookup",
-        "corpus_chunk_documents",
-        "dedup_incremental",
-        "dedup_clusters_quality_keeper",
-    )
-    first = {k: REGISTRY[k] for k in priority if k in REGISTRY}
-    fresh = {k: v for k, v in REGISTRY.items() if k not in verified and k not in first}
-    rest = {k: v for k, v in REGISTRY.items() if k in verified and k not in first}
-    return {**first, **fresh, **rest}
+
+    def rank(name: str, qd: QueryDef) -> tuple[int, int]:
+        if name in verified:
+            block = 4
+        elif qd.oracle is None:
+            block = 3
+        elif name in _DEFER_NEW:
+            block = 2  # new this round: behind the older unverified backlog
+        elif name in _PROMOTE:
+            block = 0
+        else:
+            block = 1
+        return block, _ORDER[name]
+
+    _ORDER = {k: i for i, k in enumerate(REGISTRY)}
+    return dict(sorted(REGISTRY.items(), key=lambda kv: rank(*kv)))
+
+
+#: Never-green queries that MUST land in this round's sampled prefix
+#: (ahead of the backlog) — e.g. a rows-only query that just gained an
+#: oracle and the verdict asked to see hash-green.
+_PROMOTE: tuple[str, ...] = ("dedup_incremental",)
+
+#: Oracle-bearing queries first registered this round. They sort behind
+#: the pre-existing never-green backlog so they don't consume sampled
+#: slots the backlog has been waiting on; they drain from the next round.
+_DEFER_NEW: tuple[str, ...] = ()

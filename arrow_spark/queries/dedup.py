@@ -226,14 +226,63 @@ def fuzzy_join_lsh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_incremental", oracle=None)
+INCREMENTAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT id, lang,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+  FROM d
+), scored AS (
+  SELECT a.id AS new_id, b.id AS dup_of,
+         floor((len(list_intersect(a.sh, b.sh)) * 1.0
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+               * 1e6 + 0.5) / 1e6 AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang
+  WHERE a.id % 5 = 0 AND b.id % 5 != 0
+)
+SELECT new_id, dup_of, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_incremental", oracle=INCREMENTAL_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """incremental ingest dedup: documents with doc_id % 5 == 0 play the
-    incoming batch, the rest the accepted corpus; the batch's band
-    signatures probe the corpus's persisted signature store by equi-join
-    and candidates are exact-verified by shingle Jaccard (rows-only:
-    xxhash64 band signatures aren't reproducible in DuckDB; equivalence
-    to the batch-side slice of the full near-dup pair set is pinned in
+    """incremental ingest dedup, oracle-gating path: documents with
+    doc_id % 5 == 0 play the incoming batch, the rest the accepted
+    corpus; candidates are all (new × corpus) pairs within lang
+    (recall 1 by construction) exact-verified by shingle Jaccard, so
+    DuckDB can replay the identical pair set. dedup_incremental_lsh_store
+    is the scale path this gates — same verify arithmetic, candidates
+    from the persisted band-signature store instead of blocked
+    all-pairs."""
+    from arrow_spark.llm.dedup import incremental_near_dups
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return incremental_near_dups(
+        batch,
+        None,
+        corpus,
+        threshold=0.5,
+        candidate_source="exact",
+        block_cols=("lang",),
+    )
+
+
+@query("dedup_incremental_lsh_store", oracle=None)
+def dedup_incremental_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental ingest dedup, scale path: the batch's band signatures
+    probe the corpus's persisted signature store by (band, bsig)
+    equi-join and candidates are exact-verified by shingle Jaccard
+    (rows-only: xxhash64 band signatures aren't reproducible in DuckDB;
+    containment in the unblocked exact all-pairs set — and jaccard
+    agreement on every shared pair — is pinned in
     tests/test_llm_ops.py)."""
     from arrow_spark.llm.dedup import band_signature_store, incremental_near_dups
 

@@ -381,3 +381,15 @@ def test_incremental_near_dups_against_store(spark):
         if (r.id_a < 10) != (r.id_b < 10)  # cross batch/corpus pairs only
     }
     assert got == want
+    # containment: the LSH store probe never invents a pair the exact
+    # (unblocked all-pairs) path lacks, and agrees on every jaccard —
+    # the relation that lets dedup_incremental's DuckDB oracle gate the
+    # hash-infeasible dedup_incremental_lsh_store query.
+    exact = {
+        (r.new_id, r.dup_of): r.jaccard
+        for r in incremental_near_dups(
+            batch, None, corpus, threshold=0.3, candidate_source="exact"
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())

@@ -1,0 +1,56 @@
+"""The driver samples a prefix of the registry in insertion order, so
+``load_all`` must float never-driver-verified queries to the front
+(oracle-bearing before rows-only) and sink already-verified ones."""
+
+from arrow_spark.queries import _DEFER_NEW, _PROMOTE, _driver_verified, load_all
+
+QUERIES = load_all()
+VERIFIED = _driver_verified()
+
+
+def _block(name: str) -> int:
+    qd = QUERIES[name]
+    if name in VERIFIED:
+        return 4
+    if qd.oracle is None:
+        return 3
+    if name in _DEFER_NEW:
+        return 2
+    if name in _PROMOTE:
+        return 0
+    return 1
+
+
+def test_blocks_are_monotonic():
+    blocks = [_block(n) for n in QUERIES]
+    assert blocks == sorted(blocks)
+
+
+def test_no_verified_query_before_an_unverified_oracle_query():
+    names = list(QUERIES)
+    if not VERIFIED:
+        return
+    first_verified = min(names.index(n) for n in VERIFIED)
+    unverified_oracle = [
+        i
+        for i, n in enumerate(names)
+        if n not in VERIFIED and QUERIES[n].oracle is not None
+    ]
+    assert all(i < first_verified for i in unverified_oracle)
+
+
+def test_promoted_names_lead_when_unverified():
+    names = list(QUERIES)
+    for p in _PROMOTE:
+        if p in QUERIES and p not in VERIFIED:
+            assert QUERIES[p].oracle is not None, f"{p} promoted but has no oracle"
+            backlog = [
+                n
+                for n in names
+                if n not in VERIFIED
+                and QUERIES[n].oracle is not None
+                and n not in _PROMOTE
+                and n not in _DEFER_NEW
+            ]
+            if backlog:
+                assert names.index(p) < names.index(backlog[0])
