@@ -268,16 +268,16 @@ class _Consumer:
             if it.has(2):
                 col = col.otherwise(self.expr(it.msg(2), cols))
             return col
-        if m.has(7):  # SwitchExpression { match=1, ifs=2 {if=1,then=2}, else=3 }
+        if m.has(7):  # SwitchExpression { ifs=1 {if=1,then=2}, else=2, match=3 }
             sw = m.msg(7)
-            match = self.expr(sw.msg(1), cols)
+            match = self.expr(sw.msg(3), cols)
             col = None
-            for c in sw.msgs(2):
+            for c in sw.msgs(1):
                 cond = match == self.literal(c.msg(1))
                 then = self.expr(c.msg(2), cols)
                 col = F.when(cond, then) if col is None else col.when(cond, then)
-            if sw.has(3):
-                col = col.otherwise(self.expr(sw.msg(3), cols))
+            if sw.has(2):
+                col = col.otherwise(self.expr(sw.msg(2), cols))
             return col
         if m.has(8):  # SingularOrList { value=1, options=2 } → IN
             sl = m.msg(8)
@@ -527,14 +527,14 @@ class _Consumer:
             10: self.extension_multi_rel,
             11: self.extension_leaf_rel,
             12: self.cross_rel,
-            13: self.write_rel,
-            14: self.ddl_rel,
-            15: self.hash_join_rel,
-            16: self.merge_join_rel,
+            13: self.hash_join_rel,
+            14: self.merge_join_rel,
+            15: self.exchange_rel,
+            16: self.expand_rel,
             17: self.window_rel,
             18: self.nested_loop_join_rel,
-            19: self.exchange_rel,
-            20: self.expand_rel,
+            19: self.write_rel,
+            20: self.ddl_rel,
             21: self.reference_rel,
         }
         for n, h in handlers.items():
@@ -778,9 +778,18 @@ class _Consumer:
             return fns[name](args[0])
         raise NotImplementedError(f"aggregate function {name!r} not supported")
 
+    #: HashJoinRel/MergeJoinRel/NestedLoopJoinRel share a JoinType enum
+    #: DISTINCT from JoinRel's: LEFT_SEMI=5, RIGHT_SEMI=6, LEFT_ANTI=7,
+    #: RIGHT_ANTI=8 (JoinRel has LEFT_SEMI=5, LEFT_ANTI=6). Right-side
+    #: semi/anti run as the mirrored left-side join with sides swapped;
+    #: output = the right input's fields, per spec.
+    _KEYED_JOIN_TYPES = {1: "inner", 2: "full_outer", 3: "left_outer",
+                         4: "right_outer", 5: "left_semi", 6: "right_semi",
+                         7: "left_anti", 8: "right_anti"}
+
     def _keyed_join(self, m: _Msg, kind: str) -> DataFrame:
-        """Shared body for HashJoinRel (field 15) and MergeJoinRel
-        (field 16): { common=1, left=2, right=3, left_keys=4 (bare
+        """Shared body for HashJoinRel (field 13) and MergeJoinRel
+        (field 14): { common=1, left=2, right=3, left_keys=4 (bare
         FieldReferences), right_keys=5, post_join_filter=6, type=7 }.
         Both lower to the same logical equi-join — physical strategy
         (broadcast-hash / shuffled-hash / sort-merge) is Catalyst's
@@ -798,16 +807,34 @@ class _Consumer:
         for li, ri in zip(lkeys, rkeys):
             c = F.col(left.columns[li]) == F.col(right_r.columns[ri])
             cond = c if cond is None else cond & c
-        jtype = {1: "inner", 2: "full_outer", 3: "left_outer", 4: "right_outer",
-                 5: "left_semi", 6: "left_anti"}[m.u64(7, 1)]
+        jtype = self._KEYED_JOIN_TYPES[m.u64(7, 1)]
+        filt = self.expr(m.msg(6), combined) if m.has(6) else None
+        return self._emit(self._join_output(left, right_r, cond, jtype, filt, nl), m.msg(1))
+
+    def _join_output(
+        self,
+        left: DataFrame,
+        right_r: DataFrame,
+        cond: Column,
+        jtype: str,
+        filt: Column | None,
+        nl: int,
+    ) -> DataFrame:
+        """Execute + positionally rename a keyed/NLJ join, handling the
+        right-side semi/anti types by swapping sides (output fields =
+        the surviving side only, per the substrait spec)."""
+        if jtype in ("right_semi", "right_anti"):
+            mirrored = "left_semi" if jtype == "right_semi" else "left_anti"
+            out = right_r.join(left, cond, mirrored)
+            if filt is not None:
+                out = out.where(filt)
+            return out.toDF(*[f"{self._prefix}{i}" for i in range(len(right_r.columns))])
         out = left.join(right_r, cond, jtype)
-        if m.has(6):
-            out = out.where(self.expr(m.msg(6), combined))
+        if filt is not None:
+            out = out.where(filt)
         if jtype in ("left_semi", "left_anti"):
-            out = out.select(*left.columns)
-        else:
-            out = out.toDF(*[f"{self._prefix}{i}" for i in range(nl + len(right_r.columns))])
-        return self._emit(out, m.msg(1))
+            return out.select(*left.columns)
+        return out.toDF(*[f"{self._prefix}{i}" for i in range(nl + len(right_r.columns))])
 
     def hash_join_rel(self, m: _Msg) -> DataFrame:
         return self._keyed_join(m, "hash")
@@ -871,20 +898,17 @@ class _Consumer:
         nl = len(left.columns)
         right_r = right.toDF(*[f"{self._prefix}g{i}" for i in range(len(right.columns))])
         combined = left.columns + right_r.columns
-        jtype = {1: "inner", 2: "full_outer", 3: "left_outer", 4: "right_outer",
-                 5: "left_semi", 6: "left_anti"}[m.u64(5, 1)]
+        jtype = self._KEYED_JOIN_TYPES[m.u64(5, 1)]
         cond = self.expr(m.msg(4), combined) if m.has(4) else F.lit(True)
-        out = left.join(right_r, cond, jtype)
-        if jtype in ("left_semi", "left_anti"):
-            out = out.select(*left.columns)
-        else:
-            out = out.toDF(*[f"{self._prefix}{i}" for i in range(nl + len(right_r.columns))])
-        return self._emit(out, m.msg(1))
+        return self._emit(
+            self._join_output(left, right_r, cond, jtype, None, nl), m.msg(1)
+        )
 
     def exchange_rel(self, m: _Msg) -> DataFrame:
         """ExchangeRel { common=1, input=2, partition_count=3,
-        scatter_by_fields=4 | single_target=5 | multi_target=6 |
-        round_robin=7 | broadcast=8 } — algebra.proto field 19.
+        targets=4, scatter_by_fields=5 | single_target=6 |
+        multi_target=7 | round_robin=8 | broadcast=9 } — algebra.proto
+        field 15.
 
         Spark-first mapping: scatter → hash repartition on the fields
         (an Exchange hashpartitioning), round-robin → repartition(n)
@@ -894,12 +918,12 @@ class _Consumer:
         df = self.rel(m.msg(2))
         cols = df.columns
         n = m.u64(3, 0)
-        if m.has(4):  # ScatterFields { fields=1 } — bare FieldReferences
-            keys = [F.col(cols[self.field_index(f)]) for f in m.msg(4).msgs(1)]
+        if m.has(5):  # ScatterFields { fields=1 } — bare FieldReferences
+            keys = [F.col(cols[self.field_index(f)]) for f in m.msg(5).msgs(1)]
             out = df.repartition(n, *keys) if n else df.repartition(*keys)
-        elif m.has(7):
-            out = df.repartition(n) if n else df.repartition()
         elif m.has(8):
+            out = df.repartition(n) if n else df.repartition()
+        elif m.has(9):
             out = F.broadcast(df)
         else:
             raise NotImplementedError(
@@ -909,7 +933,7 @@ class _Consumer:
 
     def ddl_rel(self, m: _Msg) -> DataFrame:
         """DdlRel { named_object=1, table_schema=3, object=5, op=6,
-        view_definition=7 } — algebra.proto field 14. Supported surface:
+        view_definition=7 } — algebra.proto field 20. Supported surface:
         VIEW CREATE / CREATE_OR_REPLACE (registers the view_definition
         as a session temp view) and TABLE/VIEW DROP / DROP_IF_EXIST.
         Returns the defined view's frame (CREATE) or an empty frame
@@ -937,11 +961,11 @@ class _Consumer:
         raise NotImplementedError(f"ddl op {op} not supported")
 
     def expand_rel(self, m: _Msg) -> DataFrame:
-        """ExpandRel { common=1, input=2, fields=3 }: emit one copy of
+        """ExpandRel { common=1, input=2, fields=4 }: emit one copy of
         each input row per switching-duplicate; output = the declared
         fields only. ExpandField is either consistent_field=3 (same
         expression in every copy) or switching_expressions=2 (copy i
-        evaluates duplicates[i]) — algebra.proto field 20; reference
+        evaluates duplicates[i]) — algebra.proto field 16; reference
         consumer cpp/src/arrow/engine/substrait/relation_internal.cc.
 
         Spark-first: union-all of one projection per copy. This is the
@@ -951,7 +975,7 @@ class _Consumer:
         shared subplan)."""
         df = self.rel(m.msg(2))
         cols = df.columns
-        fields = m.msgs(3)
+        fields = m.msgs(4)
         if not fields:
             raise NotImplementedError("expand with no fields")
         n_copies = max(
@@ -981,7 +1005,7 @@ class _Consumer:
 
     def write_rel(self, m: _Msg) -> DataFrame:
         """WriteRel { named_table=1, table_schema=3, op=4, input=5,
-        output=6, common=7 } — algebra.proto field 13; reference consumer
+        output=6, common=7 } — algebra.proto field 19; reference consumer
         relation_internal.cc (Acero write node → dataset sink).
 
         The input frame is renamed to table_schema.names (when present)

@@ -137,14 +137,15 @@ def raw_lit_str(s: str) -> bytes:
 
 def switch(match: bytes, cases: list[tuple[bytes, bytes]],
            els: bytes | None = None) -> bytes:
-    """Expression.SwitchExpression { match=1, ifs=2 {if=Literal,
-    then=2}, else=3 } — simple CASE. Each case's `if` is LITERAL BYTES
+    """Expression.SwitchExpression { ifs=1 {if=Literal, then=2},
+    else=2, match=3 } — simple CASE. Each case's `if` is LITERAL BYTES
     (the Literal message, not an Expression)."""
-    body = f_msg(1, match)
+    body = b""
     for lit, then in cases:
-        body += f_msg(2, f_msg(1, lit) + f_msg(2, then))
+        body += f_msg(1, f_msg(1, lit) + f_msg(2, then))
     if els is not None:
-        body += f_msg(3, els)
+        body += f_msg(2, els)
+    body += f_msg(3, match)
     return f_msg(7, body)
 
 
@@ -225,9 +226,9 @@ def agg_fn(anchor: int, args: list[bytes], output: bytes, distinct: bool = False
 
 def rel(kind: str, payload: bytes) -> bytes:
     nums = {"read": 1, "filter": 2, "fetch": 3, "aggregate": 4, "sort": 5,
-            "join": 6, "project": 7, "set": 8, "cross": 12, "write": 13,
-            "ddl": 14, "hash_join": 15, "merge_join": 16,
-            "nested_loop_join": 18, "exchange": 19, "expand": 20,
+            "join": 6, "project": 7, "set": 8, "cross": 12, "hash_join": 13,
+            "merge_join": 14, "exchange": 15, "expand": 16, "window": 17,
+            "nested_loop_join": 18, "write": 19, "ddl": 20,
             "reference": 21, "extension_single": 9, "extension_multi": 10,
             "extension_leaf": 11}
     return f_msg(nums[kind], payload)
@@ -312,9 +313,11 @@ def raw_field_ref(idx: int) -> bytes:
 def keyed_join_rel(left: bytes, right: bytes, left_keys: list[int],
                    right_keys: list[int], join_type: int = 1,
                    kind: str = "hash", post_filter: bytes | None = None) -> bytes:
-    """HashJoinRel (field 15) / MergeJoinRel (field 16):
+    """HashJoinRel (field 13) / MergeJoinRel (field 14):
     { left=2, right=3, left_keys=4, right_keys=5, post_join_filter=6,
-    type=7 }; keys are bare FieldReferences into each side's own schema."""
+    type=7 }; keys are bare FieldReferences into each side's own schema.
+    JoinType here is the keyed-join enum: 5=LEFT_SEMI, 6=RIGHT_SEMI,
+    7=LEFT_ANTI, 8=RIGHT_ANTI (unlike JoinRel)."""
     body = f_msg(2, left) + f_msg(3, right)
     body += b"".join(f_msg(4, raw_field_ref(i)) for i in left_keys)
     body += b"".join(f_msg(5, raw_field_ref(i)) for i in right_keys)
@@ -339,16 +342,16 @@ def exchange_rel(input_rel: bytes, partition_count: int = 0,
                  scatter_fields: list[int] | None = None,
                  round_robin: bool = False, broadcast: bool = False) -> bytes:
     """ExchangeRel { common=1, input=2, partition_count=3,
-    scatter_by_fields=4 | round_robin=7 | broadcast=8 } (field 19)."""
+    scatter_by_fields=5 | round_robin=8 | broadcast=9 } (field 15)."""
     body = f_msg(2, input_rel)
     if partition_count:
         body += f_varint(3, partition_count)
     if scatter_fields is not None:
-        body += f_msg(4, b"".join(f_msg(1, raw_field_ref(i)) for i in scatter_fields))
+        body += f_msg(5, b"".join(f_msg(1, raw_field_ref(i)) for i in scatter_fields))
     elif round_robin:
-        body += f_msg(7, b"")
-    elif broadcast:
         body += f_msg(8, b"")
+    elif broadcast:
+        body += f_msg(9, b"")
     return rel("exchange", body)
 
 
@@ -357,7 +360,7 @@ def ddl_rel(table_names: list[str], obj: int, op: int,
             col_names: list[str] | None = None,
             col_kinds: list[str] | None = None) -> bytes:
     """DdlRel { named_object=1, table_schema=3, object=5, op=6,
-    view_definition=7 } (algebra.proto field 14). obj: 1=TABLE 2=VIEW;
+    view_definition=7 } (algebra.proto field 20). obj: 1=TABLE 2=VIEW;
     op: 1=CREATE 2=CREATE_OR_REPLACE 4=DROP 5=DROP_IF_EXIST."""
     body = f_msg(1, b"".join(f_str(1, n) for n in table_names))
     if col_names is not None:
@@ -380,15 +383,15 @@ def expand_field_switching(duplicates: list[bytes]) -> bytes:
 
 
 def expand_rel(input_rel: bytes, fields: list[bytes]) -> bytes:
-    """ExpandRel { common=1, input=2, fields=3 } (algebra.proto field 20)."""
-    return rel("expand", f_msg(2, input_rel) + b"".join(f_msg(3, f) for f in fields))
+    """ExpandRel { common=1, input=2, fields=4 } (algebra.proto field 16)."""
+    return rel("expand", f_msg(2, input_rel) + b"".join(f_msg(4, f) for f in fields))
 
 
 def write_rel_named(input_rel: bytes, table_names: list[str],
                     col_names: list[str] | None = None,
                     op: int = 1, output_mode: int = 2) -> bytes:
     """WriteRel { named_table=1, table_schema=3, op=4, input=5, output=6 }
-    (algebra.proto field 13). op: 1=INSERT 2=DELETE 3=UPDATE 4=CTAS;
+    (algebra.proto field 19). op: 1=INSERT 2=DELETE 3=UPDATE 4=CTAS;
     output_mode: 1=NO_OUTPUT 2=MODIFIED_RECORDS."""
     body = f_msg(1, b"".join(f_str(1, n) for n in table_names))
     if col_names is not None:
