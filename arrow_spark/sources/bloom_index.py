@@ -16,10 +16,11 @@ SIDECAR INDEX, engine-owned end to end:
   distributed, payload bytes never reach the driver, and the result is
   a tiny DataFrame (#row-groups × bloom_bytes) you persist next to the
   dataset.
-- ``point_lookup``: reads the index (driver-side metadata, KB–MB),
-  keeps only row groups whose bloom may contain the probe value, and
-  scans JUST those row groups via one Spark task per candidate
-  (pyarrow ``read_row_group``) with the exact filter re-applied.
+- ``point_lookup``: tests the blooms EXECUTOR-side (admitted_candidates
+  — the index DataFrame is filtered where it lives; only admitted
+  (file, row_group) keys reach the driver), then scans JUST those row
+  groups via one Spark task per candidate (pyarrow ``read_row_group``)
+  with the exact filter re-applied.
 
 At 100 TB: a 4 KiB bloom per row group over ~100k row groups is a
 ~400 MB index — a broadcast-sized frame that turns a full-table point
@@ -115,6 +116,21 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     return [path]
 
 
+def write_bloom_index(index: DataFrame, path: str) -> None:
+    """Persist a sidecar bloom index next to its dataset ("build once,
+    serve many"): plain parquet, one row per (file, row_group). The
+    write is distributed like any frame; re-read with read_bloom_index
+    and pass straight to point_lookup."""
+    index.write.mode("overwrite").parquet(path)
+
+
+def read_bloom_index(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted sidecar bloom index (write_bloom_index output).
+    The explicit schema keeps the bloom column binary even for an empty
+    index directory."""
+    return spark.read.schema(INDEX_SCHEMA).parquet(path)
+
+
 def build_bloom_index(
     spark: SparkSession, path: str, column: str, fpp: float = 0.01
 ) -> DataFrame:
@@ -181,13 +197,37 @@ def build_bloom_index(
 
 
 def prune_row_groups(index_rows: list, value: object) -> list[tuple[str, int]]:
-    """Driver-side pruning: (file, row_group) pairs whose bloom may
-    contain ``value`` — the read set for the point lookup."""
+    """Driver-side pruning over already-collected index rows (small
+    indexes / unit tests). The lookup path uses ``admitted_candidates``
+    instead, which never materializes the index at the driver."""
     return [
         (r["file"], r["row_group"])
         for r in index_rows
         if _bloom_may_contain(r["bloom"], r["m_bits"], r["k_hashes"], value)
     ]
+
+
+def admitted_candidates(index: DataFrame, column: str, value: object) -> DataFrame:
+    """EXECUTOR-side membership test: filter the index DataFrame down to
+    the (file, row_group) pairs whose bloom may contain ``value``.
+
+    The bloom bitmaps (the ~400 MB at 100k row groups) stay distributed
+    — each executor tests its own partition of the index and ships back
+    only the admitted keys, so driver transfer is ∝ candidate count
+    (KBs), not index size. ``column`` is carried only for plan
+    readability in the UI."""
+
+    def test(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            keep = [
+                _bloom_may_contain(b, int(m), int(k), value)
+                for b, m, k in zip(pdf["bloom"], pdf["m_bits"], pdf["k_hashes"])
+            ]
+            yield pdf.loc[keep, ["file", "row_group"]]
+
+    return index.mapInPandas(test, schema="file: string, row_group: int")
 
 
 def point_lookup(
@@ -201,11 +241,15 @@ def point_lookup(
     """Bloom-pruned point lookup: scan ONLY row groups the index admits.
 
     ``index`` is a build_bloom_index result (or a re-read persisted copy).
-    The candidate list is index metadata (small); each candidate row
-    group is read by its own Spark task with the exact predicate
-    re-applied, so bloom false positives cost I/O, never correctness.
+    The membership test runs executor-side (admitted_candidates) — only
+    the admitted (file, row_group) pairs reach the driver, never the
+    bloom bitmaps; each candidate row group is then read by its own
+    Spark task with the exact predicate re-applied, so bloom false
+    positives cost I/O, never correctness.
     """
-    candidates = prune_row_groups(index.collect(), value)
+    candidates = [
+        (r.file, r.row_group) for r in admitted_candidates(index, column, value).collect()
+    ]
     if out_schema is None:
         from pyspark.sql.pandas.types import from_arrow_schema
         import pyarrow.parquet as pq

@@ -116,3 +116,41 @@ def test_vectorized_build_matches_scalar_probe_bitwise(tmp_path):
     for v in keys:
         assert _bloom_may_contain(bits_np.tobytes(), m, k, v)
         assert _hash_pair(np.int64(v) if v >= 0 else v)[0] == _hash_pair(v)[0]
+
+
+def test_membership_test_runs_executor_side(spark, rg_dataset, monkeypatch):
+    """r4 (VERDICT r3 'what's wrong' #2): point_lookup must never pull
+    the bloom bitmaps to the driver. Pins (a) the executor-side filter
+    equals the driver-side reference prune, and (b) every collect()
+    inside point_lookup is candidate-sized — the index frame (with its
+    bloom column) is not collected."""
+    from arrow_spark.sources.bloom_index import admitted_candidates
+
+    path, keys = rg_dataset
+    index = build_bloom_index(spark, path, "key", fpp=0.01)
+    probe = keys[4321]
+
+    want = set(prune_row_groups([r.asDict() for r in index.collect()], probe))
+    got = {(r.file, r.row_group) for r in admitted_candidates(index, "key", probe).collect()}
+    assert got == want and (path, 4) in got
+
+    # patch the CONCRETE class (pyspark 4 subclasses the public
+    # DataFrame ABC; patching the base would miss the override)
+    DataFrame = type(index)
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append((len(rows), self.columns))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = orig(point_lookup(spark, path, "key", probe, index))
+    assert [(r.key, r.val) for r in out] == [(probe, "row-4321")]
+    # every internal collect is the admitted-pairs frame: ≤ candidate
+    # count rows, and never carrying the bloom payload column
+    assert collected, "expected point_lookup to collect its candidate list"
+    for n, cols in collected:
+        assert n <= len(want)
+        assert "bloom" not in cols

@@ -393,3 +393,77 @@ def test_incremental_near_dups_against_store(spark):
     }
     assert set(got) <= set(exact)
     assert all(exact[k] == v for k, v in got.items())
+
+
+def test_ivf_index_persist_reload_round_trip(spark, tmp_path):
+    """r4 (VERDICT r3 item 6): the "build once, serve many" contract is
+    executable — write_ivf_index/read_ivf_index round-trip the artifact
+    and ivf_topk(index=loaded) answers without touching the corpus,
+    identically to the fresh build (the whole pipeline is deterministic,
+    so equality is exact)."""
+    from arrow_spark.llm.similarity import (
+        ivf_build_index,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    built = ivf_build_index(df, n_clusters=4, n_iters=3)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(*built, path)
+    loaded = read_ivf_index(spark, path)
+
+    # artifact fidelity: centroids and inverted file survive byte-exact
+    assert {r.cid: r.cv for r in loaded[0].collect()} == {
+        r.cid: r.cv for r in built[0].collect()
+    }
+    assert {(r.nid, r.cid) for r in loaded[1].collect()} == {
+        (r.nid, r.cid) for r in built[1].collect()
+    }
+
+    fresh = ivf_topk(df, queries, k=5, n_clusters=4, n_probe=2, n_iters=3)
+    served = ivf_topk(None, queries, k=5, n_probe=2, index=loaded)
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, served.collect()))
+
+
+def test_bloom_index_persist_reload_round_trip(spark, tmp_path):
+    """write_bloom_index/read_bloom_index round-trip; point_lookup over
+    the loaded index gives the same single-row answer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arrow_spark.sources.bloom_index import (
+        build_bloom_index,
+        point_lookup,
+        read_bloom_index,
+        write_bloom_index,
+    )
+
+    data = str(tmp_path / "data.parquet")
+    n = 4000
+    keys = [(i * 2654435761) % (1 << 31) for i in range(n)]
+    pq.write_table(
+        pa.table({"key": pa.array(keys, pa.int64()), "val": [f"r{i}" for i in range(n)]}),
+        data,
+        row_group_size=500,
+    )
+    index = build_bloom_index(spark, data, "key", fpp=0.01)
+    ipath = str(tmp_path / "bloom_index")
+    write_bloom_index(index, ipath)
+    loaded = read_bloom_index(spark, ipath)
+    # parquet read-back relaxes nullability; names and types must hold
+    assert [(f.name, f.dataType) for f in loaded.schema.fields] == [
+        (f.name, f.dataType) for f in index.schema.fields
+    ]
+    assert {(r.file, r.row_group, r.bloom) for r in loaded.collect()} == {
+        (r.file, r.row_group, r.bloom) for r in index.collect()
+    }
+    probe = keys[1234]
+    got = point_lookup(spark, data, "key", probe, loaded).collect()
+    assert [(r.key, r.val) for r in got] == [(probe, "r1234")]
