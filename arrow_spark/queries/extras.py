@@ -792,11 +792,12 @@ FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
 @query("parquet_bloom_point_lookup", oracle=BLOOM_LOOKUP_ORACLE)
 def parquet_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned parquet point lookup (bloom_filter_reader.cc analog):
-    a distributed sidecar bloom index over the orders file prunes row
-    groups driver-side; only admitted row groups are scanned, with the
-    exact predicate re-applied (false positives cost I/O, not
-    correctness). The probe key is min(o_orderkey) — one scalar of
-    metadata — so the oracle is pure SQL."""
+    a distributed sidecar bloom index over the orders file is tested
+    EXECUTOR-side (admitted_candidates — bitmaps never reach the
+    driver); only admitted row groups are scanned, with the exact
+    predicate re-applied (false positives cost I/O, not correctness).
+    The probe key is min(o_orderkey) — one scalar of metadata — so the
+    oracle is pure SQL."""
     from arrow_spark.sources.bloom_index import build_bloom_index, point_lookup
 
     path = f"{sf_dir}/orders.parquet"
@@ -804,3 +805,30 @@ def parquet_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_bloom_index(spark, path, "o_orderkey")
     out = point_lookup(spark, path, "o_orderkey", int(probe), index)
     return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+FLIGHT_SQL_ORACLE = """
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("flight_sql_statement", oracle=FLIGHT_SQL_ORACLE)
+def flight_sql_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommandStatementQuery end to end (flight/sql/server.h analog):
+    the engine serves its own SparkSession over Flight SQL on a
+    loopback port; the client sends the Any-wrapped statement command,
+    gets chunked endpoints back, and each endpoint streams through its
+    own Spark task. The server outlives the call (daemon thread) so the
+    lazily-evaluated result can DoGet at collect time."""
+    from arrow_spark.sources.flight_sql import flight_sql_execute, start_flight_sql_server
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("flight_sql_orders")
+    srv = start_flight_sql_server(spark, rows_per_endpoint=2000)
+    return flight_sql_execute(
+        spark,
+        f"grpc://127.0.0.1:{srv.port}",
+        """SELECT o_orderpriority, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS sum_price
+           FROM flight_sql_orders GROUP BY o_orderpriority""",
+    )

@@ -227,20 +227,14 @@ def exchange_flight(
     return df.mapInArrow(exchange_partition, schema=out_schema)
 
 
-def read_flight(
-    spark: SparkSession, location: str, descriptor_path: str, token: str | None = None
+def read_flight_info(
+    spark: SparkSession, info, location: str, token: str | None = None
 ) -> DataFrame:
-    """Read a Flight dataset: one Spark task per Flight endpoint.
-
-    GetFlightInfo happens on the driver (metadata only); each task opens
-    DoGet(ticket) against the endpoint's preferred location and streams
-    RecordBatches through mapInArrow. ``token`` rides along to every
-    executor task as a closure constant (bearer-auth servers).
+    """Endpoint-parallel read of an already-fetched FlightInfo: one Spark
+    task per endpoint, DoGet(ticket) inside mapInArrow. Shared by
+    read_flight (path descriptors) and flight_sql (command descriptors).
     """
-    flight = _flight()
-    client = flight.connect(location)
-    descriptor = flight.FlightDescriptor.for_path(descriptor_path)
-    info = client.get_flight_info(descriptor, options=_call_options(token))
+    _flight()
     from pyspark.sql.pandas.types import from_arrow_schema
 
     spark_schema = from_arrow_schema(info.schema)
@@ -281,6 +275,23 @@ def read_flight(
                     yield chunk.data
 
     return eps_df.mapInArrow(read_endpoint, schema=spark_schema)
+
+
+def read_flight(
+    spark: SparkSession, location: str, descriptor_path: str, token: str | None = None
+) -> DataFrame:
+    """Read a Flight dataset: one Spark task per Flight endpoint.
+
+    GetFlightInfo happens on the driver (metadata only); each task opens
+    DoGet(ticket) against the endpoint's preferred location and streams
+    RecordBatches through mapInArrow. ``token`` rides along to every
+    executor task as a closure constant (bearer-auth servers).
+    """
+    flight = _flight()
+    client = flight.connect(location)
+    descriptor = flight.FlightDescriptor.for_path(descriptor_path)
+    info = client.get_flight_info(descriptor, options=_call_options(token))
+    return read_flight_info(spark, info, location, token)
 
 
 def write_flight(

@@ -218,3 +218,116 @@ def test_bearer_auth_required_and_accepted(spark):
         assert b"uploaded" in do_action(loc, "list", token="sekrit-42")
     finally:
         srv.shutdown()
+
+
+# -- Flight SQL (round 4) ---------------------------------------------------
+# server.h sql/ subsystem subset: CommandStatementQuery, catalog
+# commands, prepared statements — all over the hand-rolled Any/command
+# wire layout a conformant Flight SQL client would send.
+
+
+@pytest.fixture()
+def sql_server(spark, sf_dir):
+    from arrow_spark.catalog import table
+    from arrow_spark.sources.flight_sql import start_flight_sql_server
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    srv = start_flight_sql_server(spark, rows_per_endpoint=500)
+    try:
+        yield srv, f"grpc://127.0.0.1:{srv.port}"
+    finally:
+        srv.shutdown()
+
+
+def test_flight_sql_statement_query_parallel_endpoints(spark, sql_server):
+    from arrow_spark.sources.flight_sql import flight_sql_execute
+
+    _, loc = sql_server
+    q = """SELECT o_orderpriority, count(*) AS n
+           FROM orders_v GROUP BY o_orderpriority"""
+    got = flight_sql_execute(spark, loc, q)
+    want = spark.sql(q)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # a >500-row result must arrive over multiple endpoints (and the
+    # client reads them as separate Spark tasks)
+    big = flight_sql_execute(spark, loc, "SELECT o_orderkey FROM orders_v")
+    n = spark.table("orders_v").count()
+    assert big.count() == n and big.rdd.getNumPartitions() >= 2
+
+
+def test_flight_sql_catalog_commands(spark, sql_server):
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_get_catalogs,
+        flight_sql_get_db_schemas,
+        flight_sql_get_tables,
+    )
+
+    _, loc = sql_server
+    cats = flight_sql_get_catalogs(spark, loc).collect()
+    assert [r.catalog_name for r in cats] == ["spark_catalog"]
+
+    dbs = flight_sql_get_db_schemas(spark, loc).collect()
+    assert "default" in {r.db_schema_name for r in dbs}
+
+    tbls = flight_sql_get_tables(spark, loc)
+    assert tbls.columns == ["catalog_name", "db_schema_name", "table_name", "table_type"]
+    names = {r.table_name for r in tbls.collect()}
+    assert {"orders_v", "region_v"} <= names
+
+    filtered = flight_sql_get_tables(
+        spark, loc, table_name_filter_pattern="orders%"
+    ).collect()
+    assert {r.table_name for r in filtered} == {"orders_v"}
+
+    # include_schema: the IPC blob deserializes to the real arrow schema
+    with_schema = flight_sql_get_tables(
+        spark, loc, table_name_filter_pattern="region_v", include_schema=True
+    ).collect()
+    assert len(with_schema) == 1
+    schema = pa.ipc.read_schema(pa.py_buffer(with_schema[0].table_schema))
+    assert set(schema.names) == set(spark.table("region_v").columns)
+
+
+def test_flight_sql_prepared_statement_lifecycle(spark, sql_server):
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_close_prepared,
+        flight_sql_execute_prepared,
+        flight_sql_prepare,
+    )
+
+    _, loc = sql_server
+    q = "SELECT r_regionkey, r_name FROM region_v ORDER BY r_regionkey"
+    handle, schema_blob = flight_sql_prepare(loc, q)
+    assert handle
+    schema = pa.ipc.read_schema(pa.py_buffer(schema_blob))
+    assert schema.names == ["r_regionkey", "r_name"]
+
+    got = flight_sql_execute_prepared(spark, loc, handle)
+    assert [r.r_name for r in got.orderBy("r_regionkey").collect()] == [
+        r.r_name for r in spark.sql(q).collect()
+    ]
+
+    flight_sql_close_prepared(loc, handle)
+    with pytest.raises(fl.FlightError):
+        flight_sql_execute_prepared(spark, loc, handle).collect()
+
+
+def test_flight_sql_bearer_auth(spark, sf_dir):
+    from arrow_spark.catalog import table
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_execute,
+        start_flight_sql_server,
+    )
+
+    table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    srv = start_flight_sql_server(spark, auth_token="sekrit")
+    loc = f"grpc://127.0.0.1:{srv.port}"
+    try:
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            flight_sql_execute(spark, loc, "SELECT 1 AS one").collect()
+        ok = flight_sql_execute(spark, loc, "SELECT 1 AS one", token="sekrit")
+        assert [r.one for r in ok.collect()] == [1]
+    finally:
+        srv.shutdown()
