@@ -1,0 +1,82 @@
+"""Shipped substrait extension relations.
+
+Reference: Acero registers operators substrait has no standard rel for
+— notably its as-of join — as extension rels routed through an
+ExtensionProvider (cpp/src/arrow/engine/substrait/extension_set.h, and
+options.h's AsofJoinNodeOptions for the payload shape). The consumer's
+pluggable ``extension_handler`` hook is this repo's provider analog;
+this module ships a concrete provider plus builder helpers so the hook
+is exercised end to end in-repo, not just by ad-hoc test lambdas.
+
+Payloads are JSON (engine-defined — substrait's Any value is opaque by
+design): human-readable, versionable, and trivially cross-producible.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from arrow_spark.plans import substrait_builder as B
+
+#: type_url of the as-of-join ExtensionMultiRel (inputs: [left, right]).
+#: Payload: {"on": col, "by": [cols], "tolerance": signed number |
+#: pandas-Timedelta string (sign = direction, Arrow options.h:711-724),
+#: "suffix": str, "right_tiebreak": [cols]}.
+ASOF_JOIN_URL = "arrow_spark/extensions/asof_join"
+
+
+def asof_join_rel(
+    left_rel: bytes,
+    right_rel: bytes,
+    on: str,
+    by: list[str] | None = None,
+    tolerance: float | str | None = None,
+    suffix: str = "_r",
+    right_tiebreak: list[str] | None = None,
+) -> bytes:
+    """Encode an as-of join as an ExtensionMultiRel (builder side)."""
+    payload = json.dumps(
+        {
+            "on": on,
+            "by": by or [],
+            "tolerance": tolerance,
+            "suffix": suffix,
+            "right_tiebreak": right_tiebreak or [],
+        },
+        sort_keys=True,
+    ).encode()
+    return B.extension_multi_rel([left_rel, right_rel], ASOF_JOIN_URL, payload)
+
+
+def engine_extension_handler(
+    type_url: str, value: bytes, inputs: list[DataFrame]
+) -> DataFrame:
+    """The in-repo ExtensionProvider: resolves this engine's extension
+    type_urls to operators. Pass as ``extension_handler=`` to
+    run_substrait (kept opt-in so foreign extension rels still fail
+    loudly rather than guessing)."""
+    if type_url == ASOF_JOIN_URL:
+        import pandas as pd
+
+        from arrow_spark.operators.asof import _signed_to_direction, asof_join
+
+        if len(inputs) != 2:
+            raise ValueError(f"asof_join extension expects 2 inputs, got {len(inputs)}")
+        opts = json.loads(value.decode())
+        tol = opts.get("tolerance")
+        if isinstance(tol, str):
+            tol = pd.Timedelta(tol)
+        direction, tol_abs = _signed_to_direction(tol)
+        return asof_join(
+            inputs[0],
+            inputs[1],
+            on=opts["on"],
+            by=opts.get("by", []),
+            tolerance=tol_abs,
+            direction=direction,
+            suffix=opts.get("suffix", "_r"),
+            right_tiebreak=opts.get("right_tiebreak", ()),
+        )
+    raise NotImplementedError(f"unknown extension relation {type_url!r}")

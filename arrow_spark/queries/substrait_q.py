@@ -479,3 +479,72 @@ def substrait_case_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_substrait(
         spark, _case_inlist_plan_bytes(), lambda names: table(spark, sf_dir, names[0])
     )
+
+
+SUBSTRAIT_EXT_ASOF_ORACLE = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT event_id, user_id, r_event_id, r_value
+FROM (
+  SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts <= l.ts
+   AND r.ts >= l.ts - INTERVAL 12 HOUR
+)
+WHERE rn = 1
+"""
+
+
+def _extension_asof_plan_bytes() -> bytes:
+    from arrow_spark.plans.extensions import asof_join_rel
+
+    cols = ["event_id", "user_id", "ts", "value", "event_type"]
+    kinds = ["i64", "i64", "timestamp", "fp64", "string"]
+
+    def typed_read(etype: str) -> bytes:
+        eq = B.scalar_fn(
+            1, [B.field_ref(4), B.lit_str(etype)], output=B.typ("bool")
+        )
+        return B.filter_rel(B.read_named(["events"], cols, kinds), eq)
+
+    left = typed_read("click")  # _f0..4 = event_id,user_id,ts,value,event_type
+    right = B.project_rel(typed_read("purchase"), [], emit=[0, 1, 2, 3])
+    asof = asof_join_rel(
+        left,
+        right,
+        on="_f2",
+        by=["_f1"],
+        tolerance="-12h",  # negative ⇒ backward (options.h:711-724)
+        right_tiebreak=["_f0"],
+    )
+    # asof output: left _f0..4 ++ right's non-BY cols suffixed
+    # (_f0_r, _f2_r, _f3_r — the on column is kept), re-positionalized
+    # by the consumer to _f0.._f7; keep (event_id, user_id, event_id_r,
+    # value_r)
+    final = B.project_rel(asof, [], emit=[0, 1, 5, 7])
+    return B.plan(
+        final,
+        ["event_id", "user_id", "r_event_id", "r_value"],
+        functions={1: (B.URI_CMP, "equal")},
+    )
+
+
+@query("substrait_extension_asof", oracle=SUBSTRAIT_EXT_ASOF_ORACLE)
+def substrait_extension_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join arriving as an ExtensionMultiRel, resolved by the
+    SHIPPED extension provider (plans/extensions.py — the Acero
+    ExtensionProvider analog, extension_set.h): backward 12 h tolerance,
+    by=user_id, deterministic tiebreak. Proves the pluggable hook end to
+    end with in-repo producer + provider, oracle-checked like any other
+    query."""
+    from arrow_spark.plans.extensions import engine_extension_handler
+
+    return run_substrait(
+        spark,
+        _extension_asof_plan_bytes(),
+        lambda names: table(spark, sf_dir, names[0]),
+        extension_handler=engine_extension_handler,
+    )

@@ -735,3 +735,42 @@ def test_nlj_right_semi_uses_keyed_enum(spark):
     p = B.plan(nlj, ["k2", "w"], functions={1: (B.URI_CMP, "lt")})
     rows = sorted((r.k2, r.w) for r in run_substrait(spark, p, _spark_only(spark)).collect())
     assert rows == [("x", 100), ("y", 200), ("z", 300)]
+
+
+def test_shipped_extension_provider_asof(spark):
+    """plans/extensions.py is a REAL in-repo ExtensionProvider: the
+    builder helper encodes an as-of join as an ExtensionMultiRel and
+    engine_extension_handler resolves it — result must equal the native
+    operator called directly."""
+    import pandas as pd
+
+    from arrow_spark.operators.asof import asof_join
+    from arrow_spark.plans.extensions import (
+        asof_join_rel,
+        engine_extension_handler,
+    )
+
+    rel = asof_join_rel(
+        READ_T, READ_U, on="_f1", by=[], tolerance=-1000, right_tiebreak=["_f0"]
+    )
+    p = B.plan(rel, ["k", "v", "k2", "w"])
+    got = run_substrait(
+        spark, p, _spark_only(spark), extension_handler=engine_extension_handler
+    )
+    # native twin over the same positional frames
+    t = _spark_only(spark)(["t"]).toDF("_f0", "_f1")
+    u = _spark_only(spark)(["u"]).toDF("_f0", "_f1")
+    want = asof_join(
+        t, u, on="_f1", tolerance=1000, direction="backward", right_tiebreak=["_f0"]
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # unknown extension urls still fail loudly through the shipped provider
+    bad = B.extension_leaf_rel("someone_else/op", b"")
+    with pytest.raises(NotImplementedError, match="someone_else/op"):
+        run_substrait(
+            spark,
+            B.plan(bad, ["x"]),
+            _spark_only(spark),
+            extension_handler=engine_extension_handler,
+        ).collect()
