@@ -1,0 +1,184 @@
+"""Inverted-index text retrieval: TF-IDF keywords and BM25 top-k search.
+
+The training-data-pipeline counterpart of a search engine's core loop:
+score every document against a set of keyword queries (quality probes,
+topic filters, eval-set leakage hunts) without ever materializing a
+query×document cross product. The reference exposes the same building
+blocks as kernels (`count_substring`, `match_substring`, hash-group-by
+counts — cpp/src/arrow/compute/kernels/scalar_string*.cc); here the
+whole index→score→top-k pipeline is one declarative Spark plan.
+
+Scale design (the part that matters at 100 TB):
+- postings build is tokenize→explode→groupBy(token, doc) — ONE shuffle,
+  map-side partial counts; document length is `size(split(...))`, a
+  pure projection (no shuffle).
+- document frequencies aggregate the (much smaller) postings, and the
+  corpus stats (N, avgdl) are a single-row aggregate broadcast back.
+- query terms are a broadcast equi-join on token: candidate generation
+  touches exactly the postings of queried terms (index semantics), so
+  cost is ∝ matched postings, never ∝ corpus.
+- scoring sums per (query, doc) — a shuffle on candidates only — and
+  top-k is a per-query window (partitioned by query_id, so a thousand
+  concurrent queries spread over the cluster).
+
+Float determinism (cross-engine oracle contract, same recipe as
+`corpus.unigram_logprob_score`): each term's BM25/TF-IDF contribution is
+snapped to integer micros (floor(x·1e6 + 0.5) as long) BEFORE summation,
+so aggregation is exact integer arithmetic; the final score divides the
+long by 1e6. Ties in top-k are broken by ascending doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from arrow_spark.llm.dedup import tokens
+
+__all__ = ["build_postings", "bm25_topk", "tfidf_top_terms"]
+
+
+def _micro(col: Column) -> Column:
+    """Snap a double to integer micros (floor(x*1e6 + 0.5), long)."""
+    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the three relations of an inverted index.
+
+    Returns ``(postings, doclen, stats)``:
+
+    - ``postings``  — (token, id, tf): term frequency per document.
+    - ``doclen``    — (id, dl): token count per document (projection
+      only — computed from the split array size, no shuffle).
+    - ``stats``     — single row (n_docs, avgdl): corpus size and mean
+      document length, for broadcast into scoring expressions.
+
+    Whitespace/lowercase tokenization matches the rest of the llm
+    module (`dedup.tokens`), so index terms line up with the dedup and
+    LM-score vocabularies.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    postings = toks.groupBy("token", "id").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = docs.select(
+        F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return postings, doclen, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """BM25 top-k documents per query over an inverted index.
+
+    ``queries`` is a (query_id, qtext) frame; each query is tokenized
+    with the same tokenizer as the corpus and duplicate query terms are
+    dropped (standard BM25 treats the query as a term set).
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (never negative)
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Returns (query_id, doc_id, rank, score) with rank 1..k per query,
+    ordered by (score desc, doc_id asc) — score is deterministic to the
+    micro because each term contribution is snapped before the sum.
+    """
+    postings, doclen, stats = build_postings(docs, id_col, text_col)
+    qterms = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(tokens(F.col(query_text_col))).alias("token"),
+    ).distinct()
+
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    df_by_token = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qtok = qterms.select("token").distinct()
+    # candidate generation: postings ⋈ (broadcast) query terms — cost is
+    # ∝ postings of queried tokens, never ∝ corpus size; df rows are
+    # likewise narrowed to queried tokens before they are broadcast.
+    # The doclen join keys on doc id: its shuffle carries two longs per
+    # document (not the corpus), and AQE broadcasts the candidate side
+    # instead when the query set is selective.
+    cand = (
+        postings.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_by_token.join(F.broadcast(qtok), "token")), "token")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf_part = (F.col("tf") * (F.lit(k1) + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (1 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        cand.withColumn("__s__", _micro(idf * tf_part))
+        .groupBy("qid", "id")
+        .agg(F.sum("__s__").alias("__sum__"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("__sum__").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "rank",
+            (F.col("__sum__") / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tfidf(t, d) = tf · ln((1 + N) / (1 + df))  — the "document keywords"
+    primitive behind topic tagging and cluster labeling in a corpus
+    pipeline.
+
+    Returns (doc_id, term, rank, tfidf) with rank 1..k per document,
+    ties broken by ascending term. Scale: postings shuffle + a window
+    partitioned by document — both keyed on high-cardinality columns,
+    no skew hazard; df is a second small aggregate of the postings.
+    """
+    postings, _doclen, stats = build_postings(docs, id_col, text_col)
+    df_by_token = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = _micro(
+        F.col("tf") * F.log((1 + F.col("n_docs")) / (1 + F.col("df")))
+    )
+    scored = (
+        postings.join(F.broadcast(df_by_token), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s__", tfidf)
+    )
+    w = W.partitionBy("id").orderBy(F.col("__s__").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("token").alias("term"),
+            "rank",
+            (F.col("__s__") / F.lit(1e6)).alias("tfidf"),
+        )
+    )

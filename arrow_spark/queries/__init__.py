@@ -27,6 +27,7 @@ _MODULES = (
     "nested",
     "asof",
     "text",
+    "retrieval_q",
     "similarity",
     "dedup",
     "corpus_q",

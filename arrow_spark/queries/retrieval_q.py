@@ -1,0 +1,132 @@
+"""Oracle-checked queries for the inverted-index retrieval operators
+(`arrow_spark/llm/retrieval.py`): BM25 top-k search and TF-IDF document
+keywords over the `documents` table.
+
+Cross-engine determinism: every per-term score is snapped to integer
+micros before summation (see the module docstring of `retrieval.py`),
+and both engines spell the scoring expression with the same literal
+parenthesization, so the IEEE doubles — and therefore the value hashes —
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arrow_spark.catalog import table
+from arrow_spark.queries.base import query
+
+# The three probe queries cover: a 2-term query, a 3-term query with a
+# rarer term mix, and a 4-term query — enough to exercise term-set
+# union, tie-breaking, and per-query ranking isolation.
+_PROBES = [
+    (0, "hash join"),
+    (1, "fast scan filter"),
+    (2, "customer order data window"),
+]
+
+_PROBES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _PROBES)
+
+BM25_ORACLE = f"""
+WITH q(query_id, qtext) AS (VALUES {_PROBES_SQL}),
+tok AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+postings AS (SELECT token, id, count(*) AS tf FROM tok GROUP BY token, id),
+doclen AS (
+  SELECT doc_id AS id,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+),
+dfb AS (SELECT token, count(*) AS df FROM postings GROUP BY token),
+qterms AS (
+  SELECT DISTINCT qid, token FROM (
+    SELECT query_id AS qid,
+           unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS token
+    FROM q
+  )
+),
+term AS (
+  SELECT qt.qid, p.id,
+         CAST(floor(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf * (1.2 + 1))
+              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))
+           * 1e6 + 0.5) AS BIGINT) AS sm
+  FROM postings p
+  JOIN qterms qt USING (token)
+  JOIN dfb d USING (token)
+  JOIN doclen l ON p.id = l.id, stats s
+),
+scored AS (SELECT qid, id, sum(sm) AS ssum FROM term GROUP BY qid, id),
+ranked AS (
+  SELECT qid, id, ssum,
+         row_number() OVER (PARTITION BY qid ORDER BY ssum DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, id AS doc_id, rank, ssum / 1e6 AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("retrieval_bm25_topk", oracle=BM25_ORACLE)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for three keyword probes via an inverted
+    index (postings ⋈ broadcast query terms — cost ∝ matched postings,
+    never query×corpus). Scores are micro-snapped per term so the
+    cross-engine hash is exact."""
+    from arrow_spark.llm.retrieval import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(_PROBES, "query_id long, qtext string")
+    return bm25_topk(d, queries_df, k=10)
+
+
+TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+postings AS (SELECT token, id, count(*) AS tf FROM tok GROUP BY token, id),
+doclen AS (
+  SELECT doc_id AS id,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+),
+dfb AS (SELECT token, count(*) AS df FROM postings GROUP BY token),
+term AS (
+  SELECT p.id, p.token,
+         CAST(floor(
+           p.tf * ln((1 + s.n_docs) / (1 + d.df)) * 1e6 + 0.5) AS BIGINT) AS sm
+  FROM postings p JOIN dfb d USING (token), stats s
+),
+ranked AS (
+  SELECT id, token, sm,
+         row_number() OVER (PARTITION BY id ORDER BY sm DESC, token ASC) AS rank
+  FROM term
+)
+SELECT id AS doc_id, token AS term, rank, sm / 1e6 AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+@query("corpus_tfidf_top_terms", oracle=TFIDF_ORACLE)
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF — the
+    keyword/topic-tagging primitive. One postings shuffle + a per-doc
+    window; df is a broadcast-size second aggregate."""
+    from arrow_spark.llm.retrieval import tfidf_top_terms
+
+    d = table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)

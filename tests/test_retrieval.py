@@ -1,0 +1,97 @@
+"""Inverted-index retrieval: BM25 against a hand-computed ground truth,
+TF-IDF ranking invariants, and index-shape checks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from arrow_spark.llm.retrieval import bm25_topk, build_postings, tfidf_top_terms
+
+DOCS = [
+    (0, "apple banana apple"),
+    (1, "banana cherry"),
+    (2, "cherry cherry cherry durian"),
+    (3, "apple durian"),
+]
+
+
+def _bm25_ref(query_terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 over DOCS with the module's exact snapping."""
+    toks = {i: t.split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    for i, v in toks.items():
+        s = 0
+        for t in set(query_terms):
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            part = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            s += math.floor(idf * part * 1e6 + 0.5)
+        if s:
+            scores[i] = s / 1e6
+    return scores
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame([(7, "apple durian")], "query_id long, qtext string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    assert got == _bm25_ref(["apple", "durian"])
+
+
+def test_bm25_rank_order_and_k_bound(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "cherry"), (1, "apple banana")], "query_id long, qtext string"
+    )
+    rows = bm25_topk(docs, queries, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= 2
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        # scores non-increasing with rank
+        assert all(a["score"] >= b["score"] for a, b in zip(rs, rs[1:]))
+
+
+def test_bm25_unmatched_query_returns_nothing(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "zucchini")], "query_id long, qtext string")
+    assert bm25_topk(docs, queries).count() == 0
+
+
+def test_postings_shapes(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, doclen, stats = build_postings(docs)
+    p = {(r["token"], r["id"]): r["tf"] for r in postings.collect()}
+    assert p[("apple", 0)] == 2 and p[("cherry", 2)] == 3
+    assert {r["id"]: r["dl"] for r in doclen.collect()} == {0: 3, 1: 2, 2: 4, 3: 2}
+    st = stats.collect()[0]
+    assert st["n_docs"] == 4 and st["avgdl"] == 11 / 4
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    top = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 3 = "apple durian": both tf=1; durian (df=2) ties apple (df=2)
+    # -> alphabetical tiebreak puts apple first
+    assert top[(3, 1)] == "apple" and top[(3, 2)] == "durian"
+    # doc 2: cherry tf=3 dominates
+    assert top[(2, 1)] == "cherry"
