@@ -84,6 +84,27 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")
 
 
+@query("similarity_pq_topk", oracle=None)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (FAISS-style composition: inverted-file
+    pruning → compressed-domain ADC scoring via JVM zip_with table
+    lookups → exact cosine re-rank). Rows-only check — k-means codebooks
+    and float matmuls aren't SQL-expressible; codebook determinism,
+    code ranges, serve-from-index equivalence, and recall ≥0.9 vs brute
+    force are asserted in tests/test_pq.py."""
+    from arrow_spark.llm.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_pq_topk(
+        emb, queries, k=10, n_clusters=16, n_probe=4, m=8, n_codes=16,
+        n_iters=3, refine_factor=3,
+    )
+    return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")
+
+
 QUANTIZE_ORACLE = """
 WITH x AS (
   SELECT vec_id,
