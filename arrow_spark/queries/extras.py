@@ -832,3 +832,53 @@ def flight_sql_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
                   round(sum(o_totalprice), 2) AS sum_price
            FROM flight_sql_orders GROUP BY o_orderpriority""",
     )
+
+
+PROFILE_ORACLE = """
+SELECT 'c_custkey' AS "column", 'bigint' AS dtype,
+       count(*) AS n_rows, count(*) - count(c_custkey) AS n_nulls,
+       count(DISTINCT c_custkey) AS n_distinct,
+       CAST(min(c_custkey) AS DOUBLE) AS min_num,
+       CAST(max(c_custkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       floor(floor(sum(CAST(c_custkey AS DOUBLE)) * 100 + 0.5) / 100
+             / count(c_custkey) * 1e6 + 0.5) / 1e6 AS mean
+FROM customer
+UNION ALL
+SELECT 'c_name', 'string', count(*), count(*) - count(c_name),
+       count(DISTINCT c_name), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(c_name), max(c_name), CAST(NULL AS DOUBLE)
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', 'int', count(*), count(*) - count(c_nationkey),
+       count(DISTINCT c_nationkey),
+       CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       floor(floor(sum(CAST(c_nationkey AS DOUBLE)) * 100 + 0.5) / 100
+             / count(c_nationkey) * 1e6 + 0.5) / 1e6
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', 'double', count(*), count(*) - count(c_acctbal),
+       count(DISTINCT c_acctbal),
+       CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       floor(floor(sum(CAST(c_acctbal AS DOUBLE)) * 100 + 0.5) / 100
+             / count(c_acctbal) * 1e6 + 0.5) / 1e6
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', 'string', count(*), count(*) - count(c_mktsegment),
+       count(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(c_mktsegment), max(c_mktsegment), CAST(NULL AS DOUBLE)
+FROM customer
+"""
+
+
+@query("profile_table_stats", oracle=PROFILE_ORACLE)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over `customer` (operators/profile.py):
+    null/distinct/range/mean per column from a single aggregate scan.
+    Means are floor-reconstructed decimal sums, so the cross-engine
+    hash is exact."""
+    from arrow_spark.operators.profile import profile_table
+
+    return profile_table(table(spark, sf_dir, "customer"))
