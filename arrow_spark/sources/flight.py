@@ -237,7 +237,13 @@ def read_flight_info(
     _flight()
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    spark_schema = from_arrow_schema(info.schema)
+    from arrow_spark.types import normalize_arrow_schema
+
+    # the same §1.2 type adapters as the IPC source: unsigned ints widen,
+    # time types land as µs longs, etc. — a Flight server is free to
+    # serve any Arrow type, Spark is not free to ingest them all.
+    norm_schema, _changed = normalize_arrow_schema(info.schema)
+    spark_schema = from_arrow_schema(norm_schema)
     endpoints = [
         (
             ep.ticket.serialize(),
@@ -258,6 +264,8 @@ def read_flight_info(
     def read_endpoint(batches):
         import pyarrow.flight as fl
 
+        from arrow_spark.types import normalize_arrow_schema, normalize_batch
+
         opts = (
             fl.FlightCallOptions(
                 headers=[(b"authorization", f"Bearer {token}".encode())]
@@ -272,7 +280,8 @@ def read_flight_info(
                 cl = fl.connect(loc)
                 reader = cl.do_get(fl.Ticket.deserialize(raw), options=opts)
                 for chunk in reader:
-                    yield chunk.data
+                    tgt, changed = normalize_arrow_schema(chunk.data.schema)
+                    yield normalize_batch(chunk.data, tgt) if changed else chunk.data
 
     return eps_df.mapInArrow(read_endpoint, schema=spark_schema)
 

@@ -24,6 +24,19 @@ tests. Supported subset:
 - CreatePreparedStatement / ClosePreparedStatement actions +
   CommandPreparedStatementQuery (parameterless statements; parameter
   binding via DoPut is out of scope and raises).
+- CommandStatementUpdate / CommandPreparedStatementUpdate via DoPut:
+  the DML runs on the SparkSession and the server answers with a raw
+  DoPutUpdateResult{record_count} in the app_metadata stream (spec
+  behavior; record_count = -1 i.e. "unknown" — Spark DML commands do
+  not surface affected-row counts).
+- CommandGetTableTypes → (table_type) from the live catalog.
+- CommandGetSqlInfo → the spec's (info_name uint32, value
+  dense_union<string/bool/bigint/bitmask/list/map>) layout; server
+  name/version, arrow version, read_only=false, SQL + substrait
+  support flags, transaction level NONE.
+- CommandGetPrimaryKeys / GetExportedKeys / GetImportedKeys → the
+  spec column layouts, always empty: the Spark catalog carries no
+  key constraints (documented capability gap, not an error).
 
 Queries execute driver-side against registered views and are served as
 materialized Arrow results — result sets, not raw corpora, are the
@@ -45,6 +58,31 @@ from arrow_spark.plans.substrait_builder import f_msg, f_str, f_varint
 from arrow_spark.sources.flight import _call_options, _flight, read_flight_info
 
 _TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
+
+# SqlInfo ids (FlightSql.proto enum SqlInfo) → (kind, value-factory).
+# Bool capabilities reflect what this server actually does.
+_SQL_INFO_IDS = {
+    0: "FLIGHT_SQL_SERVER_NAME",
+    1: "FLIGHT_SQL_SERVER_VERSION",
+    2: "FLIGHT_SQL_SERVER_ARROW_VERSION",
+    3: "FLIGHT_SQL_SERVER_READ_ONLY",
+    4: "FLIGHT_SQL_SERVER_SQL",
+    5: "FLIGHT_SQL_SERVER_SUBSTRAIT",
+    8: "FLIGHT_SQL_SERVER_TRANSACTION",
+}
+
+
+def _varint_u64(v: int) -> bytes:
+    """Unsigned-64 varint; negatives sign-extend to 10 bytes (protobuf
+    int64 rule) — needed for DoPutUpdateResult.record_count = -1."""
+    v &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
 
 
 def _any_wrap(msg_name: str, value: bytes) -> bytes:
@@ -187,6 +225,95 @@ def start_flight_sql_server(
                 cols["table_schema"] = pa.array(blobs, pa.binary())
             return pa.table(cols)
 
+        def _table_types_table(self) -> pa.Table:
+            types = sorted(
+                {t.tableType or "TABLE" for t in spark.catalog.listTables()}
+                | {"TABLE", "VIEW"}
+            )
+            return pa.table({"table_type": pa.array(types, pa.string())})
+
+        def _sql_info_table(self, wanted: list[int]) -> pa.Table:
+            infos: list[tuple[int, str, object]] = [
+                (0, "string", "arrow_spark"),
+                (1, "string", spark.version),
+                (2, "string", pa.__version__),
+                (3, "bool", False),  # read_only: statement update works
+                (4, "bool", True),  # SQL supported
+                (5, "bool", True),  # substrait plans supported
+                (8, "bigint", 0),  # transactions: SQL_SUPPORTED_TRANSACTION_NONE
+            ]
+            items = [i for i in infos if not wanted or i[0] in wanted]
+            kinds = {"string": 0, "bool": 1, "bigint": 2}
+            buckets: dict[str, list] = {"string": [], "bool": [], "bigint": []}
+            codes, offsets = [], []
+            for _id, kind, val in items:
+                codes.append(kinds[kind])
+                offsets.append(len(buckets[kind]))
+                buckets[kind].append(val)
+            value = pa.UnionArray.from_dense(
+                pa.array(codes, pa.int8()),
+                pa.array(offsets, pa.int32()),
+                [
+                    pa.array(buckets["string"], pa.string()),
+                    pa.array(buckets["bool"], pa.bool_()),
+                    pa.array(buckets["bigint"], pa.int64()),
+                    pa.array([], pa.int32()),
+                    pa.array([], pa.list_(pa.string())),
+                    pa.array([], pa.map_(pa.int32(), pa.list_(pa.int32()))),
+                ],
+                [
+                    "string_value",
+                    "bool_value",
+                    "bigint_value",
+                    "int32_bitmask",
+                    "string_list",
+                    "int32_to_int32_list_map",
+                ],
+                [0, 1, 2, 3, 4, 5],
+            )
+            return pa.table(
+                {
+                    "info_name": pa.array([i[0] for i in items], pa.uint32()),
+                    "value": value,
+                }
+            )
+
+        def _keys_table(self, command: str) -> pa.Table:
+            # Spark's catalog has no key constraints: the spec layouts,
+            # always empty (capability gap, not an error).
+            if command == "CommandGetPrimaryKeys":
+                schema = pa.schema(
+                    [
+                        ("catalog_name", pa.string()),
+                        ("db_schema_name", pa.string()),
+                        ("table_name", pa.string()),
+                        ("column_name", pa.string()),
+                        ("key_sequence", pa.int32()),
+                        ("key_name", pa.string()),
+                    ]
+                )
+            else:  # exported / imported keys
+                schema = pa.schema(
+                    [
+                        ("pk_catalog_name", pa.string()),
+                        ("pk_db_schema_name", pa.string()),
+                        ("pk_table_name", pa.string()),
+                        ("pk_column_name", pa.string()),
+                        ("fk_catalog_name", pa.string()),
+                        ("fk_db_schema_name", pa.string()),
+                        ("fk_table_name", pa.string()),
+                        ("fk_column_name", pa.string()),
+                        ("key_sequence", pa.int32()),
+                        ("fk_key_name", pa.string()),
+                        ("pk_key_name", pa.string()),
+                        ("update_rule", pa.uint8()),
+                        ("delete_rule", pa.uint8()),
+                    ]
+                )
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in schema], schema=schema
+            )
+
         # -- Flight handlers ------------------------------------------
         def get_flight_info(self, context, descriptor):
             name, cmd = _any_unwrap(descriptor.command or b"")
@@ -214,6 +341,16 @@ def start_flight_sql_server(
                         bool(cmd.u64(5)),
                     ),
                 )
+            if name == "CommandGetTableTypes":
+                return self._info_for(descriptor, self._table_types_table())
+            if name == "CommandGetSqlInfo":
+                return self._info_for(descriptor, self._sql_info_table(cmd.ints(1)))
+            if name in (
+                "CommandGetPrimaryKeys",
+                "CommandGetExportedKeys",
+                "CommandGetImportedKeys",
+            ):
+                return self._info_for(descriptor, self._keys_table(name))
             raise NotImplementedError(f"flight sql command {name!r} not supported")
 
         def do_get(self, context, ticket):
@@ -225,10 +362,25 @@ def start_flight_sql_server(
             return flight.RecordBatchStream(tbl.slice(int(lo), int(hi) - int(lo)))
 
         def do_put(self, context, descriptor, reader, writer):
-            # parameter binding for prepared statements arrives via DoPut
-            raise NotImplementedError(
-                "flight sql parameter binding (DoPut) not supported"
-            )
+            name, cmd = _any_unwrap(descriptor.command or b"")
+            if name == "CommandStatementUpdate":
+                query = cmd.s(1)
+            elif name == "CommandPreparedStatementUpdate":
+                handle = (cmd.raw(1) or b"").decode()
+                if handle not in self._prepared:
+                    raise flight.FlightServerError(
+                        f"unknown prepared statement {handle!r}"
+                    )
+                query = self._prepared[handle]
+            else:
+                # parameter binding for prepared queries also arrives via
+                # DoPut — out of scope
+                raise NotImplementedError(f"flight sql DoPut {name!r} not supported")
+            spark.sql(query).collect()
+            # raw DoPutUpdateResult{record_count=1} in app_metadata (spec:
+            # NOT Any-wrapped); Spark DML doesn't report affected rows →
+            # -1 = "unknown" per the proto comment.
+            writer.write(pa.py_buffer(_varint_u64(1 << 3) + _varint_u64(-1)))
 
         def do_action(self, context, action):
             if action.type == "CreatePreparedStatement":
@@ -237,7 +389,16 @@ def start_flight_sql_server(
                 with self._lock:
                     handle = f"prep-{next(self._seq)}"
                     self._prepared[handle] = query
-                schema_blob = spark.sql(query).limit(0).toArrow().schema.serialize().to_pybytes()
+                # schema probe: spark.sql() runs DML EAGERLY, so only
+                # query statements get the limit(0) probe; updates get
+                # an empty dataset_schema (allowed by the spec).
+                head = (query.lstrip().split(None, 1) or [""])[0].upper()
+                if head in {"SELECT", "WITH", "VALUES", "TABLE", "FROM", "SHOW", "DESCRIBE", "EXPLAIN"}:
+                    schema_blob = (
+                        spark.sql(query).limit(0).toArrow().schema.serialize().to_pybytes()
+                    )
+                else:
+                    schema_blob = pa.schema([]).serialize().to_pybytes()
                 result = _any_wrap(
                     "ActionCreatePreparedStatementResult",
                     f_msg(1, handle.encode()) + f_msg(2, schema_blob),
@@ -366,3 +527,143 @@ def flight_sql_close_prepared(
     client = flight.connect(location)
     body = _any_wrap("ActionClosePreparedStatementRequest", f_msg(1, handle.encode()))
     list(client.do_action(("ClosePreparedStatement", body), options=_call_options(token)))
+
+
+def flight_sql_execute_update(
+    location: str, query: str, token: str | None = None
+) -> int:
+    """FlightSqlClient::ExecuteUpdate: CommandStatementUpdate{query=1}
+    over DoPut; returns DoPutUpdateResult.record_count (-1 = unknown —
+    Spark DML commands don't surface affected-row counts)."""
+    flight = _flight()
+    import pyarrow as pa
+
+    client = flight.connect(location)
+    writer, meta_reader = client.do_put(
+        _cmd_descriptor("CommandStatementUpdate", f_str(1, query)),
+        pa.schema([]),
+        options=_call_options(token),
+    )
+    writer.done_writing()
+    buf = meta_reader.read()
+    writer.close()
+    if buf is None:
+        return -1
+    counts = _Msg(buf.to_pybytes()).ints(1)
+    return counts[0] if counts else -1
+
+
+def flight_sql_execute_prepared_update(
+    location: str, handle: str, token: str | None = None
+) -> int:
+    """CommandPreparedStatementUpdate{prepared_statement_handle=1} via
+    DoPut → record_count."""
+    flight = _flight()
+    import pyarrow as pa
+
+    client = flight.connect(location)
+    writer, meta_reader = client.do_put(
+        _cmd_descriptor("CommandPreparedStatementUpdate", f_msg(1, handle.encode())),
+        pa.schema([]),
+        options=_call_options(token),
+    )
+    writer.done_writing()
+    buf = meta_reader.read()
+    writer.close()
+    if buf is None:
+        return -1
+    counts = _Msg(buf.to_pybytes()).ints(1)
+    return counts[0] if counts else -1
+
+
+def flight_sql_get_table_types(
+    spark: SparkSession, location: str, token: str | None = None
+) -> DataFrame:
+    """CommandGetTableTypes{} → (table_type)."""
+    return _run_command(spark, location, "CommandGetTableTypes", b"", token)
+
+
+def flight_sql_get_sql_info(
+    location: str, infos: list[int] | None = None, token: str | None = None
+) -> dict[int, object]:
+    """CommandGetSqlInfo{info=1 repeated} → {info_name: value}.
+
+    Returned client-side as a plain dict (connection metadata, not a
+    distributed result — and Spark has no union type to land the spec's
+    dense-union value column in)."""
+    flight = _flight()
+
+    client = flight.connect(location)
+    body = b"".join(f_varint(1, i) for i in infos or [])
+    info = client.get_flight_info(
+        _cmd_descriptor("CommandGetSqlInfo", body), options=_call_options(token)
+    )
+    out: dict[int, object] = {}
+    for ep in info.endpoints:
+        reader = client.do_get(ep.ticket, options=_call_options(token))
+        tbl = reader.read_all()
+        for row in tbl.to_pylist():
+            out[row["info_name"]] = row["value"]
+    return out
+
+
+def _keys_command(
+    spark: SparkSession,
+    location: str,
+    msg_name: str,
+    catalog: str | None,
+    db_schema: str | None,
+    table_name: str,
+    token: str | None,
+) -> DataFrame:
+    body = b""
+    if catalog:
+        body += f_str(1, catalog)
+    if db_schema:
+        body += f_str(2, db_schema)
+    body += f_str(3, table_name)
+    return _run_command(spark, location, msg_name, body, token)
+
+
+def flight_sql_get_primary_keys(
+    spark: SparkSession,
+    location: str,
+    table_name: str,
+    catalog: str | None = None,
+    db_schema: str | None = None,
+    token: str | None = None,
+) -> DataFrame:
+    """CommandGetPrimaryKeys{catalog=1, db_schema=2, table=3} — always
+    empty on this engine (Spark catalogs carry no key constraints), in
+    the spec's column layout."""
+    return _keys_command(
+        spark, location, "CommandGetPrimaryKeys", catalog, db_schema, table_name, token
+    )
+
+
+def flight_sql_get_exported_keys(
+    spark: SparkSession,
+    location: str,
+    table_name: str,
+    catalog: str | None = None,
+    db_schema: str | None = None,
+    token: str | None = None,
+) -> DataFrame:
+    """CommandGetExportedKeys — empty, spec layout (see primary keys)."""
+    return _keys_command(
+        spark, location, "CommandGetExportedKeys", catalog, db_schema, table_name, token
+    )
+
+
+def flight_sql_get_imported_keys(
+    spark: SparkSession,
+    location: str,
+    table_name: str,
+    catalog: str | None = None,
+    db_schema: str | None = None,
+    token: str | None = None,
+) -> DataFrame:
+    """CommandGetImportedKeys — empty, spec layout (see primary keys)."""
+    return _keys_command(
+        spark, location, "CommandGetImportedKeys", catalog, db_schema, table_name, token
+    )

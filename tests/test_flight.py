@@ -331,3 +331,80 @@ def test_flight_sql_bearer_auth(spark, sf_dir):
         assert [r.one for r in ok.collect()] == [1]
     finally:
         srv.shutdown()
+
+
+def test_flight_sql_statement_update_and_prepared_update(spark, sql_server):
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_execute_prepared_update,
+        flight_sql_execute_update,
+        flight_sql_prepare,
+    )
+
+    _, loc = sql_server
+    spark.sql("DROP TABLE IF EXISTS fs_upd")
+    spark.sql("CREATE TABLE fs_upd (k INT, v STRING) USING parquet")
+    try:
+        rc = flight_sql_execute_update(
+            loc, "INSERT INTO fs_upd VALUES (1, 'a'), (2, 'b')"
+        )
+        assert rc == -1  # Spark DML reports no affected-row count
+        assert spark.table("fs_upd").count() == 2
+
+        handle, _schema = flight_sql_prepare(
+            loc, "INSERT INTO fs_upd VALUES (3, 'c')"
+        )
+        flight_sql_execute_prepared_update(loc, handle)
+        assert spark.table("fs_upd").count() == 3
+        got = {(r.k, r.v) for r in spark.table("fs_upd").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fs_upd")
+
+
+def test_flight_sql_table_types(spark, sql_server):
+    from arrow_spark.sources.flight_sql import flight_sql_get_table_types
+
+    _, loc = sql_server
+    out = flight_sql_get_table_types(spark, loc)
+    assert out.columns == ["table_type"]
+    types = {r.table_type for r in out.collect()}
+    assert {"TABLE", "VIEW"} <= types
+    assert "TEMPORARY" in types  # the fixture's temp views are visible
+
+
+def test_flight_sql_sql_info(spark, sql_server):
+    from arrow_spark.sources.flight_sql import flight_sql_get_sql_info
+
+    _, loc = sql_server
+    info = flight_sql_get_sql_info(loc)
+    assert info[0] == "arrow_spark"
+    assert info[1] == spark.version
+    assert info[2] == pa.__version__
+    assert info[3] is False and info[4] is True and info[5] is True
+    assert info[8] == 0
+
+    # the repeated-info filter narrows the result
+    only = flight_sql_get_sql_info(loc, infos=[0, 5])
+    assert set(only) == {0, 5}
+
+
+def test_flight_sql_key_metadata_empty_layouts(spark, sql_server):
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_get_exported_keys,
+        flight_sql_get_imported_keys,
+        flight_sql_get_primary_keys,
+    )
+
+    _, loc = sql_server
+    pk = flight_sql_get_primary_keys(spark, loc, "orders_v")
+    assert pk.columns == [
+        "catalog_name", "db_schema_name", "table_name",
+        "column_name", "key_sequence", "key_name",
+    ]
+    assert pk.count() == 0
+    for fn in (flight_sql_get_exported_keys, flight_sql_get_imported_keys):
+        fk = fn(spark, loc, "orders_v")
+        assert fk.count() == 0
+        assert fk.columns[:4] == [
+            "pk_catalog_name", "pk_db_schema_name", "pk_table_name", "pk_column_name",
+        ]
