@@ -113,6 +113,13 @@ HEADLINE = [
     # legitimate match set itself quadratic in cluster size (~2M pairs at
     # sf0.1), so wall time measures result volume, not plan quality. Both
     # stay oracle/rows-gated at sf0.01.
+    # round-4 wave: inverted-index retrieval (BM25 + TF-IDF keywords),
+    # one-pass column profiler, IVF-PQ ANN (build+probe measured — the
+    # build would amortize at 100 TB but its cost belongs in the bench).
+    "retrieval_bm25_topk",
+    "corpus_tfidf_top_terms",
+    "profile_table_stats",
+    "similarity_pq_topk",
 ]
 
 
