@@ -882,3 +882,35 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.operators.profile import profile_table
 
     return profile_table(table(spark, sf_dir, "customer"))
+
+
+FOOTER_STATS_ORACLE = """
+SELECT count(*) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+"""
+
+
+@query("parquet_footer_stats", oracle=FOOTER_STATS_ORACLE)
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table statistics computed from parquet FOOTERS ONLY
+    (sources/parquet_meta.py — one task per file, no data pages read),
+    hash-checked against an oracle that scans the data: proves the
+    distributed footer relation decodes counts and min/max exactly.
+    n_priorities comes from a metadata-free scan of the dictionary
+    column to keep one data-derived figure beside the footer figures."""
+    from arrow_spark.sources.parquet_meta import parquet_metadata
+
+    meta = parquet_metadata(spark, f"{sf_dir}/orders.parquet")
+    keys = meta.where(F.col("path_in_schema") == "o_orderkey")
+    footer = keys.agg(
+        F.sum("num_values").alias("n_rows"),
+        F.min(F.col("min_value").cast("long")).alias("min_key"),
+        F.max(F.col("max_value").cast("long")).alias("max_key"),
+    )
+    prios = (
+        table(spark, sf_dir, "orders")
+        .agg(F.count_distinct("o_orderpriority").alias("n_priorities"))
+    )
+    return footer.crossJoin(prios)
