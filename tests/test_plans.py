@@ -201,3 +201,31 @@ def test_ivf_assignment_has_no_cross_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "ArrowEvalPython" in p or "MapInPandas" in p or "PythonUDF" in p
+
+
+def test_bm25_candidates_broadcast_never_cartesian(spark, sf_dir):
+    # candidate generation must be token equi-joins with the (tiny)
+    # query-term side broadcast; the only NLJ allowed is the broadcast
+    # 1-row corpus-stats attach
+    p = plan(QUERIES["retrieval_bm25_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # qterms ⋈ postings, df ⋈ cand
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # stats row only
+
+
+def test_profile_is_single_scan_aggregate(spark, sf_dir):
+    # one aggregate job: no join, no window; the only extra operator is
+    # the Expand that implements multi-count(DISTINCT)
+    df = QUERIES["profile_table_stats"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_footer_stats_reads_no_orders_data_columns(spark, sf_dir):
+    # the footer branch must not scan orders data pages: the only
+    # parquet scan allowed is the o_orderpriority distinct-count branch
+    p = plan(QUERIES["parquet_footer_stats"].fn(spark, sf_dir))
+    assert p.count("Scan parquet") == 1
+    read_schema = p.split("ReadSchema:")[-1].splitlines()[0]
+    assert "o_orderkey" not in read_schema  # keys come from footers only
