@@ -1,0 +1,118 @@
+"""Weighted PageRank as a relational iterative operator.
+
+The canonical "iterative algorithm on a relational engine" shape (the
+reference side expresses such loops by re-running Acero plans; Spark
+expresses them as a driver loop over declarative iterations — same
+contract as `llm/dedup.connected_components` and the IVF Lloyd loop):
+
+    rank_{i+1}(n) = (1-d)/N + d * ( Σ_{(s→n)} rank_i(s)·w/out(s)
+                                    + dangling_i / N )
+
+Scale anatomy per iteration (what survives a 1000-executor graph):
+- contributions: ranks ⋈ edges on src (shuffle ∝ edges), groupBy dst
+  (second shuffle, map-side combined) — the classic 2-shuffle PR step;
+- dangling mass: an anti-join + single-row sum, broadcast back;
+- NO driver-side graph state: ranks stay a DataFrame, the driver loop
+  holds only the plan. localCheckpoint truncates lineage each round
+  (the connected-components lesson: nested iteration plans compile
+  quadratically otherwise).
+
+Cross-engine determinism: ranks snap to 1e-9 after every aggregation
+(floor(x·1e9 + 0.5)/1e9), so float accumulation order — partition
+order in Spark, scan order in an oracle engine — cannot drift the
+fixpoint; every iteration's input is bit-identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "transition_edges"]
+
+
+def _snap9(col):
+    return F.floor(col * 1e9 + F.lit(0.5)) / 1e9
+
+
+def transition_edges(
+    events: DataFrame,
+    node_col: str,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """(src, dst, w) edges from consecutive node visits per partition
+    key — the sessionized click-graph builder. One window over
+    (partition, order) + one count shuffle."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(partition_col).orderBy(order_col)
+    prev = F.lag(F.col(node_col)).over(w)
+    return (
+        events.select(prev.alias("src"), F.col(node_col).alias("dst"))
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+) -> DataFrame:
+    """Weighted PageRank over an (src, dst[, w]) edge frame.
+
+    Returns (node, rank) after ``n_iters`` synchronous iterations from
+    a uniform start; dangling mass (nodes with no out-edges) is
+    redistributed uniformly each round, so Σ rank stays 1 up to the
+    1e-9 snapping.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    sources = e.select("src").distinct()
+
+    ranks = nodes.crossJoin(F.broadcast(cnt)).select(
+        "n", (F.lit(1.0) / F.col("c")).alias("r")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max(1, n_iters)):
+        contrib = (
+            e.join(ranks, e.src == ranks.n)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
+        )
+        dang = (
+            ranks.join(sources, ranks.n == sources.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("d"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(cnt))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, nodes.n == contrib.dst, "left")
+            .select(
+                "n",
+                _snap9(
+                    (1 - F.lit(damping)) / F.col("c")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("d") / F.col("c"))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))

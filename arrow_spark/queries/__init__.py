@@ -28,6 +28,7 @@ _MODULES = (
     "asof",
     "text",
     "retrieval_q",
+    "graph_q",
     "similarity",
     "dedup",
     "corpus_q",

@@ -1,0 +1,82 @@
+"""Oracle-checked query for the relational PageRank operator
+(`operators/pagerank.py`): the click-transition graph of the events
+fixture (consecutive `props.k` visits per user) ranked with 5
+synchronous iterations.
+
+The oracle UNROLLS the iteration into five chained CTEs — an iterative
+algorithm hash-checked end to end because both engines snap every
+iteration's ranks to 1e-9, making the per-round inputs bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.queries.base import query
+
+_N_ITERS = 5
+
+_BASE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+),
+trans AS (
+  SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS pk
+  FROM ev
+),
+edges AS (
+  SELECT pk AS src, k AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM trans WHERE pk IS NOT NULL GROUP BY pk, k
+),
+nodes AS (
+  SELECT DISTINCT src AS n FROM edges
+  UNION SELECT DISTINCT dst AS n FROM edges
+),
+cnt AS (SELECT count(*) AS c FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT n, 1.0 / cnt.c AS r FROM nodes, cnt)"""
+
+_ITER = """,
+r{i} AS (
+  SELECT nodes.n,
+         floor(((1 - 0.85) / cnt.c
+                + 0.85 * (coalesce(contrib.s, 0) + dang.d / cnt.c)) * 1e9 + 0.5)
+           / 1e9 AS r
+  FROM nodes
+  CROSS JOIN cnt
+  CROSS JOIN (SELECT coalesce(sum(r), 0) AS d FROM r{p}
+              WHERE n NOT IN (SELECT src FROM edges)) dang
+  LEFT JOIN (
+    SELECT e.dst, sum(r{p}.r * e.w / o.ow) AS s
+    FROM edges e
+    JOIN r{p} ON e.src = r{p}.n
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) contrib ON contrib.dst = nodes.n
+)"""
+
+PAGERANK_ORACLE = (
+    _BASE
+    + "".join(_ITER.format(i=i, p=i - 1) for i in range(1, _N_ITERS + 1))
+    + f"\nSELECT n AS node, r AS rank FROM r{_N_ITERS}"
+)
+
+
+@query("graph_pagerank", oracle=PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the per-user click-transition graph; 5
+    iterations, damping 0.85, dangling mass redistributed — every
+    iteration a 2-shuffle relational step, ranks snapped to 1e-9 so the
+    unrolled-CTE oracle hash-matches."""
+    from arrow_spark.operators.pagerank import pagerank, transition_edges
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = transition_edges(ev, node_col="k", partition_col="user_id", order_col="event_id")
+    return pagerank(edges, n_iters=_N_ITERS, damping=0.85)

@@ -1,0 +1,62 @@
+"""pagerank operator: analytic ground truths (cycle, star, dangling),
+mass conservation, and the transition-edge builder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_spark.operators.pagerank import pagerank, transition_edges
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src int, dst int, w long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    r = _ranks(spark, [(0, 1, 1), (1, 0, 1)], n_iters=5)
+    assert r[0] == pytest.approx(0.5, abs=1e-9)
+    assert r[1] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_mass_conserved_with_dangling(spark):
+    # node 2 has no out-edges: its mass redistributes, total stays 1
+    r = _ranks(spark, [(0, 1, 1), (1, 2, 1)], n_iters=5)
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-6)
+    # sink of the chain accumulates the most rank
+    assert r[2] > r[1] > 0
+
+
+def test_star_center_dominates(spark):
+    edges = [(i, 0, 1) for i in range(1, 5)] + [(0, i, 1) for i in range(1, 5)]
+    r = _ranks(spark, edges, n_iters=8)
+    assert all(r[0] > r[i] for i in range(1, 5))
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_weights_shift_rank(spark):
+    # 0 links to 1 (weight 9) and 2 (weight 1): 1 must outrank 2
+    edges = [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    r = _ranks(spark, edges, n_iters=6)
+    assert r[1] > r[2]
+
+
+def test_deterministic_across_runs(spark):
+    edges = [(0, 1, 2), (1, 2, 1), (2, 0, 3), (1, 0, 1)]
+    a = _ranks(spark, edges, n_iters=5)
+    b = _ranks(spark, edges, n_iters=5)
+    assert a == b
+
+
+def test_transition_edges_builder(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (1, 12, "a"), (2, 20, "b"), (2, 21, "a")],
+        "u long, eid long, page string",
+    )
+    e = {
+        (r["src"], r["dst"]): r["w"]
+        for r in transition_edges(ev, "page", "u", "eid").collect()
+    }
+    # user 1: a→b, b→a; user 2: b→a  ⇒ (b,a) weight 2
+    assert e == {("a", "b"): 1, ("b", "a"): 2}
