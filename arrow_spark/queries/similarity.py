@@ -100,7 +100,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_pq_topk(
         emb, queries, k=10, n_clusters=16, n_probe=4, m=8, n_codes=16,
-        n_iters=3, refine_factor=3,
+        n_iters=3, refine_factor=3, sample_every=2,
     )
     return out.select("qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank")
 
