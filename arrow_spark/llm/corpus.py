@@ -343,3 +343,37 @@ def chunk_documents(
         F.col(id_col),
         F.posexplode(pieces).alias("chunk_index", "chunk"),
     ).withColumn("chunk_len", F.length("chunk"))
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic repetition/boilerplate signal (Gopher-style filters drop
+    documents that compress too well: templated spam sits far below
+    natural prose, which lands ~0.4-0.7).
+
+    Arrow-batched pandas UDF (DEFLATE has no relational form), map-only
+    — no shuffle, scales embarrassingly. Fixed level ⇒ deterministic
+    output bytes ⇒ reproducible scores.
+    """
+    import pandas as pd
+    import zlib
+
+    # explicit returnType form: `from __future__ import annotations`
+    # stringifies hints, which the decorator's inference rejects
+    def _ratio(texts):
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    ratio = F.pandas_udf(_ratio, "double")
+    return docs.withColumn(out_col, ratio(F.col(text_col)))

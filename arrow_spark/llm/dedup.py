@@ -668,3 +668,44 @@ def clusters_from_pairs(
         "cluster_id",
         (F.col("doc_id") == F.col("__keeper__")).alias("is_keeper"),
     )
+
+
+def lsh_band_plan(
+    threshold: float,
+    num_hashes: int = 128,
+    max_fn: float = 0.05,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a Jaccard threshold.
+
+    The banding S-curve gives P(candidate | sim=s) = 1 − (1 − s^r)^b
+    with b·r = num_hashes. This picks the divisor pair whose curve is
+    steepest around ``threshold``: among all (b, r) with
+    false-negative rate at the threshold ≤ ``max_fn`` (i.e. the curve
+    has risen past 1 − max_fn by s = threshold... relaxed to the best
+    available when none qualifies), minimize the false-positive mass
+    below the threshold (∫₀^t of the curve). The classic rule of thumb
+    t ≈ (1/b)^(1/r) falls out as the crossover of the chosen curve.
+
+    Driver-side planning arithmetic only — feed the result straight to
+    minhash_lsh_candidates(num_hashes=b*r, bands=b).
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+
+    def curve(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    def fp_mass(b: int, r: int, n: int = 50) -> float:
+        # left-rectangle integral of the curve below the threshold
+        step = threshold / n
+        return sum(curve(i * step, b, r) for i in range(n)) * step
+
+    divisors = [
+        (num_hashes // r, r)
+        for r in range(1, num_hashes + 1)
+        if num_hashes % r == 0
+    ]
+    ok = [(b, r) for b, r in divisors if 1 - curve(threshold, b, r) <= max_fn]
+    pool = ok or sorted(divisors, key=lambda br: 1 - curve(threshold, *br))[:1]
+    best = min(pool, key=lambda br: fp_mass(*br))
+    return best

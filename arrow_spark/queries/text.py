@@ -327,3 +327,21 @@ def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+@query("text_compression_ratio", oracle=None)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document (rows-only:
+    DEFLATE output length has no SQL form; monotonicity and value-range
+    invariants are unit-tested against known repetitive/diverse texts).
+    Map-only Arrow-batched projection — the 100 TB cost is one corpus
+    pass with zero exchange."""
+    from arrow_spark.llm.corpus import compression_ratio
+
+    d = table(spark, sf_dir, "documents")
+    out = compression_ratio(d)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.col("compression_ratio") * 1e6 + F.lit(0.5)).alias("ratio_micros"),
+    )

@@ -467,3 +467,73 @@ def test_bloom_index_persist_reload_round_trip(spark, tmp_path):
     probe = keys[1234]
     got = point_lookup(spark, data, "key", probe, loaded).collect()
     assert [(r.key, r.val) for r in got] == [(probe, "r1234")]
+
+
+def test_lsh_band_plan_properties():
+    from arrow_spark.llm.dedup import lsh_band_plan
+
+    def curve(s, b, r):
+        return 1.0 - (1.0 - s**r) ** b
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_band_plan(t, num_hashes=128)
+        assert b * r == 128
+        # recall at the threshold is high...
+        assert curve(t, b, r) >= 0.95
+        # ...and the curve is genuinely selective well below it
+        assert curve(t / 3, b, r) < curve(t, b, r)
+    # lower thresholds need more bands (shorter rows)
+    b_low, r_low = lsh_band_plan(0.3, 128)
+    b_high, r_high = lsh_band_plan(0.9, 128)
+    assert b_low >= b_high and r_low <= r_high
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_band_plan(1.5)
+
+
+def test_lsh_band_plan_drives_candidates(spark):
+    from arrow_spark.llm.dedup import lsh_band_plan, minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    b, r = lsh_band_plan(0.8, num_hashes=32)
+    cands = {
+        tuple(sorted((x["id_a"], x["id_b"])))
+        for x in minhash_lsh_candidates(docs, num_hashes=b * r, bands=b).collect()
+    }
+    assert (0, 1) in cands  # exact dups must collide in some band
+
+
+def _entropy_text(n):
+    import random
+
+    rng = random.Random(0)
+    return "".join(chr(33 + rng.randrange(90)) for _ in range(n))
+
+
+def test_compression_ratio_separates_repetition(spark):
+    from arrow_spark.llm.corpus import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam " * 400),                       # highly repetitive
+            (1, _entropy_text(2000)),  # high entropy
+            (2, ""),                                  # empty → null
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x["compression_ratio"] for x in compression_ratio(docs).collect()}
+    assert r[0] < 0.05          # template collapses
+    assert r[1] > 0.5           # pseudo-random barely compresses
+    assert r[2] is None
+    # determinism across runs
+    r2 = {x["doc_id"]: x["compression_ratio"] for x in compression_ratio(docs).collect()}
+    assert r == r2
