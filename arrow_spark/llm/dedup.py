@@ -153,9 +153,21 @@ def shingles(col, n: int = 3):
     )
 
 
+#: Modulus of the affine minhash family: the Mersenne prime 2^31 − 1.
+#: Without a modulus every h_i = a_i·base + b_i is MONOTONIC in base, so
+#: all num_hashes mins collapse onto the same argmin shingle and the
+#: banded construction degenerates to a single-hash scheme (every band
+#: identical — the S-curve lsh_band_plan reasons about disappears). The
+#: mod makes the slots independent permutations, as universal hashing
+#: requires. Bounds: a < 2^30, base < 2^31 ⇒ a·base + b < 2^61, inside
+#: ANSI long range, and the result is non-negative so `%` ≡ pmod in any
+#: engine — the DuckDB oracles replay it verbatim.
+MINHASH_PRIME = (1 << 31) - 1
+
+
 def _minhash_constants(n: int) -> tuple[list[int], list[int]]:
     """Deterministic odd multipliers + offsets for the affine hash family
-    (fixed seed; wrapping 64-bit arithmetic keeps them in-range)."""
+    (fixed seed; products stay under 2^61 — see MINHASH_PRIME)."""
     import random
 
     rng = random.Random(42)
@@ -185,28 +197,46 @@ def shingle_sets(
     return d.repartition("id") if partition_by_id else d
 
 
-def _band_signatures(d: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_signatures(
+    d: DataFrame, num_hashes: int, bands: int, hash_family: str = "xxhash64"
+) -> DataFrame:
     """(id, band, bsig) banded MinHash signatures from a (id, sh)
     shingle-set frame — the unit the bucket joins (self- OR incremental)
-    key on. Deterministic for a fixed (num_hashes, bands, shingle_n),
-    so a persisted store built earlier joins exactly against signatures
-    computed today."""
+    key on. Deterministic for a fixed (num_hashes, bands, shingle_n,
+    hash_family), so a persisted store built earlier joins exactly
+    against signatures computed today.
+
+    hash_family='portable' swaps the base string hash for the
+    md5-derived cross-engine hash (functions/portable_hash.py), making
+    the whole signature → band → candidate pipeline exactly replayable
+    in a DuckDB oracle; 'xxhash64' is the throughput default.
+    """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     # One row per (doc, shingle), then num_hashes seeded-hash COLUMNS and a
     # single groupBy computing every min — one shuffle, no 16× row blowup,
     # map-side partial mins keep the shuffle tiny at any corpus size.
     sh = d.select("id", F.explode("sh").alias("sh"))
-    # Universal hashing: one string hash per shingle, then cheap affine
-    # mixes per signature slot — avoids num_hashes string hashes per
-    # shingle. Ranges chosen so a·h+b ≤ 2^61 (ANSI mode errors on long
-    # overflow): base reduced to 31 bits, constants to 30.
-    base = F.pmod(F.xxhash64(F.col("sh")), F.lit(1 << 31))
+    # Universal hashing: one string hash per shingle, then affine mixes
+    # mod a Mersenne prime per signature slot (see MINHASH_PRIME) —
+    # avoids num_hashes string hashes per shingle. Ranges chosen so
+    # a·h+b ≤ 2^61 (ANSI mode errors on long overflow): base reduced to
+    # 31 bits, constants to 30.
+    if hash_family == "portable":
+        from arrow_spark.functions.portable_hash import portable_hash64
+
+        base = F.pmod(portable_hash64(F.col("sh")), F.lit(1 << 31))
+    elif hash_family == "xxhash64":
+        base = F.pmod(F.xxhash64(F.col("sh")), F.lit(1 << 31))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     a_consts, b_consts = _minhash_constants(num_hashes)
     hashed = sh.select(
         "id",
         *[
-            (F.lit(a_consts[i]) * base + F.lit(b_consts[i])).alias(f"h{i}")
+            F.pmod(
+                F.lit(a_consts[i]) * base + F.lit(b_consts[i]), F.lit(MINHASH_PRIME)
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -225,13 +255,13 @@ def _band_signatures(d: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 
 def _lsh_candidates_from_sets(
-    d: DataFrame, num_hashes: int, bands: int
+    d: DataFrame, num_hashes: int, bands: int, hash_family: str = "xxhash64"
 ) -> DataFrame:
     """Banded LSH candidate pairs from a (id, sh) shingle-set frame."""
     # Both self-join sides shuffle the identical upstream on the same keys
     # → Catalyst reuses one exchange (ReusedExchange); no cache needed, and
     # no cache entries leak into the caller's long-lived session.
-    band_sig = _band_signatures(d, num_hashes, bands)
+    band_sig = _band_signatures(d, num_hashes, bands, hash_family)
     left = band_sig.select("band", "bsig", F.col("id").alias("id_a"))
     right = band_sig.select("band", "bsig", F.col("id").alias("id_b"))
     return (
@@ -249,6 +279,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs.
 
@@ -259,7 +290,7 @@ def minhash_lsh_candidates(
     signature shuffle tiny at any corpus size.
     """
     return _lsh_candidates_from_sets(
-        shingle_sets(docs, shingle_n, id_col, text_col), num_hashes, bands
+        shingle_sets(docs, shingle_n, id_col, text_col), num_hashes, bands, hash_family
     )
 
 
@@ -271,6 +302,7 @@ def minhash_near_dups(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidates from LSH, verified with exact shingle Jaccard.
 
@@ -283,7 +315,7 @@ def minhash_near_dups(
     reused across consumers instead of re-scanning the corpus.
     """
     d = shingle_sets(docs, shingle_n, id_col, text_col, partition_by_id=True)
-    cands = _lsh_candidates_from_sets(d, num_hashes, bands)
+    cands = _lsh_candidates_from_sets(d, num_hashes, bands, hash_family)
     a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     j = cands.join(a, "id_a").join(b, "id_b")
@@ -306,6 +338,7 @@ def band_signature_store(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """The persistable dedup index for INCREMENTAL ingestion: one
     (id, band, bsig) row per document band. Build once over the
@@ -314,7 +347,7 @@ def band_signature_store(
     the corpus. Size: bands rows per doc — index metadata scale, not
     corpus scale."""
     return _band_signatures(
-        shingle_sets(docs, shingle_n, id_col, text_col), num_hashes, bands
+        shingle_sets(docs, shingle_n, id_col, text_col), num_hashes, bands, hash_family
     )
 
 
@@ -330,6 +363,7 @@ def incremental_near_dups(
     text_col: str = "text",
     candidate_source: str = "lsh",
     block_cols: tuple = (),
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup detection of a NEW batch against an EXISTING corpus —
     the daily-ingest shape: shingle/sign only the batch (cost ∝ batch,
@@ -375,7 +409,7 @@ def incremental_near_dups(
     if store is None:
         raise ValueError("candidate_source='lsh' requires a signature store")
     d_new = shingle_sets(new_docs, shingle_n, id_col, text_col, partition_by_id=True)
-    new_bands = _band_signatures(d_new, num_hashes, bands)
+    new_bands = _band_signatures(d_new, num_hashes, bands, hash_family)
     cands = (
         new_bands.join(store, ["band", "bsig"])
         .where(new_bands["id"] != store["id"])
@@ -405,16 +439,33 @@ def incremental_near_dups(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash: per-token 64-bit hash, weighted bit-vote, sign → bits.
+    """SimHash: per-token hash, weighted bit-vote, sign → bit string.
 
     Computed relationally: explode tokens → per-bit vote via shiftright/
     bitwiseAND → sum votes per doc → reassemble bit string.
+    hash_family='portable' (md5-derived, 60 usable bits — pass
+    bits <= 60) makes the fingerprint DuckDB-replayable for the oracle;
+    'xxhash64' is the 64-bit throughput default.
     """
+    if hash_family == "portable":
+        from arrow_spark.functions.portable_hash import portable_hash64
+
+        if bits > 60:
+            raise ValueError("portable hash has 60 usable bits")
+        hcol = portable_hash64(F.col("tok"))
+    elif hash_family == "xxhash64":
+        hcol = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     toked = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hcol)
     votes = toked.select(
         "id",
         *[
@@ -572,6 +623,7 @@ def near_dup_clusters(
     bands: int = 4,
     shingle_n: int = 3,
     keeper_by: str | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Cluster documents by transitive near-duplication.
 
@@ -605,6 +657,7 @@ def near_dup_clusters(
             shingle_n=shingle_n,
             id_col=id_col,
             text_col=text_col,
+            hash_family=hash_family,
         )
     else:
         raise ValueError(f"bad pair_source {pair_source!r}")

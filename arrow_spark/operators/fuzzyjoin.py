@@ -48,6 +48,7 @@ def fuzzy_join_lsh(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """The 100 TB path for fuzzy_join: MinHash-banded candidates instead
     of length blocks. Both sides' token sets union into one tagged frame
@@ -72,7 +73,7 @@ def fuzzy_join_lsh(
     d = _tagged(left, l_id, l_text, "L:").unionByName(
         _tagged(right, r_id, r_text, "R:")
     ).repartition("id")
-    cands = _lsh_candidates_from_sets(d, num_hashes, bands)
+    cands = _lsh_candidates_from_sets(d, num_hashes, bands, hash_family)
     # keep cross-side pairs only; "L:" < "R:" lexically, and the candidate
     # generator emits id_a < id_b, so id_a is always the left row
     cross = cands.where(

@@ -20,16 +20,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from arrow_spark.functions.portable_hash import portable_hash64
 
-def _cells(col: Column, width: int, depth: int) -> Column:
-    """depth (row, bucket) pairs per value; row i uses xxhash64 seeded i
+
+def _seeded_hash(col: Column, seed: int, hash_family: str) -> Column:
+    """Seeded non-negative hash under the chosen family.
+
+    'xxhash64' (default): fastest, JVM-native — but no DuckDB twin, so
+    results get rows-only verification. 'portable': md5-derived 60-bit
+    (functions/portable_hash.py) — bit-identical in DuckDB, so the
+    sketch becomes exactly SQL-replayable; the value is cast to string
+    first so both engines hash the same bytes.
+    """
+    if hash_family == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_family == "portable":
+        return portable_hash64(col.cast("string"), seed)
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def _cells(col: Column, width: int, depth: int, hash_family: str = "xxhash64") -> Column:
+    """depth (row, bucket) pairs per value; row i uses hash seeded i
     (independent-enough hash family, fully deterministic)."""
     return F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(i).alias("row"),
-                    F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias("bucket"),
+                    F.pmod(_seeded_hash(col, i, hash_family), F.lit(width)).alias(
+                        "bucket"
+                    ),
                 )
                 for i in range(depth)
             ]
@@ -38,11 +58,12 @@ def _cells(col: Column, width: int, depth: int) -> Column:
 
 
 def count_min_build(
-    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Build a CMS over df[col] → DataFrame(row, bucket, cnt)."""
     return (
-        df.select(_cells(F.col(col), width, depth).alias("c"))
+        df.select(_cells(F.col(col), width, depth, hash_family).alias("c"))
         .select("c.row", "c.bucket")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -58,7 +79,8 @@ def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def count_min_estimate(
-    sketch: DataFrame, items: DataFrame, col: str, width: int = 1024, depth: int = 4
+    sketch: DataFrame, items: DataFrame, col: str, width: int = 1024, depth: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Estimate the frequency of each distinct items[col]:
     min over depth rows of the addressed cells. Guarantees
@@ -67,7 +89,7 @@ def count_min_estimate(
     """
     probes = (
         items.select(F.col(col).alias("item")).distinct()
-        .select("item", _cells(F.col("item"), width, depth).alias("c"))
+        .select("item", _cells(F.col("item"), width, depth, hash_family).alias("c"))
         .select("item", "c.row", "c.bucket")
     )
     joined = probes.join(sketch, ["row", "bucket"], "left").select(
@@ -110,6 +132,112 @@ def hll_merge(sketches: DataFrame, key_cols) -> DataFrame:
 def hll_estimate(sketches: DataFrame, out_col: str = "approx_distinct") -> DataFrame:
     """Attach the distinct-count estimate for each group's sketch."""
     return sketches.withColumn(out_col, F.hll_sketch_estimate("hll"))
+
+
+# -- relational HyperLogLog (registers as rows, hash-exact in any engine) ----
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_rel_build(
+    df: DataFrame,
+    col: str,
+    keys=(),
+    p: int = 9,
+    max_rank: int = 40,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """HyperLogLog registers as a relational frame — (keys…, bucket,
+    rank) rows, one per NON-ZERO register (absent bucket ≡ register 0).
+
+    Unlike hll_build's opaque Datasketches binary, every piece here is
+    engine-portable integer arithmetic: bucket = top p bits of the
+    60-bit hash, rank = 1 + leading-zero count of the remaining w=60-p
+    bits (capped at ``max_rank`` so the 2^(max_rank-rank) harmonic terms
+    stay exact BIGINTs). The leading-zero count is length-of-binary-
+    string arithmetic (bin(x) exists in Spark and DuckDB with identical
+    minimal-form semantics) — no float log2 whose boundary rounding
+    could disagree across engines.
+
+    Scale contract is the same as the sketch family above: map-side max
+    per (group, bucket) bounds the shuffle at groups × 2^p rows
+    regardless of input cardinality, and coarser rollups merge by
+    another max groupBy without rescanning data.
+    """
+    keys = list(keys)
+    w = 60 - p
+    h = _seeded_hash(F.col(col), 0, hash_family)
+    bucket = F.shiftright(h, w).alias("bucket")
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rank = F.least(
+        F.when(rest == 0, F.lit(w + 1)).otherwise(
+            F.lit(w) - F.length(F.bin(rest)) + 1
+        ),
+        F.lit(max_rank),
+    ).alias("rank")
+    return (
+        df.select(*[F.col(c) for c in keys], bucket, rank)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_rel_merge(regs: DataFrame, keys=()) -> DataFrame:
+    """Merge register frames to coarser keys: positionwise max (union of
+    sketches ≡ sketch of union, exactly as for the binary form)."""
+    keys = list(keys)
+    return regs.groupBy(*keys, "bucket").agg(F.max("rank").alias("rank"))
+
+
+def hll_rel_estimate(
+    regs: DataFrame, keys=(), p: int = 9, max_rank: int = 40
+) -> DataFrame:
+    """Distinct-count estimate per key group from a register frame.
+
+    The harmonic mean is computed as ONE integer sum — S = Σ 2^(R-rank)
+    over present registers + V·2^R for the V zero registers (R =
+    max_rank) — so it is bit-exact and order-independent in any engine;
+    the only float ops are the final α·m²·2^R / S division and the
+    small-range linear-counting branch m·ln(m/V), both single
+    expressions an oracle replays verbatim. Output rounded to 4
+    decimals.
+    """
+    keys = list(keys)
+    m = 1 << p
+    alpha = hll_alpha(m)
+    gb = regs.groupBy(*keys) if keys else regs.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).alias("__present__"),
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(max_rank) - F.col("rank")).cast("int"),
+            )
+        ).alias("__s_present__"),
+    )
+    v = F.lit(m) - F.col("__present__")
+    s_int = F.col("__s_present__") + v * F.lit(1 << max_rank)
+    raw = F.lit(alpha) * F.lit(float(m * m * (1 << max_rank))) / s_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *keys,
+        v.alias("zero_registers"),
+        s_int.alias("harmonic_scaled"),
+        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("approx_distinct"),
+    )
 
 
 # -- fixed-width histogram (mergeable quantile sketch) -----------------------
@@ -162,11 +290,16 @@ def histogram_quantile(
 # -- Bloom filter ------------------------------------------------------------
 
 
-def _bloom_positions(col: Column, m_bits: int, k: int) -> Column:
-    """k bit positions per value: xxhash64 seeded 0..k-1, mod m (same
-    deterministic hash family as the CMS cells)."""
+def _bloom_positions(
+    col: Column, m_bits: int, k: int, hash_family: str = "xxhash64"
+) -> Column:
+    """k bit positions per value: hash seeded 0..k-1, mod m (same
+    deterministic hash family selection as the CMS cells)."""
     return F.array(
-        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+        *[
+            F.pmod(_seeded_hash(col, i, hash_family), F.lit(m_bits))
+            for i in range(k)
+        ]
     )
 
 
@@ -176,6 +309,7 @@ def bloom_build(
     keys=(),
     m_bits: int = 4096,
     k: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-group Bloom filter as a relational sketch: one row per group
     with a dense ``words`` array (m_bits/64 longs). The Arrow engine
@@ -190,7 +324,7 @@ def bloom_build(
     words materialize as 0 and merges stay positional.
     """
     n_words = (m_bits + 63) // 64
-    pos = F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
+    pos = F.explode(_bloom_positions(F.col(col), m_bits, k, hash_family)).alias("pos")
     cells = (
         df.select(*[F.col(c) for c in keys], pos)
         .select(
@@ -240,12 +374,15 @@ def bloom_merge(sketches: DataFrame, keys=()) -> DataFrame:
     )
 
 
-def bloom_might_contain(words_col: Column, value: Column, m_bits: int, k: int) -> Column:
+def bloom_might_contain(
+    words_col: Column, value: Column, m_bits: int, k: int,
+    hash_family: str = "xxhash64",
+) -> Column:
     """Membership probe: all k bits set ⇒ maybe present (false positives
     tunable via m/k); any bit clear ⇒ definitely absent. Pure codegen
     expression — usable as a scan filter guard before an expensive join."""
     return F.forall(
-        _bloom_positions(value, m_bits, k),
+        _bloom_positions(value, m_bits, k, hash_family),
         lambda p: F.getbit(
             F.element_at(words_col, (p / 64).cast("int") + 1), (p % 64).cast("int")
         )

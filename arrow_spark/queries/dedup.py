@@ -60,20 +60,117 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None)
+def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
+    """DuckDB CTE block replaying llm.dedup._band_signatures with the
+    PORTABLE hash family hash-for-hash: shingle sets (`sh`) → seeded
+    60-bit base hash → affine mixes mod MINHASH_PRIME → per-doc mins
+    (the signature) → per-band md5 bucket keys (`bands`). Expects a CTE
+    named ``sh`` (id, sh) upstream; emits CTEs ``hashed``, ``sig``,
+    ``bands``."""
+    from arrow_spark.llm.dedup import MINHASH_PRIME, _minhash_constants
+
+    a, b = _minhash_constants(num_hashes)
+    r = num_hashes // bands
+    hcols = ",\n         ".join(
+        f"min(({a[i]} * base + {b[i]}) % {MINHASH_PRIME}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {bi} AS band, md5(concat_ws('_', "
+        + ", ".join(f"h{bi * r + j}" for j in range(r))
+        + ")) AS bsig FROM sig"
+        for bi in range(bands)
+    )
+    return f"""hashed AS (
+  SELECT id, ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT % {1 << 31} AS base
+  FROM (SELECT id, unnest(sh) AS s FROM sh)
+), sig AS (
+  SELECT id,
+         {hcols}
+  FROM hashed GROUP BY id
+), bands AS (
+  {band_rows}
+)"""
+
+
+#: shingle-set CTE shared by the minhash oracles (identical arithmetic
+#: to llm.dedup.shingles: word 3-grams, whole text when < 3 tokens).
+_SHINGLE_CTE = """d AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+  FROM d
+)"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH {_SHINGLE_CTE}, {_minhash_band_ctes(num_hashes, bands)},
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         floor((len(list_intersect(sa.sh, sb.sh)) * 1.0
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+               * 1e6 + 0.5) / 1e6 AS jaccard
+  FROM cands JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs verified by shingle Jaccard
-    (rows-only: xxhash64 seeds aren't reproducible in the oracle;
-    recall vs exact Jaccard asserted in unit tests)."""
+    """MinHash-LSH near-dup pairs verified by shingle Jaccard, with the
+    PORTABLE hash family: the DuckDB oracle replays the ENTIRE pipeline
+    — base hash, affine signature mixes mod the Mersenne prime, band
+    md5 bucket keys, candidate equi-join, exact verify — so both the
+    candidate set and the scores are hash-checked (xxhash64 stays the
+    throughput default; recall vs exact Jaccard is also unit-tested)."""
     return minhash_near_dups(
-        table(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=4
+        table(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=4,
+        hash_family="portable",
     )
 
 
-@query("dedup_simhash", oracle=None)
+def _simhash_oracle(bits: int = 48) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    chars = ", ".join(
+        f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT id, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h FROM t
+), v AS (
+  SELECT id,
+         {votes}
+  FROM h GROUP BY id
+)
+SELECT id, concat({chars}) AS simhash FROM v
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures per document (rows-only check)."""
-    return simhash_signatures(table(spark, sf_dir, "documents"))
+    """48-bit SimHash fingerprints per document from the PORTABLE hash:
+    the oracle replays every per-token bit vote, so the exact
+    fingerprint string is hash-checked (the 64-bit xxhash64 family stays
+    the throughput default; hamming-distance properties unit-tested)."""
+    return simhash_signatures(
+        table(spark, sf_dir, "documents"), bits=48, hash_family="portable"
+    )
 
 
 # Transitive closure of the (already-oracle-checked) Jaccard pair set:
@@ -141,15 +238,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.95)
 
 
-@query("dedup_clusters_lsh", oracle=None)
+def _clusters_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_band_ctes(num_hashes, bands)},
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM cands JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id
+  WHERE floor((len(list_intersect(sa.sh, sb.sh)) * 1.0
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+              * 1e6 + 0.5) / 1e6 >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(v, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT doc_id,
+       coalesce(comp.c, doc_id)            AS cluster_id,
+       coalesce(comp.c, doc_id) = doc_id   AS is_keeper
+FROM documents
+LEFT JOIN (SELECT v, least(min(r), v) AS c FROM reach GROUP BY v) comp
+  ON doc_id = comp.v
+"""
+
+
+@query("dedup_clusters_lsh", oracle=_clusters_lsh_oracle())
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB clustering path — near_dup_clusters' DEFAULT entry point:
     connected components over minhash-LSH verified candidate pairs
-    (candidate generation is an equi-join, never all-pairs). Rows-only
-    check — the seeded xxhash64 signatures aren't reproducible in SQL;
-    the exact-pairs variant `dedup_clusters` is the oracle-checked twin,
-    and LSH recall vs exact Jaccard is unit-tested."""
-    return near_dup_clusters(table(spark, sf_dir, "documents"), threshold=0.5)
+    (candidate generation is an equi-join, never all-pairs). With the
+    PORTABLE hash family the oracle replays signature → bands →
+    candidates → verify in SQL and closes the pair graph with a
+    recursive CTE — the distributed min-label iteration is hash-checked
+    end to end against a genuinely different formulation."""
+    return near_dup_clusters(
+        table(spark, sf_dir, "documents"), threshold=0.5, hash_family="portable"
+    )
 
 
 FUZZY_JOIN_ORACLE = """
@@ -201,14 +330,45 @@ def fuzzy_join_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fuzzy_join_lsh_match", oracle=None)
+def _fuzzy_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    # `sh` here is TOKEN sets (fuzzy_join_lsh signs whole token sets, not
+    # shingles); both sides union into one tagged frame exactly as the
+    # Spark pipeline does, then the same band CTEs replay the signatures
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS raw
+  FROM documents
+), sh AS (
+  SELECT 'L:' || doc_id::VARCHAR AS id,
+         list_distinct(list_slice(raw, 1, greatest(len(raw) - 5, 1))) AS sh
+  FROM t WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'R:' || doc_id::VARCHAR AS id, list_distinct(raw) AS sh FROM t
+), {_minhash_band_ctes(num_hashes, bands)},
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+  WHERE a.id LIKE 'L:%' AND b.id LIKE 'R:%'
+), scored AS (
+  SELECT substr(id_a, 3) AS probe_id, substr(id_b, 3) AS doc_id,
+         floor((len(list_intersect(sa.sh, sb.sh)) * 1.0
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+               * 1e6 + 0.5) / 1e6 AS jaccard
+  FROM cands JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id
+)
+SELECT probe_id, doc_id, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@query("fuzzy_join_lsh_match", oracle=_fuzzy_lsh_oracle())
 def fuzzy_join_lsh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scale path of fuzzy_join_entity_match: the same truncated probes
     matched through MinHash-banded candidates (two shuffles, candidate
     volume bounded by band buckets — never bucket-quadratic like the
-    length-blocked exact form, which stays the oracle-gated verifier).
-    Rows-only: banded LSH recall < 1 below J=1 by construction; the
-    identical-pair catch guarantee and recall floor are unit-tested."""
+    length-blocked exact form, which remains the recall gate). With the
+    PORTABLE hash family the oracle replays the tagged union-side
+    signature pipeline and the cross-side candidate join exactly, so
+    the approximate matcher's own output is hash-checked."""
     from arrow_spark.operators.fuzzyjoin import fuzzy_join_lsh
     from arrow_spark.llm.dedup import tokens as _tokens
 
@@ -222,7 +382,8 @@ def fuzzy_join_lsh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.select("doc_id", "text")
     return fuzzy_join_lsh(
-        probe, corpus, "probe_id", "probe_text", "doc_id", "text", threshold=0.5
+        probe, corpus, "probe_id", "probe_text", "doc_id", "text", threshold=0.5,
+        hash_family="portable",
     )
 
 
@@ -275,23 +436,46 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_incremental_lsh_store", oracle=None)
+def _incremental_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    # band signatures are per-document, so building them over ALL
+    # documents and splitting batch/corpus afterwards replays the
+    # store-probe equi-join exactly
+    return f"""
+WITH {_SHINGLE_CTE}, {_minhash_band_ctes(num_hashes, bands)},
+cands AS (
+  SELECT DISTINCT n.id AS new_id, o.id AS dup_of
+  FROM bands n JOIN bands o ON n.band = o.band AND n.bsig = o.bsig
+  WHERE n.id % 5 = 0 AND o.id % 5 != 0
+), scored AS (
+  SELECT new_id, dup_of,
+         floor((len(list_intersect(sa.sh, sb.sh)) * 1.0
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+               * 1e6 + 0.5) / 1e6 AS jaccard
+  FROM cands JOIN sh sa ON new_id = sa.id JOIN sh sb ON dup_of = sb.id
+)
+SELECT new_id, dup_of, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_incremental_lsh_store", oracle=_incremental_lsh_oracle())
 def dedup_incremental_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """incremental ingest dedup, scale path: the batch's band signatures
     probe the corpus's persisted signature store by (band, bsig)
-    equi-join and candidates are exact-verified by shingle Jaccard
-    (rows-only: xxhash64 band signatures aren't reproducible in DuckDB;
-    containment in the unblocked exact all-pairs set — and jaccard
-    agreement on every shared pair — is pinned in
-    tests/test_llm_ops.py)."""
+    equi-join and candidates are exact-verified by shingle Jaccard. With
+    the PORTABLE hash family the oracle replays the store build AND the
+    probe join, so the scale path is hash-checked directly (previously
+    only its containment in the exact all-pairs set was pinned in
+    tests/test_llm_ops.py; dedup_incremental stays the exact-path
+    gate)."""
     from arrow_spark.llm.dedup import band_signature_store, incremental_near_dups
 
     docs = table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    store = band_signature_store(corpus, num_hashes=16, bands=4)
+    store = band_signature_store(corpus, num_hashes=16, bands=4, hash_family="portable")
     return incremental_near_dups(
-        batch, store, corpus, threshold=0.5, num_hashes=16, bands=4
+        batch, store, corpus, threshold=0.5, num_hashes=16, bands=4,
+        hash_family="portable",
     )
 
 

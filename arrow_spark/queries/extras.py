@@ -319,17 +319,49 @@ def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_index", "n_bytes")
 
 
-@query("sketch_count_min", oracle=None)
+def _portable_sql(expr: str, seed) -> str:
+    """DuckDB fragment of functions/portable_hash.portable_hash64 with a
+    dynamic seed expression (seed may be a column name or int literal)."""
+    return f"('0x' || substr(md5({seed} || ':' || {expr}), 1, 15))::BIGINT"
+
+
+# Exact replay of the portable-hash Count-Min: depth×width cells from
+# seeded md5 hashes, then min-over-rows per probed item — the same
+# arithmetic the Spark build runs, hash for hash.
+CMS_ORACLE = f"""
+WITH seeds AS (SELECT unnest(range(4)) AS row),
+cells AS (
+  SELECT row, {_portable_sql('o_orderpriority', 'row')} % 1024 AS bucket,
+         count(*) AS cnt
+  FROM orders, seeds
+  GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT o_orderpriority AS item FROM orders
+), addressed AS (
+  SELECT item, row, {_portable_sql('item', 'row')} % 1024 AS bucket
+  FROM probes, seeds
+)
+SELECT item AS o_orderpriority, min(coalesce(cnt, 0))::BIGINT AS est
+FROM addressed LEFT JOIN cells USING (row, bucket)
+GROUP BY 1
+"""
+
+
+@query("sketch_count_min", oracle=CMS_ORACLE)
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min frequency estimates for every (o_orderpriority) key
-    (rows-only: xxhash64 isn't SQL-reproducible; the never-undercounts
-    and merge-exactness invariants are unit-tested against exact
-    counts)."""
+    """Count-Min frequency estimates for every (o_orderpriority) key,
+    built with the PORTABLE hash family (functions/portable_hash.py) so
+    the DuckDB oracle replays the sketch cell-for-cell — the estimate
+    itself is hash-checked, not just invariant-tested. The xxhash64
+    family stays the throughput default; never-undercounts and
+    merge-exactness are additionally unit-tested against exact counts."""
     from arrow_spark.operators.sketches import count_min_build, count_min_estimate
 
     o = table(spark, sf_dir, "orders")
-    sketch = count_min_build(o, "o_orderpriority", width=1024, depth=4)
-    est = count_min_estimate(sketch, o, "o_orderpriority", width=1024, depth=4)
+    sketch = count_min_build(o, "o_orderpriority", width=1024, depth=4,
+                             hash_family="portable")
+    est = count_min_estimate(sketch, o, "o_orderpriority", width=1024, depth=4,
+                             hash_family="portable")
     return est.withColumnRenamed("item", "o_orderpriority")
 
 
@@ -375,6 +407,69 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     per_source = hll_build(docs, ["lang", "source"], "text", lgk=12)
     return hll_estimate(hll_merge(per_source, ["lang"])).select("lang", "approx_distinct")
+
+
+def _hll_rel_oracle(p: int = 9, max_rank: int = 40) -> str:
+    """Exact SQL replay of the relational HLL (operators/sketches.py):
+    portable hash → top-p-bit bucket / leading-zero rank (via binary
+    string length — no float log2) → max-register groupBy → ONE integer
+    harmonic sum → the α·m²/Σ2^-reg estimate with linear-counting
+    small-range correction. The oracle builds registers per lang
+    DIRECTLY while the Spark path builds per (lang, source) and merges —
+    so the hash match also proves the merge law."""
+    from arrow_spark.operators.sketches import hll_alpha
+
+    m = 1 << p
+    w = 60 - p
+    alpha_c = hll_alpha(m) * float(m * m * (1 << max_rank))
+    return f"""
+WITH h AS (
+  SELECT lang, {_portable_sql('text', 0)} AS h FROM documents
+), br AS (
+  SELECT lang, h >> {w} AS bucket,
+         least(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+               ELSE {w} - length(bin(h & {(1 << w) - 1})) + 1 END,
+               {max_rank}) AS rank
+  FROM h
+), regs AS (
+  SELECT lang, bucket, max(rank) AS rank FROM br GROUP BY 1, 2
+), agg AS (
+  SELECT lang, count(*) AS present,
+         sum(1::BIGINT << ({max_rank} - rank)::INT)::BIGINT AS s_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT lang, ({m} - present)::BIGINT AS zero_registers,
+         (s_present + ({m} - present) * {1 << max_rank})::BIGINT AS harmonic_scaled,
+         {alpha_c!r} / (s_present + ({m} - present) * {1 << max_rank})::DOUBLE AS raw
+  FROM agg
+)
+SELECT lang, zero_registers, harmonic_scaled,
+       floor((CASE WHEN raw <= {2.5 * m!r} AND zero_registers > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zero_registers::DOUBLE)
+              ELSE raw END) * 1e4 + 0.5) / 1e4 AS approx_distinct
+FROM est
+"""
+
+
+@query("sketch_hll_rel", oracle=_hll_rel_oracle())
+def sketch_hll_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relational HyperLogLog: registers as (lang, bucket, rank) rows
+    from the portable hash, built per (lang, source), max-merged up to
+    lang, estimated with ONE integer harmonic sum — every piece
+    engine-portable arithmetic, so unlike the Datasketches-binary twin
+    (sketch_hll, rows-only) the ESTIMATE itself is hash-checked against
+    DuckDB, and the merge law is proven by the oracle building registers
+    per lang directly."""
+    from arrow_spark.operators.sketches import (
+        hll_rel_build,
+        hll_rel_estimate,
+        hll_rel_merge,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    per_source = hll_rel_build(docs, "text", keys=["lang", "source"], p=9)
+    merged = hll_rel_merge(per_source, keys=["lang"])
+    return hll_rel_estimate(merged, keys=["lang"], p=9)
 
 
 RLE_ORACLE = """
@@ -572,25 +667,61 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type", "event_id", "seq", "value")
 
 
-@query("sketch_bloom", oracle=None)
+# Bit-level replay of the portable-hash Bloom filter: a set bit ≡ a
+# distinct (lang, position) pair, so set_bits = count of distinct
+# positions and a probe hits iff ALL k of its positions were set — no
+# word packing needed in SQL (and no signed-shift edge cases).
+BLOOM_SKETCH_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), seeds AS (SELECT unnest(range(4)) AS k),
+positions AS (
+  SELECT DISTINCT lang, {_portable_sql('token', 'k')} % 4096 AS pos
+  FROM toks, seeds
+), probes AS (SELECT unnest(['the', 'data', 'zzzznotaword']) AS w),
+ppos AS (
+  SELECT DISTINCT d.lang, probes.w, {_portable_sql('w', 'k')} % 4096 AS pos
+  FROM (SELECT DISTINCT lang FROM documents) d, probes, seeds
+), checked AS (
+  SELECT p.lang, p.w, bool_and(positions.pos IS NOT NULL) AS hit
+  FROM ppos p
+  LEFT JOIN positions ON p.lang = positions.lang AND p.pos = positions.pos
+  GROUP BY 1, 2
+), hits AS (
+  SELECT lang, count(*)::INT AS n_probe_hits FROM checked WHERE hit GROUP BY lang
+), bits AS (
+  SELECT lang, count(*)::BIGINT AS set_bits FROM positions GROUP BY lang
+)
+SELECT b.lang, coalesce(h.n_probe_hits, 0) AS n_probe_hits, b.set_bits
+FROM bits b LEFT JOIN hits h USING (lang)
+"""
+
+
+@query("sketch_bloom", oracle=BLOOM_SKETCH_ORACLE)
 def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-language Bloom filters over document tokens, probed with a
-    fixed word list (rows-only: xxhash64 has no DuckDB twin; the
-    no-false-negative and merge laws are unit-tested). The filter frame
-    is the relational form of the join-interior bloom the reference
-    builds in acero/bloom_filter.h."""
+    fixed word list — built with the PORTABLE hash family so the DuckDB
+    oracle replays every bit position (set_bits AND probe membership are
+    hash-checked; the no-false-negative and merge laws are additionally
+    unit-tested, and xxhash64 stays the throughput default). The filter
+    frame is the relational form of the join-interior bloom the
+    reference builds in acero/bloom_filter.h."""
     from arrow_spark.llm.dedup import tokens
     from arrow_spark.operators.sketches import bloom_build, bloom_might_contain
 
     d = table(spark, sf_dir, "documents").select(
         "lang", F.explode(tokens(F.col("text"))).alias("token")
     )
-    blooms = bloom_build(d, "token", keys=["lang"], m_bits=4096, k=4)
+    blooms = bloom_build(d, "token", keys=["lang"], m_bits=4096, k=4,
+                         hash_family="portable")
     probes = F.array(*[F.lit(w) for w in ("the", "data", "zzzznotaword")])
     hits = F.size(
         F.filter(
             probes,
-            lambda w: bloom_might_contain(F.col("words"), w, 4096, 4),
+            lambda w: bloom_might_contain(
+                F.col("words"), w, 4096, 4, hash_family="portable"
+            ),
         )
     )
     set_bits = F.aggregate(

@@ -176,7 +176,15 @@ def test_near_dup_clusters_default_lsh_path(spark):
     # singleton keepers.
     from arrow_spark.llm.dedup import near_dup_clusters
 
-    common = "the quick brown fox jumps over the lazy dog again and again"
+    # shingle Jaccard of the pair ≈ 28/30 ≈ 0.93 — deep inside the
+    # (16 hashes, 4 bands) S-curve's catch region (miss ≈ 0.4%), so the
+    # banded candidate join catches it for the fixed hash constants;
+    # borderline-J behavior is the band planner's job (lsh_band_plan)
+    common = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the patient crane watches from the riverbank at dawn "
+        "counting fish beneath the rippling water surface"
+    )
     df = spark.createDataFrame(
         [
             (1, common + " one", "en"),
@@ -537,3 +545,101 @@ def test_compression_ratio_separates_repetition(spark):
     # determinism across runs
     r2 = {x["doc_id"]: x["compression_ratio"] for x in compression_ratio(docs).collect()}
     assert r == r2
+
+
+def test_minhash_slots_are_independent_permutations(spark):
+    """Regression: without the mod-MINHASH_PRIME in the affine family,
+    every h_i = a_i*base + b_i is monotonic in base, all slots share one
+    argmin shingle, and banding degenerates to a single-hash scheme.
+    Replicate the portable path in pure Python and assert (a) Spark's
+    signature mins match the replica exactly and (b) the slots do NOT
+    all come from the same argmin shingle."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from arrow_spark.llm.dedup import (
+        MINHASH_PRIME,
+        _band_signatures,
+        _minhash_constants,
+        shingle_sets,
+    )
+
+    text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    d = shingle_sets(docs)
+    sh = [s for s in d.collect()[0].sh]
+    a, b = _minhash_constants(16)
+
+    def base(s):
+        return int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) % (1 << 31)
+
+    bases = [base(s) for s in sh]
+    expect_mins = [min((a[i] * x + b[i]) % MINHASH_PRIME for x in bases) for i in range(16)]
+    argmins = {
+        min(range(len(bases)), key=lambda j: (a[i] * bases[j] + b[i]) % MINHASH_PRIME)
+        for i in range(16)
+    }
+    assert len(argmins) > 1, "slots all collapsed onto one argmin shingle"
+
+    # Spark's band signatures must equal the replica's
+    import hashlib as _h
+
+    rows_per_band = 4
+    expect_bands = {
+        (bi, _h.md5("_".join(str(expect_mins[bi * 4 + j]) for j in range(4)).encode()).hexdigest())
+        for bi in range(4)
+    }
+    got = {
+        (r.band, r.bsig)
+        for r in _band_signatures(d, 16, 4, hash_family="portable").collect()
+    }
+    assert got == expect_bands
+
+
+def test_hll_rel_accuracy_and_merge_law(spark):
+    """Relational HLL: estimate within the ~1.04/sqrt(m) error band of
+    the exact distinct count, and max-merge of per-part registers equals
+    the registers of the union (the mergeability law)."""
+    from arrow_spark.operators.sketches import (
+        hll_rel_build,
+        hll_rel_estimate,
+        hll_rel_merge,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i % 2, f"value-{i}") for i in range(n)], "part int, v string"
+    )
+    whole = hll_rel_build(df, "v", keys=[], p=9)
+    est = hll_rel_estimate(whole, keys=[], p=9).collect()[0]["approx_distinct"]
+    assert abs(est - n) / n < 3 * 1.04 / (1 << 9) ** 0.5, est
+
+    per_part = hll_rel_build(df, "v", keys=["part"], p=9)
+    merged = {
+        (r.bucket, r.rank)
+        for r in hll_rel_merge(per_part, keys=[]).collect()
+    }
+    direct = {(r.bucket, r.rank) for r in whole.collect()}
+    assert merged == direct
+
+
+def test_count_min_portable_matches_xxhash_semantics(spark):
+    """The portable hash family changes cell addresses, not guarantees:
+    estimates still never undercount and exact-count small keys."""
+    from arrow_spark.operators.sketches import count_min_build, count_min_estimate
+
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(700)], "k string"
+    )
+    for fam in ("xxhash64", "portable"):
+        sk = count_min_build(df, "k", width=256, depth=4, hash_family=fam)
+        est = {
+            r["item"]: r["est"]
+            for r in count_min_estimate(sk, df, "k", width=256, depth=4,
+                                        hash_family=fam).collect()
+        }
+        assert all(v >= 100 for v in est.values()), (fam, est)
