@@ -102,5 +102,7 @@ _PROMOTE: tuple[str, ...] = ("dedup_incremental",)
 
 #: Oracle-bearing queries first registered this round. They sort behind
 #: the pre-existing never-green backlog so they don't consume sampled
-#: slots the backlog has been waiting on; they drain from the next round.
-_DEFER_NEW: tuple[str, ...] = ("flight_sql_statement", "substrait_extension_asof")
+#: slots the backlog has been waiting on; they drain from the next
+#: round. (Last round's entries — flight_sql_statement,
+#: substrait_extension_asof — are ordinary backlog now.)
+_DEFER_NEW: tuple[str, ...] = ("sketch_hll_rel",)

@@ -284,11 +284,27 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+# The fake decoder's first feature is byte 0 of the utf-8 payload / 255
+# — reachable in SQL via hex(text::BLOB), so the mapInPandas decode
+# pipeline's OUTPUT is hash-checked, not just its row count.
+MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       octet_length(text::BLOB)::BIGINT AS n_bytes,
+       CASE WHEN octet_length(text::BLOB) = 0 THEN 0.0
+            ELSE round(('0x' || substr(hex(text::BLOB), 1, 2))::INT / 255.0, 6)
+       END AS f0
+FROM documents
+"""
+
+
+@query("multimodal_features", oracle=MULTIMODAL_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal plumbing as a pipeline: text → binary payload → media
     contract → mapInPandas feature extraction with the deterministic
-    fake decoder (rows-only check; codecs stubbed in-container)."""
+    fake decoder. The decoder's f0 = payload[0]/255, which DuckDB
+    reproduces from hex(blob) — so the executor-side decode path is
+    value-checked end to end (real codecs are exercised by the
+    multimodal_png_decode / multimodal_wav_decode queries)."""
     from arrow_spark.llm.multimodal import attach_binary_meta, extract_features
 
     d = table(spark, sf_dir, "documents").select(
@@ -303,12 +319,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_pipeline", oracle=None)
+# After resize_media(16, 16) every payload is exactly 256 bytes, so
+# sample_frames(max_frames=4) must fan each doc out to 4 frames of 64
+# bytes — a fully static contract the oracle states directly. The hash
+# match pins the mapInPandas row-explosion arithmetic (frame count,
+# index order, chunk sizes), which is the real content of this query.
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT doc_id AS media_id, r::INT AS frame_index, 64::BIGINT AS n_bytes
+FROM documents, (SELECT unnest(range(4)) AS r) f
+"""
+
+
+@query("multimodal_frame_pipeline", oracle=MULTIMODAL_FRAMES_ORACLE)
 def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resize → frame-sample composition over the media contract: each
     payload resized to a fixed 16×16 'image', then fanned out to 4
-    frames (rows-only check; the kernels are the deterministic stubs,
-    the mapInPandas row-explosion plumbing is real)."""
+    frames of 64 bytes — the resize/chunk arithmetic is deterministic,
+    so the fan-out (row multiplicity, frame indexes, sizes) is
+    hash-checked against the closed-form oracle."""
     from arrow_spark.llm.multimodal import attach_binary_meta, resize_media, sample_frames
 
     d = table(spark, sf_dir, "documents").select(
