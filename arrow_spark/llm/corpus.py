@@ -377,3 +377,33 @@ def compression_ratio(
 
     ratio = F.pandas_udf(_ratio, "double")
     return docs.withColumn(out_col, ratio(F.col(text_col)))
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    order_by: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source/domain document caps — the web-corpus balancing op
+    ("no domain contributes more than N pages"): keep the top ``cap``
+    documents of each ``group_col`` value ranked by ``order_by``
+    descending (ties broken by ascending id, so the result is
+    deterministic).
+
+    One window rank per group — Spark plans it as a single hash
+    shuffle on the group key with rank computed sort-locally per
+    partition; with AQE a skewed mega-domain splits across tasks at the
+    shuffle and only the rank stage sees it whole. Returns the kept
+    rows plus their ``group_rank``.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.col(order_by).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= cap)
+    )

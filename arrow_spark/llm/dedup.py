@@ -762,3 +762,59 @@ def lsh_band_plan(
     pool = ok or sorted(divisors, key=lambda br: 1 - curve(threshold, *br))[:1]
     best = min(pool, key=lambda br: fp_mass(*br))
     return best
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication profile per document — the token-window
+    form of suffix-array dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): any window of ``window``
+    consecutive tokens occurring ≥ ``min_count`` times across the corpus
+    (including repeats inside one document) is duplicated text.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_fraction): the
+    fraction of a document's token windows that appear elsewhere —
+    filter on it to drop boilerplate-heavy documents, or keep the
+    per-window frame to excise the spans themselves.
+
+    Distributed shape: positional windows (posexplode of the shingle
+    transform) → per-(doc, gram) local counts → per-gram totals — every
+    stage a map-side-combined groupBy on the gram key, then one
+    equi-join of the two aggregates. No pairwise document comparison
+    anywhere, so cost is linear in corpus token count at any scale —
+    the property that makes window-dedup tractable where true suffix
+    arrays need cross-node sorted order.
+
+    ``hash_grams`` (default): aggregate on xxhash64(gram) instead of the
+    20-token string — the shuffle carries 8-byte keys instead of ~100+
+    byte grams. A hash collision could merge two distinct grams and
+    overcount duplication by one window; at 64 bits that is negligible
+    against corpus sizes (~1e-9 at 10^5 distinct grams) and the exact
+    string path (hash_grams=False) is the DuckDB-oracle twin.
+    """
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), window)).alias("gram"),
+    )
+    key = F.xxhash64("gram").alias("gram_k") if hash_grams else F.col("gram").alias("gram_k")
+    g = w.select("id", key).groupBy("id", "gram_k").agg(F.count(F.lit(1)).alias("k"))
+    tot = g.groupBy("gram_k").agg(F.sum("k").alias("tot"))
+    dup_k = F.sum(F.when(F.col("tot") >= min_count, F.col("k")).otherwise(0))
+    return (
+        g.join(tot, "gram_k")
+        .groupBy("id")
+        .agg(
+            F.sum("k").alias("n_windows"),
+            dup_k.alias("n_dup_windows"),
+            (F.floor(dup_k * 1.0 / F.sum("k") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "dup_fraction"
+            ),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )

@@ -105,4 +105,8 @@ _PROMOTE: tuple[str, ...] = ("dedup_incremental",)
 #: slots the backlog has been waiting on; they drain from the next
 #: round. (Last round's entries — flight_sql_statement,
 #: substrait_extension_asof — are ordinary backlog now.)
-_DEFER_NEW: tuple[str, ...] = ("sketch_hll_rel",)
+_DEFER_NEW: tuple[str, ...] = (
+    "sketch_hll_rel",
+    "dedup_ngram_spans",
+    "corpus_source_caps",
+)

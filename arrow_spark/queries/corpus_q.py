@@ -405,3 +405,30 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.col("chunk_len").cast("int").alias("chunk_len"),
     )
+
+
+SOURCE_CAPS_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS group_rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(group_rank AS INT) AS group_rank
+FROM ranked WHERE group_rank <= 15
+"""
+
+
+@query("corpus_source_caps", oracle=SOURCE_CAPS_ORACLE)
+def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source document caps — the web-corpus balancing op ("no
+    domain contributes more than N pages"): keep the 15 longest
+    documents per source, ties to the smaller doc_id (cap binds: 25 docs/source in the fixture). One window rank
+    per group key; the oracle replays the identical ranking."""
+    from arrow_spark.llm.corpus import cap_per_group
+
+    out = cap_per_group(
+        table(spark, sf_dir, "documents"), group_col="source", cap=15,
+        order_by="n_chars",
+    )
+    return out.select("doc_id", "source", "n_chars", "group_rank")

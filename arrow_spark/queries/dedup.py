@@ -1,9 +1,11 @@
 """Deduplication oracle queries over documents + embeddings.
 
-Engine path: arrow_spark.llm.dedup. Oracles reproduce the exact same
-math in DuckDB SQL where expressible; the MinHash/SimHash paths hash
-with Spark's xxhash64 (not available in DuckDB) so they get rows-only
-checks plus unit-test verification against the exact Jaccard results.
+Engine path: arrow_spark.llm.dedup. Every oracle reproduces the exact
+same math in DuckDB SQL — including the MinHash/SimHash paths, which
+run here on the PORTABLE md5-derived hash family
+(functions/portable_hash.py) so DuckDB replays signatures, band bucket
+keys, and candidate joins hash-for-hash (xxhash64 remains each
+operator's throughput default outside the registry queries).
 """
 
 from __future__ import annotations
@@ -528,3 +530,42 @@ def dedup_clusters_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame
         pair_source="exact",
         keeper_by="n_chars",
     )
+
+
+NGRAM_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT id, unnest(
+    CASE WHEN len(toks) >= 20 THEN
+      list_transform(range(1, len(toks) - 18),
+        i -> list_aggregate(toks[i:i+19], 'string_agg', ' '))
+    ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS gram
+  FROM d
+), g AS (
+  SELECT id, gram, count(*) AS k FROM w GROUP BY 1, 2
+), tot AS (
+  SELECT gram, sum(k) AS tot FROM g GROUP BY 1
+)
+SELECT id AS doc_id,
+       sum(k)::BIGINT AS n_windows,
+       sum(CASE WHEN tot >= 2 THEN k ELSE 0 END)::BIGINT AS n_dup_windows,
+       floor(sum(CASE WHEN tot >= 2 THEN k ELSE 0 END) * 1.0 / sum(k) * 1e6 + 0.5)
+         / 1e6 AS dup_fraction
+FROM g JOIN tot USING (gram)
+GROUP BY id
+"""
+
+
+@query("dedup_ngram_spans", oracle=NGRAM_SPANS_ORACLE)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact-substring duplication profile (Lee et al. 2022 window
+    dedup): fraction of each document's 20-token windows that occur ≥ 2
+    times in the corpus. The engine aggregates on xxhash64(gram) (8-byte
+    shuffle keys — the 100 TB path); the oracle groups by the gram
+    STRING, so the hash match simultaneously proves the hashed plan is
+    collision-free on this corpus."""
+    from arrow_spark.llm.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(table(spark, sf_dir, "documents"), window=20)

@@ -643,3 +643,59 @@ def test_count_min_portable_matches_xxhash_semantics(spark):
                                         hash_family=fam).collect()
         }
         assert all(v >= 100 for v in est.values()), (fam, est)
+
+
+def test_duplicate_ngram_spans_profile(spark):
+    """Two docs sharing a 6-token run + one unique doc: with window=3,
+    every window inside the shared run is duplicated, windows touching
+    the distinct tails are not, and the unique doc scores 0."""
+    from arrow_spark.llm.dedup import duplicate_ngram_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " golf hotel"),
+            (2, shared + " india juliet"),
+            (3, "completely different words in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+        for r in duplicate_ngram_spans(df, window=3).collect()
+    }
+    # 8 tokens → 6 windows; the 4 windows fully inside `shared` repeat
+    # across docs 1 and 2, the 2 windows touching the tail do not
+    assert rows[1] == (6, 4, 0.666667)
+    assert rows[2] == (6, 4, 0.666667)
+    assert rows[3] == (4, 0, 0.0)  # 6 tokens → 4 windows, none repeated
+    # hashed grouping (default) must agree with the exact-string path
+    exact = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+        for r in duplicate_ngram_spans(df, window=3, hash_grams=False).collect()
+    }
+    assert rows == exact
+
+
+def test_cap_per_group_binds_and_breaks_ties(spark):
+    from arrow_spark.llm.corpus import cap_per_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 10), (3, "a", 30), (4, "a", 20),
+            (5, "b", 5),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    kept = {
+        r.doc_id: r.group_rank
+        for r in cap_per_group(df, cap=2, order_by="n_chars").collect()
+    }
+    # source a keeps 30 then 20; the 10/10 tie resolves to doc 1 but the
+    # cap of 2 already excludes both; source b keeps its only doc
+    assert kept == {3: 1, 4: 2, 5: 1}
+    kept3 = {
+        r.doc_id: r.group_rank
+        for r in cap_per_group(df, cap=3, order_by="n_chars").collect()
+    }
+    assert kept3 == {3: 1, 4: 2, 1: 3, 5: 1}  # tie → smaller doc_id
