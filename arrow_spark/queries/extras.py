@@ -353,21 +353,27 @@ def _portable_sql(expr: str, seed) -> str:
     return f"('0x' || substr(md5({seed} || ':' || {expr}), 1, 15))::BIGINT"
 
 
+def _slot_sql(expr: str, i: int, n_slots: int, m: int) -> str:
+    """DuckDB fragment of operators/sketches._hash_slots slot i: ONE md5
+    per value, sliced into non-overlapping hex windows."""
+    w = min(32 // n_slots, 15)
+    return (
+        f"('0x' || substr(md5('0:' || {expr}), {1 + i * w}, {w}))::BIGINT % {m}"
+    )
+
+
 # Exact replay of the portable-hash Count-Min: depth×width cells from
-# seeded md5 hashes, then min-over-rows per probed item — the same
-# arithmetic the Spark build runs, hash for hash.
+# hex slices of one md5 per value, then min-over-rows per probed item —
+# the same arithmetic the Spark build runs, hash for hash.
 CMS_ORACLE = f"""
-WITH seeds AS (SELECT unnest(range(4)) AS row),
-cells AS (
-  SELECT row, {_portable_sql('o_orderpriority', 'row')} % 1024 AS bucket,
-         count(*) AS cnt
-  FROM orders, seeds
-  GROUP BY 1, 2
+WITH cells_raw AS (
+  {' UNION ALL '.join(f"SELECT {i} AS row, {_slot_sql('o_orderpriority', i, 4, 1024)} AS bucket FROM orders" for i in range(4))}
+), cells AS (
+  SELECT row, bucket, count(*) AS cnt FROM cells_raw GROUP BY 1, 2
 ), probes AS (
   SELECT DISTINCT o_orderpriority AS item FROM orders
 ), addressed AS (
-  SELECT item, row, {_portable_sql('item', 'row')} % 1024 AS bucket
-  FROM probes, seeds
+  {' UNION ALL '.join(f"SELECT item, {i} AS row, {_slot_sql('item', i, 4, 1024)} AS bucket FROM probes" for i in range(4))}
 )
 SELECT item AS o_orderpriority, min(coalesce(cnt, 0))::BIGINT AS est
 FROM addressed LEFT JOIN cells USING (row, bucket)
@@ -703,14 +709,15 @@ BLOOM_SKETCH_ORACLE = f"""
 WITH toks AS (
   SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents
-), seeds AS (SELECT unnest(range(4)) AS k),
-positions AS (
-  SELECT DISTINCT lang, {_portable_sql('token', 'k')} % 4096 AS pos
-  FROM toks, seeds
+), pos_raw AS (
+  {' UNION ALL '.join(f"SELECT lang, {_slot_sql('token', i, 4, 4096)} AS pos FROM toks" for i in range(4))}
+), positions AS (
+  SELECT DISTINCT lang, pos FROM pos_raw
 ), probes AS (SELECT unnest(['the', 'data', 'zzzznotaword']) AS w),
-ppos AS (
-  SELECT DISTINCT d.lang, probes.w, {_portable_sql('w', 'k')} % 4096 AS pos
-  FROM (SELECT DISTINCT lang FROM documents) d, probes, seeds
+ppos_raw AS (
+  {' UNION ALL '.join(f"SELECT d.lang, probes.w, {_slot_sql('w', i, 4, 4096)} AS pos FROM (SELECT DISTINCT lang FROM documents) d, probes" for i in range(4))}
+), ppos AS (
+  SELECT DISTINCT lang, w, pos FROM ppos_raw
 ), checked AS (
   SELECT p.lang, p.w, bool_and(positions.pos IS NOT NULL) AS hit
   FROM ppos p
