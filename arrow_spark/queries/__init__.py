@@ -109,4 +109,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "sketch_hll_rel",
     "dedup_ngram_spans",
     "corpus_source_caps",
+    "stream_interval_join_left",
 )

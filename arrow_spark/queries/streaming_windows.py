@@ -281,3 +281,46 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 2).alias("min_v"),
         F.round("max_v", 2).alias("max_v"),
     )
+
+
+INTERVAL_JOIN_LEFT_ORACLE = """
+SELECT c.event_id  AS click_id,
+       c.user_id   AS user_id,
+       c.ts        AS click_ts,
+       p.event_id  AS purchase_id,
+       p.ts        AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+"""
+
+
+@query("stream_interval_join_left", oracle=INTERVAL_JOIN_LEFT_ORACLE)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click appears,
+    clicks with no same-user purchase in the following 4 hours carry
+    nulls — the funnel-abandonment shape. Unbounded, Spark emits the
+    null rows once the watermark passes the interval bound (state
+    provably expires; stream-vs-batch agreement on watermark-closed
+    rows is pinned in tests/test_streaming.py); this batch run is
+    exact and oracle-checked."""
+    from arrow_spark.streaming import interval_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return interval_join(
+        clicks, purchases, "click_ts", "purchase_ts",
+        on=["user_id"], lower="0 seconds", upper="4 hours", how="left",
+    )

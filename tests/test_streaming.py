@@ -227,3 +227,65 @@ def test_stream_cdc_upsert_folds_into_snapshot(spark, tmp_path):
         q.stop()
     got = {r["k"]: r["v"] for r in spark.read.parquet(snap).collect()}
     assert got == {"a": 11, "c": 30}
+
+
+def test_stream_interval_join_left_outer_equals_batch_when_closed(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows must equal
+    the batch join exactly; null (abandoned-click) rows may be HELD by
+    the final watermark for clicks near the end of input, so the stream
+    nulls must be a subset of the batch nulls and must include every
+    click the watermark provably closed."""
+    import datetime as dt
+
+    from arrow_spark.streaming import interval_join, stream_from_directory
+
+    events = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_ijl_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+        )
+        return clicks, purchases
+
+    bc, bp = split(static)
+    batch = interval_join(
+        bc, bp, "click_ts", "purchase_ts", on=["user_id"], upper="4 hours", how="left"
+    ).collect()
+    batch_matched = {(r.click_id, r.purchase_id) for r in batch if r.purchase_id is not None}
+    batch_nulls = {r.click_id: r.click_ts for r in batch if r.purchase_id is None}
+    assert batch_matched and batch_nulls  # fixture exercises both shapes
+
+    sc, sp = split(stream_from_directory(spark, src_dir, static.schema))
+    out = interval_join(
+        sc, sp, "click_ts", "purchase_ts", on=["user_id"], upper="4 hours", how="left",
+        left_watermark="1 hour", right_watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ijl_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ijl_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ijl_test").collect()
+    got_matched = {(r.click_id, r.purchase_id) for r in rows if r.purchase_id is not None}
+    got_nulls = {r.click_id for r in rows if r.purchase_id is None}
+    assert got_matched == batch_matched
+    assert got_nulls <= set(batch_nulls)
+    # every batch-null click older than max(ts) - (watermark + interval +
+    # slack) is provably closed and MUST have been emitted with nulls
+    maxts = max(r.click_ts for r in batch)
+    closed = {
+        cid
+        for cid, ts in batch_nulls.items()
+        if ts < maxts - dt.timedelta(hours=6)
+    }
+    assert closed <= got_nulls
