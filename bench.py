@@ -123,16 +123,22 @@ HEADLINE = [
 ]
 
 
-def _host_calibration() -> dict[str, float]:
+def _host_calibration(spark=None) -> dict[str, float]:
     """Fixed single-thread CPU scores measured at bench time.
 
     The host VM's absolute throughput varies between runs (measured
     1.4-1.9× uniform swings across rounds with identical code, configs,
-    and plans — see SCALE.md 'Round-over-round variance'). These two
+    and plans — see SCALE.md 'Round-over-round variance'). These
     deterministic scores (pure-Python loop ≈ interpreter+memory latency;
     numpy matmul ≈ vector ALU throughput) let any two BENCH_r{N}.json
     lines be compared on a normalized basis: query_time / pyloop_sec is
     stable where raw wall time is not.
+
+    sparkloop_sec (new r4) times a canonical whole-stage-codegen
+    aggregation in the SAME warm session — round-4 isolated reruns
+    showed the JVM side swinging ~1.5-1.8× while pyloop moved < 10%, so
+    interpreter scores alone cannot normalize Spark wall times; this is
+    the score future rounds should divide by (min of 2, post-warmup).
     """
     import numpy as np
 
@@ -146,7 +152,17 @@ def _host_calibration() -> dict[str, float]:
     for _ in range(4):
         a = np.clip(a @ a, 0.5, 1.5)
     matmul = time.perf_counter() - t0
-    return {"pyloop_sec": round(pyloop, 4), "matmul_sec": round(matmul, 4)}
+    out = {"pyloop_sec": round(pyloop, 4), "matmul_sec": round(matmul, 4)}
+    if spark is not None:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 50_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 7) AS s", "avg(id % 97) AS a"
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        out["sparkloop_sec"] = round(best, 4)
+    return out
 
 
 def main() -> None:
@@ -185,7 +201,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "calibration": _host_calibration(),
+                "calibration": _host_calibration(spark),
             }
         )
     )
