@@ -1,0 +1,91 @@
+"""Distributed triangle counting over an undirected edge list.
+
+The co-occurrence-graph primitive (clustering coefficients, community
+density, spam-graph signals). The reference has no graph operators at
+all — like PageRank and connected components this is a Spark-native
+extension expressed purely relationally.
+
+Algorithm: degree orientation + two joins (the classic MapReduce
+triangle scheme from Suri & Vassilvitskii, "Counting Triangles and the
+Curse of the Last Reducer", WWW'11):
+
+1. orient every undirected edge from its lower-(degree, id) endpoint to
+   the higher one — each edge appears exactly once and the oriented
+   out-degree of ANY vertex is O(sqrt(|E|)), even for celebrity hubs;
+2. wedges = oriented ⋈ oriented on the shared low vertex (u→v, u→w
+   with v < w in the same order) — bounded by sum of out-deg², i.e.
+   O(|E|^1.5) total, the optimal bound, instead of the unbounded
+   sum of raw-degree² a naive self-join pays on skewed graphs;
+3. close each wedge with a semi-style equi-join back to the oriented
+   edge set on (v, w).
+
+Every step is a hash-shuffled equi-join/groupBy — no vertex ever needs
+its full neighborhood in one task except bounded oriented adjacency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orient_edges(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Undirected (possibly duplicated / self-looped) edge list →
+    deduplicated edges oriented low-(degree, id) → high-(degree, id),
+    returned as (lo, hi)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    j = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def count_triangles(
+    edges: DataFrame, src: str = "a", dst: str = "b", per_vertex: bool = False
+) -> DataFrame:
+    """Triangle count of the undirected graph ``edges``.
+
+    Returns a 1-row (n_triangles) frame, or per-vertex counts
+    (v, n_triangles) when ``per_vertex`` — each triangle credited to all
+    three corners (the clustering-coefficient numerator).
+    """
+    o = orient_edges(edges, src, dst)
+    w1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    w2 = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    # wedges u→v, u→w keyed once per unordered {v, w} pair
+    wedges = w1.join(w2, "u").where(F.col("v") < F.col("w"))
+    closers = o.select(
+        F.least("lo", "hi").alias("v"), F.greatest("lo", "hi").alias("w")
+    )
+    tri = wedges.join(closers, ["v", "w"])
+    if not per_vertex:
+        return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    corners = (
+        tri.select(F.col("u").alias("v0"))
+        .unionAll(tri.select(F.col("v").alias("v0")))
+        .unionAll(tri.select(F.col("w").alias("v0")))
+    )
+    return (
+        corners.groupBy("v0")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .withColumnRenamed("v0", "v")
+    )

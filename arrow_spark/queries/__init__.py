@@ -110,4 +110,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "dedup_ngram_spans",
     "corpus_source_caps",
     "stream_interval_join_left",
+    "graph_triangles",
 )

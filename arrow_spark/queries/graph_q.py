@@ -80,3 +80,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = transition_edges(ev, node_col="k", partition_col="user_id", order_col="event_id")
     return pagerank(edges, n_iters=_N_ITERS, damping=0.85)
+
+
+TRIANGLES_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+), t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT v, count(*) AS n_triangles
+FROM (SELECT x AS v FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+GROUP BY v
+"""
+
+
+@query("graph_triangles", oracle=TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-vertex triangle counts of the co-purchase graph (parts
+    co-occurring in an order) — the clustering-coefficient numerator.
+    The engine runs the degree-ORIENTED two-join scheme
+    (operators/triangles.py: oriented out-degree O(sqrt(E)) even at
+    celebrity hubs); the oracle is the naive canonical three-way
+    self-join — genuinely different algebra, so the hash match proves
+    the orientation loses/duplicates no triangle."""
+    from arrow_spark.operators.triangles import count_triangles
+
+    l = table(spark, sf_dir, "lineitem")
+    edges = (
+        l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .alias("x")
+        .join(
+            l.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q")
+            ).distinct().alias("y"),
+            "o",
+        )
+        .where(F.col("p") < F.col("q"))
+        .select(F.col("p").alias("a"), F.col("q").alias("b"))
+    )
+    return count_triangles(edges, per_vertex=True)

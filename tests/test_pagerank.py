@@ -60,3 +60,22 @@ def test_transition_edges_builder(spark):
     }
     # user 1: a→b, b→a; user 2: b→a  ⇒ (b,a) weight 2
     assert e == {("a", "b"): 1, ("b", "a"): 2}
+
+
+def test_count_triangles_known_graph(spark):
+    from arrow_spark.operators.triangles import count_triangles, orient_edges
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5, duplicate + reversed +
+    # self-loop edges thrown in to exercise normalization
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 5)],
+        "a long, b long",
+    )
+    total = count_triangles(edges).collect()[0]["n_triangles"]
+    assert total == 4
+    per_v = {r.v: r.n_triangles for r in count_triangles(edges, per_vertex=True).collect()}
+    # each K4 vertex sits in C(3,2)=3 triangles; 5 in none
+    assert per_v == {1: 3, 2: 3, 3: 3, 4: 3}
+    # orientation emits each undirected edge exactly once
+    o = orient_edges(edges).collect()
+    assert len(o) == 7 and len({(r.lo, r.hi) for r in o}) == 7

@@ -152,3 +152,52 @@ def test_stratified_sample_subset_and_deterministic(spark, rows):
     none_kept = stratified_sample(sdf, {}, default_pct=0, strata_col="lang").count()
     all_kept = stratified_sample(sdf, {}, default_pct=100, strata_col="lang").count()
     assert none_kept == 0 and all_kept == len(pdf)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA1), max_size=24
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=7),
+)
+def test_portable_hash_cross_engine_equality(spark, strings, seed):
+    """functions/portable_hash.portable_hash64 must agree byte-for-byte
+    with its DuckDB SQL twin on arbitrary unicode, including the sliced
+    multi-slot scheme the sketches use."""
+    from arrow_spark.functions.portable_hash import (
+        portable_hash64,
+        portable_hash64_sql,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: (r.h, r.slot)
+        for r in df.select(
+            "s",
+            portable_hash64(F.col("s"), seed).alias("h"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("0:"), F.col("s"))), 9, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(4096),
+            ).alias("slot"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        h, slot = con.execute(
+            f"SELECT {portable_hash64_sql('?', seed)},"
+            "('0x' || substr(md5('0:' || ?), 9, 8))::BIGINT % 4096",
+            [s, s],
+        ).fetchone()
+        assert got[s] == (h, slot), s
