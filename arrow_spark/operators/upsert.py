@@ -51,3 +51,60 @@ def merge_upsert(
     if delete_col is not None:
         latest = latest.where(~F.coalesce(F.col(delete_col), F.lit(False)))
     return latest
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    dedup_consecutive: bool = True,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 materialization: fold a change
+    stream into validity intervals — one row per state an entity held,
+    with (valid_from, valid_to, is_current). The warehouse-history
+    counterpart of merge_upsert's latest-wins compaction.
+
+    ``dedup_consecutive`` collapses consecutive changes that repeat the
+    same attribute values (a no-op update must extend the current
+    interval, not open a new one) — detected with lag() over the entity
+    timeline, then runs are folded with one groupBy over run ids (the
+    same change-flag + running-sum scheme as the RLE encoder).
+
+    Distributed shape: every step is a window or aggregate partitioned
+    by the entity key — one hash shuffle on ``entity_col``, map-side
+    combinable, no driver-side state. Ties on ``ts_col`` are broken by
+    the attribute tuple so the result is deterministic.
+    """
+    attrs = [F.col(c) for c in attr_cols]
+    w = W.partitionBy(entity_col).orderBy(F.col(ts_col).asc(), *attrs)
+    d = changes.select(entity_col, ts_col, *attr_cols)
+    if dedup_consecutive:
+        same = F.lit(True)
+        for c in attr_cols:
+            same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
+        flagged = d.select(
+            entity_col, ts_col, *attr_cols,
+            F.when(same, 0).otherwise(1).alias("__chg__"),
+        )
+        runs = flagged.select(
+            entity_col, ts_col, *attr_cols,
+            F.sum("__chg__").over(
+                W.partitionBy(entity_col)
+                .orderBy(F.col(ts_col).asc(), *attrs)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("__run__"),
+        )
+        d = runs.groupBy(entity_col, "__run__").agg(
+            F.min(ts_col).alias(ts_col),
+            *[F.first(c).alias(c) for c in attr_cols],
+        )
+    w2 = W.partitionBy(entity_col).orderBy(F.col(ts_col).asc(), *attrs)
+    nxt = F.lead(ts_col).over(w2)
+    return d.select(
+        entity_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -111,4 +111,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_source_caps",
     "stream_interval_join_left",
     "graph_triangles",
+    "cdc_scd2_intervals",
 )

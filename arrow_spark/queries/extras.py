@@ -1080,3 +1080,44 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("o_orderpriority").alias("n_priorities"))
     )
     return footer.crossJoin(prios)
+
+
+SCD2_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_type IS NOT DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_type)
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+), r AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM s
+), g AS (
+  SELECT user_id, any_value(event_type) AS event_type, min(ts) AS valid_from
+  FROM r GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_type) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_type) IS NULL AS is_current
+FROM g
+"""
+
+
+@query("cdc_scd2_intervals", oracle=SCD2_ORACLE)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 history: fold each user's event
+    stream into validity intervals of their event_type state —
+    consecutive repeats extend the open interval instead of starting a
+    new one, the last state per user is is_current with a null
+    valid_to. One entity-keyed shuffle (operators/upsert.py::
+    scd2_intervals); the oracle replays the change-flag → run-fold →
+    lead() pipeline in SQL."""
+    from arrow_spark.operators.upsert import scd2_intervals
+
+    e = table(spark, sf_dir, "events")
+    return scd2_intervals(e, "user_id", "ts", ["event_type"])

@@ -98,3 +98,31 @@ def test_heavier_weight_raises_priority(spark):
     out = weighted_sample(df.select("doc_id", "w"), "w", 2).collect()
     by_w = {r["w"]: r["priority"] for r in out}
     assert by_w[10] > by_w[1]  # same uniform, larger weight → larger ln(u)/w
+
+
+def test_scd2_intervals_folds_and_orders(spark):
+    from arrow_spark.operators.upsert import scd2_intervals
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    changes = spark.createDataFrame(
+        [
+            (1, t(1), "bronze"),
+            (1, t(2), "bronze"),   # no-op repeat: must extend, not split
+            (1, t(3), "gold"),
+            (1, t(4), "bronze"),   # back to a previous value: NEW interval
+            (2, t(5), "silver"),
+        ],
+        "user_id long, ts timestamp, state string",
+    )
+    rows = sorted(
+        (r.user_id, r.state, r.valid_from.hour,
+         r.valid_to.hour if r.valid_to else None, r.is_current)
+        for r in scd2_intervals(changes, "user_id", "ts", ["state"]).collect()
+    )
+    assert rows == [
+        (1, "bronze", 1, 3, False),
+        (1, "bronze", 4, None, True),
+        (1, "gold", 3, 4, False),
+        (2, "silver", 5, None, True),
+    ]
