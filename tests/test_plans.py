@@ -229,3 +229,38 @@ def test_footer_stats_reads_no_orders_data_columns(spark, sf_dir):
     assert p.count("Scan parquet") == 1
     read_schema = p.split("ReadSchema:")[-1].splitlines()[0]
     assert "o_orderkey" not in read_schema  # keys come from footers only
+
+
+def test_ngram_spans_no_cartesian_and_partial_aggs(spark, sf_dir):
+    # window-dedup must stay gram-keyed aggregation: never a pairwise
+    # document stage, and every groupBy map-side combined
+    p = plan(QUERIES["dedup_ngram_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final × (per-doc, per-gram)
+
+
+def test_triangles_no_cartesian(spark, sf_dir):
+    # wedge + closure joins must be hash equi-joins on vertex keys
+    p = plan(QUERIES["graph_triangles"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cap_per_group_single_window_exchange(spark, sf_dir):
+    # one rank pass: exactly one exchange hashed on the group key — and
+    # the cap must push below it as a PARTIAL WindowGroupLimit, so each
+    # map task forwards ≤ cap rows per group and a mega-domain never
+    # fully sorts inside one reducer task
+    p = plan(QUERIES["corpus_source_caps"].fn(spark, sf_dir))
+    assert p.count("Window [") == 1
+    assert p.count("Exchange hashpartitioning(source") == 1
+    assert "row_number(), 15, Partial" in p
+    assert p.index("row_number(), 15, Partial") > p.index(
+        "Exchange hashpartitioning(source"
+    )
+
+
+def test_scd2_single_entity_shuffle(spark, sf_dir):
+    # change-flag, run-fold, and lead() must all ride ONE hash exchange
+    # on the entity key (Catalyst reuses the user_id partitioning)
+    p = plan(QUERIES["cdc_scd2_intervals"].fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning(user_id") == 1
