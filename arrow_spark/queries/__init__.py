@@ -112,4 +112,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "stream_interval_join_left",
     "graph_triangles",
     "cdc_scd2_intervals",
+    "stream_static_enrich",
 )

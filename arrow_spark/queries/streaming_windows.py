@@ -324,3 +324,35 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, "click_ts", "purchase_ts",
         on=["user_id"], lower="0 seconds", upper="4 hours", how="left",
     )
+
+
+STATIC_ENRICH_ORACLE = """
+WITH dim AS (
+  SELECT user_id, count(*) AS user_events, round(avg(value), 4) AS user_avg
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       round(e.value, 2) AS value, dim.user_events, dim.user_avg
+FROM events e LEFT JOIN dim USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
+
+@query("stream_static_enrich", oracle=STATIC_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream-static dimension enrichment: purchase events joined to a
+    bounded per-user profile frame (broadcast — the stream side never
+    shuffles). The identical builder runs unbounded, re-reading the
+    dimension every micro-batch; stream-vs-batch equality is pinned in
+    tests/test_streaming.py, and this batch run is oracle-checked."""
+    from arrow_spark.streaming.joins import enrich_with_static
+
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.round(F.avg("value"), 4).alias("user_avg"),
+    )
+    stream = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    return enrich_with_static(stream, dim, ["user_id"])

@@ -58,3 +58,27 @@ def interval_join(
         right[c] for c in right.columns if c not in on
     ]
     return joined.select(*keep)
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern
+    (every micro-batch joins the unbounded stream against a bounded
+    dimension frame; no watermark needed because the static side holds
+    no streaming state).
+
+    ``broadcast_dim`` pins the plan every real deployment wants: the
+    dimension ships to executors once per batch instead of shuffling
+    the stream (stream-side Exchange-free — asserted in
+    tests/test_streaming.py). Spark re-reads the static source each
+    micro-batch, so a dimension file overwritten mid-stream is picked
+    up on the next trigger — the zero-ceremony slowly-changing-dim
+    refresh.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, list(on), how)

@@ -289,3 +289,51 @@ def test_stream_interval_join_left_outer_equals_batch_when_closed(spark, sf_dir,
         if ts < maxts - dt.timedelta(hours=6)
     }
     assert closed <= got_nulls
+
+
+def test_stream_static_enrich_equals_batch_and_broadcasts(spark, sf_dir, tmp_path):
+    from arrow_spark.streaming import stream_from_directory
+    from arrow_spark.streaming.joins import enrich_with_static
+
+    events = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_sse_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+
+    dim = static.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.round(F.avg("value"), 4).alias("user_avg"),
+    )
+
+    def purchases(df):
+        return df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.round("value", 2).alias("value")
+        )
+
+    batch = enrich_with_static(purchases(static), dim, ["user_id"])
+    expected = {(r.event_id, r.user_events, r.user_avg) for r in batch.collect()}
+    assert expected
+    # the static dim must broadcast: the only hash exchange in the final
+    # plan is the dim's own aggregation — the stream side never shuffles
+    # (split off AQE's echoed Initial Plan so exchanges aren't counted twice)
+    p = batch._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert final.count("Exchange hashpartitioning") == 1
+
+    stream = purchases(stream_from_directory(spark, src_dir, static.schema))
+    out = enrich_with_static(stream, dim, ["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sse_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sse_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.user_events, r.user_avg)
+        for r in spark.sql("SELECT * FROM sse_test").collect()
+    }
+    assert got == expected
