@@ -818,3 +818,83 @@ def duplicate_ngram_spans(
         )
         .withColumnRenamed("id", "doc_id")
     )
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Remove duplicated text, keep one occurrence — the excision half
+    of window dedup (duplicate_ngram_spans is the profiler): every
+    window of ``window`` tokens that appears more than once in the
+    corpus keeps ONLY its canonical first occurrence (min doc id, then
+    min position); tokens covered by any non-canonical duplicate window
+    are dropped and the surviving tokens are reassembled in order.
+
+    Returns (doc_id, clean_text, n_tokens, n_dropped). Documents made
+    entirely of repeated text come back with empty clean_text — filter
+    or drop as policy dictates.
+
+    Distributed shape: positional windows → row_number per gram (ONE
+    hash shuffle on the gram key — occurrences beyond the first are the
+    duplicates, no separate count pass) → covered-position explode →
+    anti-join against the token stream → ordered re-aggregation per
+    doc. Never pairwise in documents; the only corpus-scale shuffles
+    are gram-keyed and doc-keyed. ``hash_grams`` as in
+    duplicate_ngram_spans (8-byte shuffle keys; the string path is the
+    oracle twin).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        shingles(F.col(text_col), window).alias("grams"),
+    )
+    occ = base.select(
+        "id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    w = W.partitionBy(key).orderBy("id", "pos")
+    ranked = occ.select(
+        "id", "n_toks", "pos", F.row_number().over(w).alias("rn")
+    )
+    cov_len = F.when(F.col("n_toks") >= window, F.lit(window)).otherwise(
+        F.col("n_toks")
+    )
+    dropped = (
+        ranked.where(F.col("rn") > 1)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + cov_len - 1)
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tok_stream = base.select("id", F.posexplode("toks").alias("tp", "tok"))
+    kept = tok_stream.join(dropped, ["id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

@@ -113,4 +113,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_triangles",
     "cdc_scd2_intervals",
     "stream_static_enrich",
+    "dedup_excise_spans",
 )

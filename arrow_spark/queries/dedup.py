@@ -569,3 +569,63 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.dedup import duplicate_ngram_spans
 
     return duplicate_ngram_spans(table(spark, sf_dir, "documents"), window=20)
+
+
+EXCISE_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT id, len(toks) AS n_toks, gs.pos, gs.gram
+  FROM d, LATERAL (
+    SELECT unnest(range(0, CASE WHEN len(toks) >= 20
+                                THEN len(toks) - 19 ELSE 1 END)) AS pos,
+           unnest(CASE WHEN len(toks) >= 20 THEN
+                    list_transform(range(1, len(toks) - 18),
+                      i -> list_aggregate(toks[i:i+19], 'string_agg', ' '))
+                  ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS gram
+  ) gs
+), ranked AS (
+  SELECT id, n_toks, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
+  FROM w
+), dropped AS (
+  SELECT DISTINCT id,
+         unnest(range(pos, pos + CASE WHEN n_toks >= 20 THEN 20 ELSE n_toks END)) AS tp
+  FROM ranked WHERE rn > 1
+), tok_stream AS (
+  SELECT id, gs.tp, gs.tok
+  FROM d, LATERAL (
+    SELECT unnest(range(0, len(toks))) AS tp, unnest(toks) AS tok
+  ) gs
+), kept AS (
+  SELECT t.id, t.tp, t.tok
+  FROM tok_stream t ANTI JOIN dropped USING (id, tp)
+), rebuilt AS (
+  SELECT id,
+         list_aggregate(list_transform(
+           list_sort(list({'tp': tp, 'tok': tok})), s -> s.tok),
+           'string_agg', ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT d.id AS doc_id,
+       coalesce(rebuilt.clean_text, '') AS clean_text,
+       len(d.toks)::BIGINT AS n_tokens,
+       (len(d.toks) - coalesce(rebuilt.n_kept, 0))::BIGINT AS n_dropped
+FROM d LEFT JOIN rebuilt ON d.id = rebuilt.id
+"""
+
+
+@query("dedup_excise_spans", oracle=EXCISE_SPANS_ORACLE)
+def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window-dedup EXCISION (the other half of dedup_ngram_spans):
+    every duplicated 20-token window keeps only its canonical first
+    occurrence; covered tokens elsewhere are dropped and the cleaned
+    text reassembled in order. The engine ranks occurrences per
+    xxhash64(gram); the oracle ranks per gram STRING and rebuilds the
+    text with the same ordered fold — hash-equal output proves both the
+    hashed plan and the reassembly byte-exact."""
+    from arrow_spark.llm.dedup import excise_duplicate_spans
+
+    return excise_duplicate_spans(table(spark, sf_dir, "documents"), window=20)

@@ -699,3 +699,39 @@ def test_cap_per_group_binds_and_breaks_ties(spark):
         for r in cap_per_group(df, cap=3, order_by="n_chars").collect()
     }
     assert kept3 == {3: 1, 4: 2, 1: 3, 5: 1}  # tie → smaller doc_id
+
+
+def test_excise_duplicate_spans_keeps_canonical(spark):
+    from arrow_spark.llm.dedup import excise_duplicate_spans
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail1 a"),          # canonical (min doc_id)
+            (2, shared + " tail2 b"),          # loses the shared span
+            (3, "alpha beta gamma delta"),     # untouched
+            (4, shared + " " + shared),        # internal repeat: 2nd copy dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_dropped)
+        for r in excise_duplicate_spans(df, window=5).collect()
+    }
+    # doc 1 holds the canonical (min id, min pos) occurrence of every
+    # duplicated window → fully intact
+    assert out[1] == (shared + " tail1 a", 7, 0)
+    # doc 2's first 5 tokens form the duplicated window; tokens 0-4 drop
+    assert out[2] == ("tail2 b", 7, 5)
+    assert out[3] == ("alpha beta gamma delta", 4, 0)
+    # doc 4: windows sliding across the repeat are themselves repeats of
+    # doc 1's windows or internal duplicates — only the first window
+    # (pos 0) could be canonical, but doc 1 already owns it, so the
+    # whole text collapses
+    assert out[4][2] > 0 and out[4][1] == 10
+    # hashed and exact-string paths agree
+    exact = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_dropped)
+        for r in excise_duplicate_spans(df, window=5, hash_grams=False).collect()
+    }
+    assert out == exact
