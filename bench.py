@@ -120,6 +120,18 @@ HEADLINE = [
     "corpus_tfidf_top_terms",
     "profile_table_stats",
     "similarity_pq_topk",
+    # round-4 wave: exact-substring window dedup (profile + excision),
+    # SCD2 fold, stream-static enrichment, relational HLL, source caps.
+    # graph_triangles is NOT a headline for the fuzzy-join reason: the
+    # TPC-H co-purchase graph's triangle count is quadratic-ish in order
+    # width, so wall time measures fixture density, not plan quality
+    # (it stays oracle-gated at sf0.01).
+    "dedup_ngram_spans",
+    "dedup_excise_spans",
+    "cdc_scd2_intervals",
+    "stream_static_enrich",
+    "sketch_hll_rel",
+    "corpus_source_caps",
 ]
 
 
