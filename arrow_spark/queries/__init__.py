@@ -114,4 +114,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "cdc_scd2_intervals",
     "stream_static_enrich",
     "dedup_excise_spans",
+    "quality_quarantine",
+    "quality_rule_summary",
 )

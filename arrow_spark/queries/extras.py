@@ -1121,3 +1121,65 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return scd2_intervals(e, "user_id", "ts", ["event_type"])
+
+
+# rule names sorted alphabetically on both sides (check_rules sorts), so
+# the violations arrays compare element-for-element
+QUARANTINE_ORACLE = """
+WITH checked AS (
+  SELECT l_orderkey, l_linenumber,
+         list_filter([
+           CASE WHEN NOT coalesce(l_discount <= 0.05, false) THEN 'discount_cap' END,
+           CASE WHEN NOT coalesce(l_quantity <= 30, false) THEN 'qty_cap' END,
+           CASE WHEN NOT coalesce(l_tax <= 0.04, false) THEN 'tax_cap' END
+         ], x -> x IS NOT NULL) AS violations
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, violations
+FROM checked WHERE len(violations) > 0
+"""
+
+
+@query("quality_quarantine", oracle=QUARANTINE_ORACLE)
+def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row-level data-quality gate (Deequ/dbt-test shape): evaluate a
+    named rule set in ONE codegen projection, quarantine violating rows
+    WITH the list of rules they broke. The oracle rebuilds the same
+    violation arrays, so routing and rule attribution are hash-checked."""
+    from arrow_spark.operators.quality import quarantine_split
+
+    l = table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_cap": F.col("l_quantity") <= 30,
+        "discount_cap": F.col("l_discount") <= 0.05,
+        "tax_cap": F.col("l_tax") <= 0.04,
+    }
+    _clean, bad = quarantine_split(l, rules)
+    return bad.select("l_orderkey", "l_linenumber", "violations")
+
+
+QUALITY_SUMMARY_ORACLE = """
+SELECT count(*) AS total_rows,
+       sum(CASE WHEN NOT coalesce(l_discount <= 0.05, false) THEN 1 ELSE 0 END)
+         AS discount_cap,
+       sum(CASE WHEN NOT coalesce(l_quantity <= 30, false) THEN 1 ELSE 0 END)
+         AS qty_cap,
+       sum(CASE WHEN NOT coalesce(l_tax <= 0.04, false) THEN 1 ELSE 0 END)
+         AS tax_cap
+FROM lineitem
+"""
+
+
+@query("quality_rule_summary", oracle=QUALITY_SUMMARY_ORACLE)
+def quality_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-rule violation counts in one map-side-combined aggregation
+    pass — the data-quality report feeding ingestion dashboards."""
+    from arrow_spark.operators.quality import rule_summary
+
+    l = table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_cap": F.col("l_quantity") <= 30,
+        "discount_cap": F.col("l_discount") <= 0.05,
+        "tax_cap": F.col("l_tax") <= 0.04,
+    }
+    return rule_summary(l, rules)
