@@ -182,3 +182,66 @@ def tfidf_top_terms(
             (F.col("__s__") / F.lit(1e6)).alias("tfidf"),
         )
     )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (token, id, positions) with the sorted
+    0-based token offsets of every occurrence — the structure phrase and
+    proximity queries need on top of the tf-only postings.
+
+    Same ONE-shuffle shape as build_postings (explode with position →
+    groupBy(token, id) collecting offsets); positions per (token, doc)
+    are bounded by term frequency, so posting rows stay small even for
+    stopwords in long documents.
+    """
+    from arrow_spark.llm.dedup import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    return toks.groupBy("token", "id").agg(
+        F.array_sort(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_match(
+    postings_pos: DataFrame,
+    phrase: str,
+    id_col_out: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a positional index: documents containing
+    the query tokens at CONSECUTIVE positions, with the match count.
+
+    Relational adjacency intersection: for query tokens t0..tk, join
+    each token's postings on the document, then count positions p of t0
+    such that p+i is in positions(ti) for every i — expressed as
+    array_intersect of offset-shifted position lists, never a re-scan
+    of document text. Cost ∝ the postings of the queried tokens only
+    (index semantics); the joins are doc-keyed equi-joins, broadcast
+    when one side is small.
+
+    Single-token phrases degenerate to the token's postings. Duplicate
+    tokens in the phrase are handled naturally (each occurrence joins
+    the same posting row with a different shift).
+    """
+    terms = phrase.strip().lower().split()
+    if not terms:
+        raise ValueError("empty phrase")
+    base = postings_pos.where(F.col("token") == terms[0]).select(
+        F.col("id"), F.col("positions").alias("p0")
+    )
+    acc = base
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings_pos.where(F.col("token") == t).select(
+            F.col("id"),
+            F.transform("positions", lambda p: p - i).alias(f"p{i}"),
+        )
+        acc = acc.join(nxt, "id").withColumn(
+            "p0", F.array_intersect("p0", f"p{i}")
+        ).drop(f"p{i}").where(F.size("p0") > 0)
+    return acc.select(
+        F.col("id").alias(id_col_out), F.size("p0").alias("n_matches")
+    )

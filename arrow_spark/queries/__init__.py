@@ -116,4 +116,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "dedup_excise_spans",
     "quality_quarantine",
     "quality_rule_summary",
+    "retrieval_phrase_match",
 )

@@ -12,6 +12,7 @@ match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from arrow_spark.catalog import table
 from arrow_spark.queries.base import query
@@ -130,3 +131,47 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return tfidf_top_terms(d, k=3)
+
+
+def _phrase_oracle_branch(phrase: str) -> str:
+    terms = phrase.split()
+    conds = " AND ".join(f"t[i+{j}] = '{w}'" for j, w in enumerate(terms))
+    return f"""
+  SELECT '{phrase}' AS phrase, doc_id,
+         len(list_filter(range(1, len(t) + 1), i -> {conds}))::BIGINT AS n_matches
+  FROM d
+  WHERE len(list_filter(range(1, len(t) + 1), i -> {conds})) > 0"""
+
+
+PHRASE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+)
+{_phrase_oracle_branch('fast spark')}
+UNION ALL
+{_phrase_oracle_branch('value table part')}
+"""
+
+
+@query("retrieval_phrase_match", oracle=PHRASE_ORACLE)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact phrase search over the POSITIONAL inverted index: each
+    query token's postings join on the document and offset-shifted
+    position lists intersect — cost ∝ the queried tokens' postings, the
+    document text is never re-scanned. The oracle counts phrase
+    occurrences by direct text-level token scanning (genuinely
+    different algebra), so the positional-index adjacency intersection
+    is hash-checked, for a 2-token and a 3-token phrase."""
+    from arrow_spark.llm.retrieval import build_positional_postings, phrase_match
+
+    docs = table(spark, sf_dir, "documents")
+    idx = build_positional_postings(docs)
+    out = []
+    for ph in ("fast spark", "value table part"):
+        out.append(
+            phrase_match(idx, ph).select(
+                F.lit(ph).alias("phrase"), "doc_id", "n_matches"
+            )
+        )
+    return out[0].unionByName(out[1])

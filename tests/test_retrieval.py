@@ -95,3 +95,27 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top[(3, 1)] == "apple" and top[(3, 2)] == "durian"
     # doc 2: cherry tf=3 dominates
     assert top[(2, 1)] == "cherry"
+
+
+def test_phrase_match_adjacency_and_duplicates(spark):
+    from arrow_spark.llm.retrieval import build_positional_postings, phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big"),     # "big data" twice; "data big" twice
+            (2, "big query data"),            # tokens present, never adjacent
+            (3, "data big"),                  # reversed order only
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_postings(docs)
+    got = {r.doc_id: r.n_matches for r in phrase_match(idx, "big data").collect()}
+    assert got == {1: 2}
+    got = {r.doc_id: r.n_matches for r in phrase_match(idx, "data big").collect()}
+    assert got == {1: 2, 3: 1}
+    # duplicate token in the phrase: "big data big" occurs twice in doc 1
+    got = {r.doc_id: r.n_matches for r in phrase_match(idx, "big data big").collect()}
+    assert got == {1: 2}
+    # single-token phrase degenerates to the token postings
+    got = {r.doc_id: r.n_matches for r in phrase_match(idx, "big").collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
