@@ -117,4 +117,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "quality_quarantine",
     "quality_rule_summary",
     "retrieval_phrase_match",
+    "groupwise_ols_trend",
 )

@@ -1183,3 +1183,65 @@ def quality_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tax_cap": F.col("l_tax") <= 0.04,
     }
     return rule_summary(l, rules)
+
+
+# inputs are snapped to INTEGERS (hours since 2024-01-01, value cents)
+# so the five moment sums are exact and order-independent; both engines
+# then run the identical closed-form expression tree on those exact
+# integers, making the doubles bit-equal before the 1e-6 rounding
+OLS_ORACLE = """
+WITH pts AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '2024-01-01', ts) // 3600 AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT user_id, count(*) AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM pts GROUP BY user_id
+), f AS (
+  SELECT user_id, n,
+         n::DOUBLE * sxx - sx * sx AS det,
+         n::DOUBLE * sxy - sx * sy AS cov,
+         n::DOUBLE * syy - sy * sy AS tot
+  FROM m
+)
+SELECT f.user_id, f.n AS n_points,
+       round(CASE WHEN f.n >= 2 AND det != 0 THEN cov / det END, 6) AS slope,
+       round(CASE WHEN f.n >= 2 AND det != 0
+             THEN (m.sy - (cov / det) * m.sx) / f.n::DOUBLE END, 6) AS intercept,
+       round(CASE WHEN f.n >= 2 AND det != 0 AND tot != 0
+             THEN least(greatest(cov * cov / (det * tot), 0.0), 1.0) END, 6) AS r2
+FROM f JOIN m USING (user_id)
+"""
+
+
+@query("groupwise_ols_trend", oracle=OLS_ORACLE)
+def groupwise_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user value-over-time trend lines: closed-form OLS (slope,
+    intercept, r²) from five moment sums in ONE map-side-combined
+    aggregation — no iterative fitting, no per-group driver loop.
+    Inputs snap to integer hours/cents so the sums are exact and the
+    closed form replays bit-equal in the oracle."""
+    from arrow_spark.operators.regression import groupwise_ols
+
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        )
+        / 3600
+    )
+    y = F.round(F.col("value") * 100, 0).cast("long")
+    out = groupwise_ols(e.withColumn("__x__", x).withColumn("__y__", y),
+                        "__x__", "__y__", keys=["user_id"])
+    return out.select(
+        "user_id",
+        "n_points",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )

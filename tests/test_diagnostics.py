@@ -55,3 +55,24 @@ def test_quarantine_split_routes_and_attributes(spark):
     }
     s = rule_summary(df, rules).collect()[0]
     assert (s.total_rows, s.qty_cap, s.tag_present) == (4, 2, 2)
+
+
+def test_groupwise_ols_known_lines(spark):
+    from arrow_spark.operators.regression import groupwise_ols
+
+    rows = (
+        [("a", float(x), 3.0 * x + 7.0) for x in range(5)]  # perfect line
+        + [("b", float(x), 2.0) for x in range(4)]          # flat: slope 0, tot 0
+        + [("c", 1.0, 5.0), ("c", 1.0, 9.0)]              # zero x-variance
+        + [("d", 2.0, 11.0)]                              # below min_points
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        r.k: (r.n_points, r.slope, r.intercept, r.r2)
+        for r in groupwise_ols(df, "x", "y", keys=["k"]).collect()
+    }
+    assert got["a"][0] == 5
+    assert abs(got["a"][1] - 3.0) < 1e-12 and abs(got["a"][2] - 7.0) < 1e-12
+    assert abs(got["a"][3] - 1.0) < 1e-12
+    assert got["b"][1] == 0.0 and got["b"][3] is None       # ss_tot = 0
+    assert got["c"][1] is None and got["d"][1] is None
