@@ -118,4 +118,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "quality_rule_summary",
     "retrieval_phrase_match",
     "groupwise_ols_trend",
+    "table_diff_reconcile",
 )

@@ -1245,3 +1245,58 @@ def groupwise_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+TABLE_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 97 != 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 89 != 0
+), j AS (
+  SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+         old.o_orderkey IS NOT NULL AS in_l,
+         new.o_orderkey IS NOT NULL AS in_r,
+         list_filter([
+           CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                THEN 'o_totalprice' END
+         ], x -> x IS NOT NULL) AS ch
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_l THEN 'added'
+            WHEN NOT in_r THEN 'removed'
+            WHEN len(ch) > 0 THEN 'changed'
+            ELSE 'unchanged' END AS row_status,
+       CASE WHEN in_l AND in_r THEN ch ELSE [] END AS changed_cols
+FROM j
+"""
+
+
+@query("table_diff_reconcile", oracle=TABLE_DIFF_ORACLE)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyed snapshot reconciliation: diff a mutated orders snapshot
+    (some keys dropped, some repriced) against the original — every key
+    classified added/removed/changed/unchanged with the exact columns
+    that differ (operators/diffing.py::table_diff: ONE full-outer hash
+    join + codegen null-safe comparisons). The migration-validation
+    primitive, itself oracle-validated."""
+    from arrow_spark.operators.diffing import table_diff
+
+    o = table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return table_diff(old, new, keys=["o_orderkey"])

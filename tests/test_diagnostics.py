@@ -76,3 +76,26 @@ def test_groupwise_ols_known_lines(spark):
     assert abs(got["a"][3] - 1.0) < 1e-12
     assert got["b"][1] == 0.0 and got["b"][3] is None       # ss_tot = 0
     assert got["c"][1] is None and got["d"][1] is None
+
+
+def test_table_diff_statuses_and_changed_cols(spark):
+    from arrow_spark.operators.diffing import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 99.0), (3, "c", None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    d = {r.k: (r.row_status, r.changed_cols) for r in table_diff(old, new, ["k"]).collect()}
+    assert d == {
+        1: ("unchanged", []),
+        2: ("changed", ["s", "v"]),
+        3: ("unchanged", []),   # NULL == NULL null-safely
+        4: ("removed", []),
+        5: ("added", []),
+    }
+    s = {r.row_status: r.n for r in diff_summary(table_diff(old, new, ["k"])).collect()}
+    assert s == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
