@@ -245,3 +245,49 @@ def phrase_match(
     return acc.select(
         F.col("id").alias(id_col_out), F.size("p0").alias("n_matches")
     )
+
+
+def proximity_match(
+    postings_pos: DataFrame,
+    terms: Sequence[str],
+    window: int,
+    id_col_out: str = "doc_id",
+) -> DataFrame:
+    """Proximity search: documents containing ALL ``terms`` (any order)
+    within a span of ``window`` consecutive tokens, with the minimal
+    such span.
+
+    Candidate documents come from inner-joining each term's postings on
+    the doc key (index semantics — cost ∝ the queried tokens' postings);
+    the span test then runs IN-ROW over the position arrays: a nested
+    array_transform cross-product of the k position lists → flatten →
+    array_min of spans. Position lists are term-frequency sized, so the
+    in-row combination count is tiny and nothing ever explodes into
+    rows; the joins stay doc-keyed equi-joins.
+    """
+    terms = list(terms)
+    if len(terms) < 2:
+        raise ValueError("proximity needs at least two terms")
+    acc = None
+    for i, t in enumerate(terms):
+        p = postings_pos.where(F.col("token") == t).select(
+            F.col("id"), F.col("positions").alias(f"p{i}")
+        )
+        acc = p if acc is None else acc.join(p, "id")
+
+    def spans(vals: list) -> Column:
+        # nested transforms accumulate one position per term, innermost
+        # emits the span of the combination
+        depth = len(vals)
+        if depth == len(terms):
+            return F.greatest(*vals) - F.least(*vals) + 1
+        return F.transform(F.col(f"p{depth}"), lambda v: spans(vals + [v]))
+
+    nested = spans([])
+    for _ in range(len(terms) - 1):
+        nested = F.flatten(nested)
+    min_span = F.array_min(nested)
+    return (
+        acc.select(F.col("id").alias(id_col_out), min_span.alias("min_span"))
+        .where(F.col("min_span") <= window)
+    )

@@ -119,4 +119,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "retrieval_phrase_match",
     "groupwise_ols_trend",
     "table_diff_reconcile",
+    "retrieval_proximity_match",
 )

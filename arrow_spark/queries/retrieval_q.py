@@ -175,3 +175,42 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+PROXIMITY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         list_filter(range(1, len(t) + 1), i -> t[i] = 'spark')  AS p0,
+         list_filter(range(1, len(t) + 1), i -> t[i] = 'vector') AS p1
+  FROM d
+  WHERE len(list_filter(range(1, len(t) + 1), i -> t[i] = 'spark')) > 0
+    AND len(list_filter(range(1, len(t) + 1), i -> t[i] = 'vector')) > 0
+), spans AS (
+  SELECT doc_id,
+         list_min(flatten(list_transform(p0,
+           a -> list_transform(p1,
+             b -> greatest(a, b) - least(a, b) + 1)))) AS min_span
+  FROM c
+)
+SELECT doc_id, CAST(min_span AS INT) AS min_span
+FROM spans WHERE min_span <= 6
+"""
+
+
+@query("retrieval_proximity_match", oracle=PROXIMITY_ORACLE)
+def retrieval_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proximity search over the positional index: documents where
+    'spark' and 'vector' occur within a 6-token span (any order), with
+    the minimal span — candidate docs from postings joins, the span
+    minimum computed IN-ROW over position arrays (nested transform →
+    flatten → array_min; positions are tf-sized, nothing explodes into
+    rows). Oracle recomputes spans by direct text-position scanning."""
+    from arrow_spark.llm.retrieval import build_positional_postings, proximity_match
+
+    docs = table(spark, sf_dir, "documents")
+    idx = build_positional_postings(docs)
+    out = proximity_match(idx, ["spark", "vector"], window=6)
+    return out.select("doc_id", F.col("min_span").cast("int").alias("min_span"))

@@ -119,3 +119,26 @@ def test_phrase_match_adjacency_and_duplicates(spark):
     # single-token phrase degenerates to the token postings
     got = {r.doc_id: r.n_matches for r in phrase_match(idx, "big").collect()}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_proximity_match_window_and_three_terms(spark):
+    from arrow_spark.llm.retrieval import build_positional_postings, proximity_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x x x beta"),            # span 5
+            (2, "beta alpha"),                  # span 2, reversed order
+            (3, "alpha x x x x x x beta"),      # span 8 — outside window 5
+            (4, "alpha only here"),             # missing beta
+            (5, "x alpha beta x gamma"),        # 3-term span 4
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_postings(docs)
+    got = {r.doc_id: r.min_span for r in proximity_match(idx, ["alpha", "beta"], 5).collect()}
+    assert got == {1: 5, 2: 2, 5: 2}
+    got3 = {
+        r.doc_id: r.min_span
+        for r in proximity_match(idx, ["alpha", "beta", "gamma"], 4).collect()
+    }
+    assert got3 == {5: 4}
