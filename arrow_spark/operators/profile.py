@@ -106,3 +106,71 @@ def profile_table(
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def corr_matrix(df, cols, round_to: int | None = None):
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregation
+    pass, long-form output (col_x, col_y, n_pairs, corr).
+
+    Each pair uses its own pairwise-complete moment sums (rows where
+    both sides are non-null), so per-column null patterns don't poison
+    other pairs; all C(k,2) pairs' sums live in one map-side-combined
+    aggregate and reshape via a single in-row explode — no per-pair
+    scans, no driver loop. Zero-variance pairs yield null corr.
+    Integer-typed inputs make the sums exact (order-independent), which
+    the oracle-checked registry query exploits.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        # aggregate in decimal(38,0): exact integer sums with ~1e38
+        # headroom — long sums of squared cent-columns overflow int64
+        # around 1e8 rows, decimal does not (and stays deterministic,
+        # unlike double partial sums whose order varies by partitioning)
+        dec = "decimal(38,0)"
+        xa = F.when(both, F.col(a)).cast(dec)
+        xb = F.when(both, F.col(b)).cast(dec)
+        p = f"{a}__{b}"
+        aggs += [
+            F.count(xa).alias(f"n_{p}"),
+            F.sum(xa).alias(f"sx_{p}"),
+            F.sum(xb).alias(f"sy_{p}"),
+            F.sum(xa * xb).alias(f"sxy_{p}"),
+            F.sum(xa * xa).alias(f"sxx_{p}"),
+            F.sum(xb * xb).alias(f"syy_{p}"),
+        ]
+    m = df.agg(*aggs)
+
+    def pair_struct(a, b):
+        p = f"{a}__{b}"
+        # sums aggregate as exact integers, then convert ONCE to double:
+        # products of long sums would overflow int64 (sx² ≈ 5e22 on cent
+        # columns), and the double arithmetic is identical IEEE ops in
+        # any engine given the same exact inputs
+        n = F.col(f"n_{p}").cast("double")
+        sx, sy = F.col(f"sx_{p}").cast("double"), F.col(f"sy_{p}").cast("double")
+        sxy = F.col(f"sxy_{p}").cast("double")
+        sxx, syy = F.col(f"sxx_{p}").cast("double"), F.col(f"syy_{p}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        if round_to is not None:
+            corr = F.round(corr, round_to)
+        return F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col(f"n_{p}").alias("n_pairs"),
+            corr.alias("corr"),
+        )
+
+    exploded = m.select(
+        F.explode(F.array(*[pair_struct(a, b) for a, b in pairs])).alias("p")
+    )
+    return exploded.select("p.col_x", "p.col_y", "p.n_pairs", "p.corr")

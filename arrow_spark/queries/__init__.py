@@ -120,4 +120,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "groupwise_ols_trend",
     "table_diff_reconcile",
     "retrieval_proximity_match",
+    "profile_corr_matrix",
 )

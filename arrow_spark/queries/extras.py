@@ -1300,3 +1300,58 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
     return table_diff(old, new, keys=["o_orderkey"])
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    n = f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END)::DOUBLE"
+    sx = f"sum(CASE WHEN {b} IS NOT NULL THEN {a} END)::BIGINT::DOUBLE"
+    sy = f"sum(CASE WHEN {a} IS NOT NULL THEN {b} END)::BIGINT::DOUBLE"
+    sxy = f"sum({a} * {b})::BIGINT::DOUBLE"
+    sxx = f"sum(CASE WHEN {b} IS NOT NULL THEN {a} * {a} END)::BIGINT::DOUBLE"
+    syy = f"sum(CASE WHEN {a} IS NOT NULL THEN {b} * {b} END)::BIGINT::DOUBLE"
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
+    return (
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y,\n"
+        f"  count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END) AS n_pairs,\n"
+        f"  round(CASE WHEN {vx} > 0 AND {vy} > 0\n"
+        f"        THEN {cov} / sqrt({vx} * {vy}) END, 6) AS corr\n"
+        f"FROM q"
+    )
+
+
+_CORR_COLS = ["qty_i", "price_c", "disc_m", "tax_m"]
+
+CORR_MATRIX_ORACLE = (
+    """WITH q AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty_i,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_m,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_m
+  FROM lineitem
+)
+"""
+    + "\nUNION ALL\n".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+)
+
+
+@query("profile_corr_matrix", oracle=CORR_MATRIX_ORACLE)
+def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairwise Pearson correlation matrix of four lineitem measures in
+    ONE aggregation pass (operators/profile.py::corr_matrix) — inputs
+    snapped to integer units so every moment sum is exact and the
+    closed form replays bit-equal in the oracle."""
+    from arrow_spark.operators.profile import corr_matrix
+
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty_i"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_m"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_m"),
+    )
+    return corr_matrix(l, _CORR_COLS, round_to=6)

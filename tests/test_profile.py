@@ -54,3 +54,20 @@ def test_profile_approx_distinct_path(spark):
 def test_profile_column_subset(spark):
     out = profile_table(_rows(spark), columns=["id", "x"]).collect()
     assert [r["column"] for r in out] == ["id", "x"]
+
+
+def test_corr_matrix_known_values(spark):
+    from arrow_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1, 2, 5, None), (2, 4, 4, None), (3, 6, 3, None), (4, 8, 2, None)],
+        "a long, b long, c long, d long",
+    )
+    got = {
+        (r.col_x, r.col_y): (r.n_pairs, r.corr)
+        for r in corr_matrix(df, ["a", "b", "c", "d"], round_to=6).collect()
+    }
+    assert got[("a", "b")] == (4, 1.0)       # perfect positive
+    assert got[("a", "c")] == (4, -1.0)      # perfect negative
+    assert got[("a", "d")] == (0, None)      # all-null column → no pairs
+    assert len(got) == 6
