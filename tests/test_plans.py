@@ -264,3 +264,32 @@ def test_scd2_single_entity_shuffle(spark, sf_dir):
     # on the entity key (Catalyst reuses the user_id partitioning)
     p = plan(QUERIES["cdc_scd2_intervals"].fn(spark, sf_dir))
     assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_quality_gate_single_scan_projection(spark, sf_dir):
+    # rule evaluation must be one projection over one scan — no joins,
+    # no shuffles, no UDFs
+    p = plan(QUERIES["quality_quarantine"].fn(spark, sf_dir))
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_groupwise_ols_single_aggregation(spark, sf_dir):
+    # five moment sums in one map-side-combined aggregate: partial +
+    # final HashAggregate around a single user_id exchange
+    p = plan(QUERIES["groupwise_ols_trend"].fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+    assert p.count("HashAggregate") == 2
+
+
+def test_corr_matrix_single_pass(spark, sf_dir):
+    # all C(4,2) pairs' sums in ONE aggregation over ONE scan
+    p = plan(QUERIES["profile_corr_matrix"].fn(spark, sf_dir))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_table_diff_one_full_outer_join(spark, sf_dir):
+    p = plan(QUERIES["table_diff_reconcile"].fn(spark, sf_dir))
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in p
