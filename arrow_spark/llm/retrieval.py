@@ -30,6 +30,8 @@ long by 1e6. Ties in top-k are broken by ascending doc id.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
