@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 from arrow_spark.llm.dedup import tokens
 
-__all__ = ["build_postings", "bm25_topk", "tfidf_top_terms"]
+__all__ = [
+    "build_postings",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "build_positional_postings",
+    "phrase_match",
+    "proximity_match",
+]
 
 
 def _micro(col: Column) -> Column:
