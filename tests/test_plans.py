@@ -293,3 +293,12 @@ def test_table_diff_one_full_outer_join(spark, sf_dir):
     p = plan(QUERIES["table_diff_reconcile"].fn(spark, sf_dir))
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
     assert "FullOuter" in p
+
+
+def test_phrase_and_proximity_are_doc_keyed_joins(spark, sf_dir):
+    # index search must never re-scan text against text: joins are
+    # doc-keyed equi-joins, no cartesian stage, positions stay in-row
+    for name in ("retrieval_phrase_match", "retrieval_proximity_match"):
+        p = plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
