@@ -53,11 +53,50 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh_topk", oracle=None)
+def _lsh_topk_oracle(planes: list[list[float]]) -> str:
+    """Exact SQL replay of the hyperplane bucketing: Spark's signature
+    is a SEQUENTIAL JVM fold from a 0.0 accumulator, and DuckDB's
+    list_reduce over a 0.0-prepended product list performs the identical
+    left-to-right IEEE additions on the identical doubles (plane
+    constants round-trip through repr; float embeddings cast to double
+    the same way) — verified sign-for-sign on the full fixture. Bucket
+    membership therefore replays exactly; scoring reuses the
+    list_cosine_similarity formulation the brute-force oracle proved
+    agrees at 6 decimals."""
+    dim = len(planes[0])
+    bits = ",\n    ".join(
+        "CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, "
+        f"{dim + 1}), i -> v[i] * ([{','.join(repr(x) for x in p)}])[i])), "
+        "(a, b) -> a + b) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, v, concat({bits}) AS sig FROM e
+), q AS (
+  SELECT vec_id AS qid, v AS qv, sig FROM sig WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT q.qid, s.vec_id AS nid, list_cosine_similarity(q.qv, s.v) AS cos
+  FROM q JOIN sig s USING (sig) WHERE s.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM pairs
+)
+SELECT qid, nid, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("similarity_lsh_topk", oracle=_lsh_topk_oracle(deterministic_planes(6, 64, seed=42)))
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (scale path; rows-only check —
-    bucketing is seeded-random and not SQL-expressible). Recall vs the
-    exact path is asserted in unit tests."""
+    """LSH-bucketed approximate top-k (scale path). EXACT oracle since
+    r4: the seeded hyperplanes inline into the SQL and both engines
+    compute the sign folds with identical sequential IEEE additions, so
+    the bucket assignment — the part that DEFINES this approximate
+    result — is hash-checked, not just recall-tested."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
