@@ -36,6 +36,7 @@ _MODULES = (
     "timeseries",
     "extras",
     "substrait_q",
+    "tokenize_q",
 )
 
 
@@ -121,4 +122,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "table_diff_reconcile",
     "retrieval_proximity_match",
     "profile_corr_matrix",
+    "tokenize_bpe_merges",
+    "tokenize_bpe_encode",
 )
