@@ -1,0 +1,87 @@
+"""Exponentially-weighted smoothing over keyed, ordered series.
+
+EWMA is the classic sequential recursion s_t = α·x_t + (1-α)·s_{t-1} —
+per-row state that relational engines can't express directly. Two
+standard reformulations make it a window computation:
+
+- span-limited normalized EWMA (pandas ``ewm(..., adjust=True)`` over a
+  trailing window): s_t = Σ_{j<W} w_j·x_{t-j} / Σ_{j<W} w_j with
+  w_j = (1-α)^j. The truncation error vs. the infinite sum is bounded by
+  (1-α)^W — with α=1/2 and W=32 that is 2^-32, far below any telemetry
+  signal's noise floor, and crucially the computation becomes ONE window
+  aggregate: a per-key shuffle, then codegen'd in-row arithmetic.
+- Numerical contract: with α = 1/2 the weights are exact dyadics 2^-j,
+  and for integer-snapped inputs |x| < 2^20 every product x·2^-j and
+  every partial sum stays inside the 53-bit double mantissa (20+31 < 53)
+  — the weighted sum is EXACT, independent of summation order, so the
+  same computation replayed in any IEEE-754 engine is bit-identical
+  (this is what lets the gate query hash-match a DuckDB self-join
+  replay; same posture as operators/regression.py's integer-snapped
+  moment sums).
+
+Scale: one Exchange on the key columns, then WholeStageCodegen — the
+trailing window is collected per row via a ROWS-frame ``collect_list``
+(W values, in frame order) and folded in-row. State per row is W
+doubles; no iterative jobs, no UDFs, no driver involvement.
+
+Reference anchor: the reference's cumulative family
+(cpp/src/arrow/compute/kernels/vector_cumulative_ops.cc) provides
+cumulative_sum/prod/max; EWMA is the weighted member of that family it
+leaves to composition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    value_col: str,
+    halflives: int = 1,
+    window: int = 32,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Span-limited normalized EWMA with α = 1 - 2^-halflives.
+
+    ``halflives=1`` is α=1/2 (weight halves every row). Exactness holds
+    for integer-valued ``value_col`` with |x| < 2^(53 - halflives·(window-1))
+    — snap upstream (e.g. cents as integers) to get bit-stable output.
+
+    One shuffle (hash-partition by ``keys``), then a single projection:
+    the trailing-W frame is materialized in-row by ``collect_list`` over
+    a ROWS window (frame order = window order), reversed, and folded
+    newest→oldest accumulating (numerator, normalizer, weight).
+    """
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    win = (
+        W.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(win)
+    # Fold newest→oldest, halving the weight each step: the weight is
+    # always an exact power of two (never a libm pow call, which has no
+    # cross-engine exactness contract), so every product and partial sum
+    # is exact under the mantissa-budget contract above.
+    factor = F.lit(0.5**halflives)
+    init = F.struct(
+        F.lit(0.0).alias("num"), F.lit(0.0).alias("den"), F.lit(1.0).alias("w")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.struct(
+            (acc["num"] + x * acc["w"]).alias("num"),
+            (acc["den"] + acc["w"]).alias("den"),
+            (acc["w"] * factor).alias("w"),
+        )
+
+    smoothed = F.aggregate(
+        F.reverse(vals), init, step, lambda acc: acc["num"] / acc["den"]
+    )
+    return df.withColumn(out_col, smoothed)

@@ -124,4 +124,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "profile_corr_matrix",
     "tokenize_bpe_merges",
     "tokenize_bpe_encode",
+    "ewma_smooth",
 )

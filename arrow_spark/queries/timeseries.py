@@ -248,3 +248,40 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s3, "user_id", "left")
         .select("user_id", "t1", "t2", "t3", stage.alias("stage"))
     )
+
+
+EWMA_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id, a.cents,
+       sum(b.cents / CAST(CAST(1 AS BIGINT) << (a.rn - b.rn) AS DOUBLE))
+       / sum(1.0 / CAST(CAST(1 AS BIGINT) << (a.rn - b.rn) AS DOUBLE)) AS ewma_cents
+FROM base a JOIN base b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 31 AND a.rn
+GROUP BY a.user_id, a.event_id, a.cents
+"""
+
+
+@query("ewma_smooth", oracle=EWMA_ORACLE)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-32 normalized EWMA (α=1/2) of integer-snapped event values
+    per user. The dyadic-weight contract (operators/smoothing.py) makes
+    every float EXACT, so the hash check is bit-for-bit: the oracle
+    replays the trailing window as a bounded self-join and lands on the
+    identical doubles. Plan: ONE hash-partition on user_id, then a
+    single codegen projection — no self-join on the Spark side."""
+    from arrow_spark.operators.smoothing import ewma
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ewma(
+        ev, ["user_id"], ["ts", "event_id"], "cents", out_col="ewma_cents"
+    ).select("user_id", "event_id", "cents", "ewma_cents")

@@ -1,0 +1,68 @@
+"""EWMA: bit-exactness vs the DuckDB self-join replay, semantic
+equivalence to pandas ewm (adjust=True) on short series, and the
+one-shuffle plan pin."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.operators.smoothing import ewma
+from arrow_spark.queries.timeseries import EWMA_ORACLE
+
+
+def test_matches_pandas_ewm_exactly(spark):
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 97, 93, 238, 462, 64, 33, 83, 27]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, i long, x long"
+    )
+    got = [
+        r["ewma"]
+        for r in ewma(df, ["k"], "i", "x").orderBy("i").collect()
+    ]
+    want = pd.Series(vals, dtype="float64").ewm(alpha=0.5, adjust=True).mean()
+    # series shorter than the window: identical recursion, must be EXACT
+    assert got == list(want)
+
+
+def test_bit_exact_vs_duckdb_replay(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    got = (
+        ewma(ev, ["user_id"], ["ts", "event_id"], "cents", out_col="ewma_cents")
+        .select("user_id", "event_id", "ewma_cents")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = (
+        con.sql(EWMA_ORACLE)
+        .df()[["user_id", "event_id", "ewma_cents"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    # no tolerance: the dyadic-weight contract promises identical bits
+    assert list(got["ewma_cents"]) == list(want["ewma_cents"])
+
+
+def test_single_exchange_plan(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    plan = (
+        ewma(ev, ["user_id"], ["ts", "event_id"], "cents")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan  # the trailing window is a frame, not a self-join
