@@ -17,6 +17,8 @@ growth-stable, no RNG state across executors).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -406,4 +408,51 @@ def cap_per_group(
     return (
         docs.withColumn("group_rank", F.row_number().over(w))
         .where(F.col("group_rank") <= cap)
+    )
+
+
+def simpson_index(
+    docs: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical concentration: Simpson's index over the word
+    distribution, Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two tokens
+    drawn without replacement are the same word. The drift monitor for
+    mixture pipelines: a source whose index climbs is collapsing onto
+    template text (complements compression_ratio, which needs a decode
+    pass; this is two integer aggregations).
+
+    Returns (group, n_tokens, distinct_words, simpson_num, simpson) —
+    the numerator stays an exact BIGINT so the double division is the
+    only float op (deterministic; bounded < 2^53 for any realistic
+    per-group token count).
+
+    Scale: explode → two chained groupBy aggregations on (group, word)
+    then (group) — map-side partials both, shuffle volume bounded by
+    distinct words per group.
+    """
+    from arrow_spark.llm.tokenize import WORD_RE
+
+    words = docs.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    per_word = words.groupBy(*group_cols, "word").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    return (
+        per_word.groupBy(*group_cols)
+        .agg(
+            F.sum("n_i").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_words"),
+            F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("long").alias("simpson_num"),
+        )
+        .withColumn(
+            "simpson",
+            F.col("simpson_num").cast("double")
+            / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+        )
     )

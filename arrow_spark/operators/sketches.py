@@ -407,3 +407,41 @@ def bloom_might_contain(
         )
         == 1,
     )
+
+
+# -- Join-cardinality estimation from Count-Min sketches --------------------
+
+
+def cms_join_cardinality(
+    a: DataFrame,
+    col_a: str,
+    b: DataFrame,
+    col_b: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Estimate |A ⋈ B| on an equi-key WITHOUT running the join.
+
+    |A ⋈ B| = Σ_v fA(v)·fB(v); each CMS row overestimates that inner
+    product by non-negative collision mass, so the estimate is
+    min-over-depth of the per-row dot products — never an undercount,
+    expected overshoot ≈ |A|·|B|/width per row before the min. The
+    planner use case at 100 TB: decide broadcast vs shuffle vs salting
+    from two sketch scans (each one map-side-combined aggregation over
+    width·depth cells) and a cell-aligned equi-join of two depth×width
+    tables — instead of materializing a join that may be quadratic.
+
+    Reference anchor: join-size estimation is the textbook AMS/CMS
+    application (Alon-Matias-Szegedy; Cormode-Muthukrishnan §4) the
+    reference's sketch-less compute layer leaves to its callers.
+    """
+    sa = count_min_build(a, col_a, width, depth, hash_family)
+    sb = count_min_build(b, col_b, width, depth, hash_family)
+    dots = (
+        sa.alias("sa")
+        .join(sb.alias("sb"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("sa.cnt") * F.col("sb.cnt")).alias("dot"))
+    )
+    return dots.agg(F.min("dot").cast("long").alias("join_size_est"))

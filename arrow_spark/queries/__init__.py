@@ -125,4 +125,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "tokenize_bpe_merges",
     "tokenize_bpe_encode",
     "ewma_smooth",
+    "outlier_mad_flags",
+    "sketch_join_cardinality",
+    "corpus_source_diversity",
 )

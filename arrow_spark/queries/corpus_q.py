@@ -432,3 +432,33 @@ def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by="n_chars",
     )
     return out.select("doc_id", "source", "n_chars", "group_rank")
+
+
+SIMPSON_ORACLE = """
+WITH words AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+), pw AS (
+  SELECT source, word, count(*) AS n_i FROM words GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(sum(n_i) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_words,
+         CAST(sum(n_i * (n_i - 1)) AS BIGINT) AS simpson_num
+  FROM pw GROUP BY source
+)
+SELECT source, n_tokens, distinct_words, simpson_num,
+       CAST(simpson_num AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+         AS simpson
+FROM agg
+"""
+
+
+@query("corpus_source_diversity", oracle=SIMPSON_ORACLE)
+def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson concentration over the word distribution — the
+    mixture-drift monitor. Integer numerator/denominator keep the single
+    float division deterministic, so the index is hash-exact."""
+    from arrow_spark.llm.corpus import simpson_index
+
+    return simpson_index(table(spark, sf_dir, "documents"))

@@ -1355,3 +1355,84 @@ def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_m"),
     )
     return corr_matrix(l, _CORR_COLS, round_to=6)
+
+
+MAD_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), med AS (
+  SELECT user_id, median(cents) AS med FROM base GROUP BY 1
+), dev AS (
+  SELECT b.user_id, b.event_id, b.cents, m.med, abs(b.cents - m.med) AS deviation
+  FROM base b JOIN med m USING (user_id)
+), mad AS (
+  SELECT user_id, median(deviation) AS mad FROM dev GROUP BY 1
+)
+SELECT d.user_id, d.event_id, d.cents, d.med AS median, d.deviation, m.mad,
+       d.deviation > (3.0 * 1.4826) * m.mad AS is_outlier
+FROM dev d JOIN mad m USING (user_id)
+"""
+
+
+@query("outlier_mad_flags", oracle=MAD_ORACLE)
+def outlier_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier flags: |x − median| > 3·1.4826·MAD on
+    integer-snapped event values. Median/MAD midpoints are exact dyadics
+    so every statistic, threshold product, and flag replays bit-for-bit
+    in the DuckDB median-window oracle. Plan: ONE Exchange, two Window
+    aggregates — no stats-table join-back (pinned)."""
+    from arrow_spark.operators.outliers import mad_outliers
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(ev, ["user_id"], "cents").select(
+        "user_id", "event_id", "cents", "median", "deviation", "mad", "is_outlier"
+    )
+
+
+# Join-size estimation from two portable-hash Count-Min sketches: the
+# oracle rebuilds both cell tables, takes per-row inner products, and
+# min-reduces — then computes the exact join size the estimate bounds.
+# partsupp is the generated table (sources/tpchgen.py), regenerated by
+# PS_CTE on the oracle side, same as the tpch_ps.py queries.
+from arrow_spark.sources.tpchgen import PS_CTE as _PS_CTE
+
+CMS_JOIN_ORACLE = _PS_CTE + f"""
+, la_raw AS (
+  {' UNION ALL '.join(f"SELECT {i} AS row, {_slot_sql('l_suppkey', i, 4, 1024)} AS bucket FROM lineitem" for i in range(4))}
+), la AS (
+  SELECT row, bucket, count(*) AS cnt FROM la_raw GROUP BY 1, 2
+), ps_raw AS (
+  {' UNION ALL '.join(f"SELECT {i} AS row, {_slot_sql('ps_suppkey', i, 4, 1024)} AS bucket FROM partsupp" for i in range(4))}
+), ps AS (
+  SELECT row, bucket, count(*) AS cnt FROM ps_raw GROUP BY 1, 2
+), dots AS (
+  SELECT la.row, sum(la.cnt * ps.cnt) AS dot
+  FROM la JOIN ps USING (row, bucket) GROUP BY 1
+)
+SELECT (SELECT min(dot) FROM dots)::BIGINT AS join_size_est,
+       (SELECT count(*) FROM lineitem JOIN partsupp ON l_suppkey = ps_suppkey)::BIGINT
+         AS exact_size
+"""
+
+
+@query("sketch_join_cardinality", oracle=CMS_JOIN_ORACLE)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|lineitem ⋈ partsupp| on suppkey estimated from two CMS sketches
+    — a genuinely fan-out-on-both-sides join (every supplier appears
+    ~80× in partsupp and ~600× in lineitem at sf1 ratios), the case
+    where a planner wants the size BEFORE committing to a strategy.
+    Portable hash family ⇒ the estimate itself is hash-checked; the
+    exact size rides along so the row also proves est ≥ exact."""
+    from arrow_spark.operators.sketches import cms_join_cardinality
+
+    from arrow_spark.sources.tpchgen import partsupp
+
+    l = table(spark, sf_dir, "lineitem")
+    ps = partsupp(spark, sf_dir)
+    est = cms_join_cardinality(l, "l_suppkey", ps, "ps_suppkey",
+                               width=1024, depth=4, hash_family="portable")
+    exact = l.join(ps, l["l_suppkey"] == ps["ps_suppkey"]).count()
+    return est.withColumn("exact_size", F.lit(exact).cast("long"))
