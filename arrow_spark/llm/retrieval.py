@@ -44,6 +44,8 @@ __all__ = [
     "build_positional_postings",
     "phrase_match",
     "proximity_match",
+    "jaccard_topk",
+    "rrf_fuse",
 ]
 
 
@@ -299,4 +301,108 @@ def proximity_match(
     return (
         acc.select(F.col("id").alias(id_col_out), min_span.alias("min_span"))
         .where(F.col("min_span") <= window)
+    )
+
+
+def jaccard_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Token-set Jaccard top-k per query — the lexical-overlap ranker.
+
+    J(q,d) = |q∩d| / (|q| + |d| − |q∩d|): all three operands are exact
+    integers from posting intersections (candidates via the same
+    broadcast query-term equi-join as bm25_topk — cost ∝ matched
+    postings, never query×corpus), so the single double division is
+    deterministic and rank order replays exactly cross-engine.
+    """
+    dtok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    dlen = dtok.groupBy("id").agg(F.count(F.lit(1)).alias("nd"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("token"),
+    ).distinct()
+    qlen = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("nq"))
+    inter = (
+        dtok.join(F.broadcast(qterms), "token")
+        .groupBy("qid", "id")
+        .agg(F.count(F.lit(1)).alias("jn"))
+    )
+    scored = (
+        inter.join(dlen, "id")
+        .join(F.broadcast(qlen), "qid")
+        .withColumn(
+            "score",
+            F.col("jn").cast("double")
+            / (F.col("nq") + F.col("nd") - F.col("jn")).cast("double"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "rank",
+            "score",
+        )
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k_const: int = 60,
+    topk: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers (Cormack et al. 2009):
+    rrf(d) = Σ_r 1/(k + rank_r(d)), absent list contributes 0.
+
+    The hybrid-search combiner: fuse a lexical list (BM25) with a
+    semantic list (ANN cosine) without score calibration — only RANKS
+    cross the fusion boundary, so heterogeneous scorers compose. The
+    join is (query, doc)-keyed over two top-k lists — k rows per query
+    per side, metadata-sized at any corpus scale.
+
+    Determinism: 1/(k+rank) is a single double division; the two-term
+    sum is one IEEE addition in a fixed operand order — bit-stable and
+    replayable in SQL.
+    """
+    ar = a.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(id_col).alias("id"),
+        F.col(rank_col).alias("__ra__"),
+    )
+    br = b.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(id_col).alias("id"),
+        F.col(rank_col).alias("__rb__"),
+    )
+    fused = ar.join(br, ["qid", "id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(k_const) + F.col("__ra__")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k_const) + F.col("__rb__")), F.lit(0.0)),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "rank",
+            "rrf",
+        )
     )

@@ -227,3 +227,22 @@ def encode_documents(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def write_bpe_vocab(spark: SparkSession, merges: list[dict], path: str) -> None:
+    """Persist learned merge rules as a parquet artifact — the
+    train-once / encode-many contract (same posture as the bloom and IVF
+    index round-trips in sources/bloom_index.py and llm/similarity.py)."""
+    spark.createDataFrame(
+        [(m["rank"], m["lhs"], m["rhs"], int(m.get("freq", 0))) for m in merges],
+        "rank int, lhs string, rhs string, freq long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_bpe_vocab(spark: SparkSession, path: str) -> list[dict]:
+    """Load a persisted merge table, in rank order, ready for
+    ``encode_words``/``encode_documents``."""
+    return [
+        {"rank": r["rank"], "lhs": r["lhs"], "rhs": r["rhs"], "freq": r["freq"]}
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]

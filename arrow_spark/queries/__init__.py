@@ -128,4 +128,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "outlier_mad_flags",
     "sketch_join_cardinality",
     "corpus_source_diversity",
+    "retrieval_rrf_fusion",
 )

@@ -28,7 +28,8 @@ _PROBES = [
 
 _PROBES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _PROBES)
 
-BM25_ORACLE = f"""
+# Shared WITH-body through `ranked` — reused by the RRF fusion oracle.
+_BM25_CTES = f"""
 WITH q(query_id, qtext) AS (VALUES {_PROBES_SQL}),
 tok AS (
   SELECT doc_id AS id,
@@ -70,7 +71,9 @@ ranked AS (
   SELECT qid, id, ssum,
          row_number() OVER (PARTITION BY qid ORDER BY ssum DESC, id ASC) AS rank
   FROM scored
-)
+)"""
+
+BM25_ORACLE = _BM25_CTES + """
 SELECT qid AS query_id, id AS doc_id, rank, ssum / 1e6 AS score
 FROM ranked WHERE rank <= 10
 """
@@ -214,3 +217,54 @@ def retrieval_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_positional_postings(docs)
     out = proximity_match(idx, ["spark", "vector"], window=6)
     return out.select("doc_id", F.col("min_span").cast("int").alias("min_span"))
+
+
+# Hybrid fusion: BM25 CTEs (shared, rank<=20) + token-Jaccard ranker +
+# reciprocal-rank fusion. Only integer RANKS cross the fusion boundary,
+# so the two 1/(k+rank) divisions and their single fixed-order addition
+# replay bit-for-bit.
+RRF_ORACLE = _BM25_CTES + """
+, bm AS (SELECT qid, id, rank FROM ranked WHERE rank <= 20),
+dtok AS (SELECT DISTINCT id, token FROM tok),
+dlen AS (SELECT id, count(*) AS nd FROM dtok GROUP BY id),
+qlen AS (SELECT qid, count(*) AS nq FROM qterms GROUP BY qid),
+inter AS (
+  SELECT qt.qid, dt.id, count(*) AS jn
+  FROM qterms qt JOIN dtok dt USING (token) GROUP BY 1, 2
+),
+jscored AS (
+  SELECT i.qid, i.id,
+         CAST(jn AS DOUBLE) / CAST(nq + nd - jn AS DOUBLE) AS score
+  FROM inter i JOIN dlen USING (id) JOIN qlen USING (qid)
+),
+jm AS (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+  FROM jscored QUALIFY rank <= 20
+),
+allp AS (SELECT qid, id FROM bm UNION SELECT qid, id FROM jm),
+fused AS (
+  SELECT a.qid, a.id,
+         coalesce(CAST(1 AS DOUBLE) / (60 + b.rank), 0)
+         + coalesce(CAST(1 AS DOUBLE) / (60 + j.rank), 0) AS rrf
+  FROM allp a
+  LEFT JOIN bm b ON a.qid = b.qid AND a.id = b.id
+  LEFT JOIN jm j ON a.qid = j.qid AND a.id = j.id
+)
+SELECT qid AS query_id, id AS doc_id,
+       row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank, rrf
+FROM fused QUALIFY rank <= 10
+"""
+
+
+@query("retrieval_rrf_fusion", oracle=RRF_ORACLE)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 ⊕ token-Jaccard top-20 fused by
+    reciprocal rank (k=60) into a final top-10 per probe — the
+    calibration-free combiner for heterogeneous rankers. The fusion
+    join touches 20 rows/query/side regardless of corpus size."""
+    from arrow_spark.llm.retrieval import bm25_topk, jaccard_topk, rrf_fuse
+
+    d = table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_PROBES, "query_id long, qtext string")
+    return rrf_fuse(bm25_topk(d, q, k=20), jaccard_topk(d, q, k=20))

@@ -142,3 +142,33 @@ def test_proximity_match_window_and_three_terms(spark):
         for r in proximity_match(idx, ["alpha", "beta", "gamma"], 4).collect()
     }
     assert got3 == {5: 4}
+
+
+def test_jaccard_topk_ground_truth(spark):
+    from arrow_spark.llm.retrieval import jaccard_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "a b")], "query_id long, qtext string")
+    out = {r["doc_id"]: r for r in jaccard_topk(docs, q, k=10).collect()}
+    assert out[1]["score"] == 2 / 4 and out[2]["score"] == 2 / 4
+    assert 3 not in out            # no overlap -> no candidate row at all
+    assert out[1]["rank"] == 1     # tie broken by doc_id
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from arrow_spark.llm.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 20, 1), (0, 30, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, k_const=60, topk=10).collect()}
+    assert out[20]["rrf"] == 1 / 62 + 1 / 61      # in both lists
+    assert out[10]["rrf"] == 1 / 61               # only list a
+    assert out[30]["rrf"] == 1 / 62               # only list b
+    assert out[20]["rank"] == 1

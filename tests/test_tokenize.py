@@ -122,3 +122,19 @@ def test_encode_path_is_single_stage_per_vocab_word(spark, sf_dir):
     vocab = spark.createDataFrame([("lowering",), ("thing",)], "word string")
     plan = encode_words(vocab, merges)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vocab_roundtrip_serves_identical_encoding(spark, tmp_path):
+    from arrow_spark.llm.tokenize import read_bpe_vocab, write_bpe_vocab
+
+    wc = {"lower": 5, "lowest": 2, "newer": 6, "wider": 3}
+    merges, _ = bpe_train(_wc_df(spark, wc), 5)
+    path = str(tmp_path / "vocab")
+    write_bpe_vocab(spark, merges, path)
+    loaded = read_bpe_vocab(spark, path)
+    assert [(m["rank"], m["lhs"], m["rhs"]) for m in loaded] == [
+        (m["rank"], m["lhs"], m["rhs"]) for m in merges
+    ]
+    fresh = {r["word"]: r["tokens"] for r in encode_words(_wc_df(spark, wc), merges).collect()}
+    served = {r["word"]: r["tokens"] for r in encode_words(_wc_df(spark, wc), loaded).collect()}
+    assert fresh == served
