@@ -456,3 +456,69 @@ def simpson_index(
             / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
         )
     )
+
+
+def keyness_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k discriminative terms per group: smoothed log-odds of the
+    term in the group vs. the rest of the corpus (the corpus-comparison
+    keyword extractor — "what does this source talk about that others
+    don't", the complement of tfidf_top_terms' per-document view).
+
+    keyness(w, s) = ln( (a+½)(d+½) / ((b+½)(c+½)) ) over the 2×2 token
+    contingency table (a: w in s; b: w elsewhere; c: other tokens in s;
+    d: other tokens elsewhere). Scores are micro-snapped so the ranking
+    replays exactly cross-engine (same posture as BM25).
+
+    Scale: one (group, word) aggregation, one word aggregation, two
+    broadcast-size totals — all map-side-combined; the 2×2 algebra is a
+    codegen projection and the top-k is a per-group window over the
+    candidate (group, word) table.
+    """
+    from arrow_spark.llm.tokenize import WORD_RE
+
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    a_tab = words.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("a"))
+    w_tot = a_tab.groupBy("word").agg(F.sum("a").alias("wt"))
+    g_tot = a_tab.groupBy("grp").agg(F.sum("a").alias("ns"))
+    n_tot = a_tab.agg(F.sum("a").alias("n"))
+    half = F.lit(0.5)
+    scored = (
+        a_tab.join(w_tot, "word")
+        .join(F.broadcast(g_tot), "grp")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("b", F.col("wt") - F.col("a"))
+        .withColumn("c", F.col("ns") - F.col("a"))
+        .withColumn("d", F.col("n") - F.col("ns") - F.col("b"))
+        .withColumn(
+            "keyness_micro",
+            F.floor(
+                F.log(
+                    ((F.col("a") + half) * (F.col("d") + half))
+                    / ((F.col("b") + half) * (F.col("c") + half))
+                )
+                * 1e6
+                + half
+            ).cast("long"),
+        )
+    )
+    w = W.partitionBy("grp").orderBy(F.col("keyness_micro").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "rank",
+            F.col("word").alias("term"),
+            (F.col("keyness_micro") / 1e6).alias("keyness"),
+        )
+    )

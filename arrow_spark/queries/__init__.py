@@ -129,4 +129,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "sketch_join_cardinality",
     "corpus_source_diversity",
     "retrieval_rrf_fusion",
+    "cohort_retention",
+    "corpus_keyness_terms",
 )

@@ -462,3 +462,39 @@ def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.corpus import simpson_index
 
     return simpson_index(table(spark, sf_dir, "documents"))
+
+
+KEYNESS_ORACLE = """
+WITH words AS (
+  SELECT source AS grp, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+), a_tab AS (
+  SELECT grp, word, count(*) AS a FROM words GROUP BY 1, 2
+), wt AS (SELECT word, sum(a) AS wt FROM a_tab GROUP BY 1),
+gt AS (SELECT grp, sum(a) AS ns FROM a_tab GROUP BY 1),
+nt AS (SELECT sum(a) AS n FROM a_tab),
+sc AS (
+  SELECT grp, word,
+         CAST(floor(ln(((a + 0.5) * ((n - ns - (wt - a)) + 0.5))
+                       / (((wt - a) + 0.5) * ((ns - a) + 0.5))) * 1e6 + 0.5)
+              AS BIGINT) AS km
+  FROM a_tab JOIN wt USING (word) JOIN gt USING (grp), nt
+), r AS (
+  SELECT grp, word, km,
+         row_number() OVER (PARTITION BY grp ORDER BY km DESC, word) AS rank
+  FROM sc
+)
+SELECT grp AS source, rank, word AS term, km / 1e6 AS keyness
+FROM r WHERE rank <= 10
+"""
+
+
+@query("corpus_keyness_terms", oracle=KEYNESS_ORACLE)
+def corpus_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 discriminative terms per source by smoothed log-odds vs
+    the rest of the corpus — the corpus-comparison keyword extractor.
+    Contingency cells are exact integers; the score is micro-snapped, so
+    ranks and values replay hash-exact."""
+    from arrow_spark.llm.corpus import keyness_terms
+
+    return keyness_terms(table(spark, sf_dir, "documents"))

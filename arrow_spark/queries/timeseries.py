@@ -285,3 +285,32 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(
         ev, ["user_id"], ["ts", "event_id"], "cents", out_col="ewma_cents"
     ).select("user_id", "event_id", "cents", "ewma_cents")
+
+
+COHORT_ORACLE = """
+WITH pa AS (
+  SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p
+  FROM events
+), cohort AS (
+  SELECT u, min(p) AS cohort_p FROM pa GROUP BY u
+), act AS (
+  SELECT pa.u, cohort_p, p - cohort_p AS "offset" FROM pa JOIN cohort USING (u)
+), mat AS (
+  SELECT cohort_p, "offset", count(DISTINCT u) AS n_active FROM act GROUP BY 1, 2
+), sz AS (
+  SELECT cohort_p, CAST(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY 1
+)
+SELECT m.cohort_p, m."offset", CAST(n_active AS BIGINT) AS n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+FROM mat m JOIN sz USING (cohort_p)
+"""
+
+
+@query("cohort_retention", oracle=COHORT_ORACLE)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream. Integer
+    epoch-bucket periods (no calendar-week conventions) and an exact
+    n_active/cohort_size ratio make every cell hash-exact."""
+    from arrow_spark.operators.cohorts import cohort_retention
+
+    return cohort_retention(table(spark, sf_dir, "events"))

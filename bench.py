@@ -132,6 +132,19 @@ HEADLINE = [
     "stream_static_enrich",
     "sketch_hll_rel",
     "corpus_source_caps",
+    # round-4 wave 2: relational BPE (trains 10 merges INSIDE the bench
+    # — 10 vocabulary-bounded aggregations + the encode join; the 100 TB
+    # story is the Zipf compression of the word table), bit-exact EWMA
+    # (one keyed window), MAD outliers (one Exchange, two windows),
+    # hybrid RRF fusion (BM25 ⊕ Jaccard), Simpson concentration.
+    # sketch_join_cardinality is NOT a headline: the ride-along exact
+    # join it verifies against is ~50M rows at sf0.1, so wall time would
+    # measure the verifier, not the two sketch scans the op exists for.
+    "tokenize_bpe_encode",
+    "ewma_smooth",
+    "outlier_mad_flags",
+    "retrieval_rrf_fusion",
+    "corpus_source_diversity",
 ]
 
 

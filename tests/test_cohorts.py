@@ -1,0 +1,46 @@
+"""Cohort retention and keyness: hand-computable ground truths."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from arrow_spark.llm.corpus import keyness_terms
+from arrow_spark.operators.cohorts import cohort_retention
+
+
+def _ts(day: int) -> datetime:
+    return datetime(2024, 1, day, 12, 0, 0)
+
+
+def test_cohort_retention_hand_computed(spark):
+    # week boundaries at epoch multiples of 604800; Jan 2024 days 1-7
+    # and 8-14 land in consecutive buckets (Jan 4 2024 is a boundary).
+    rows = [
+        (1, _ts(1)), (1, _ts(9)),           # user 1: cohort w0, active w1
+        (2, _ts(2)),                        # user 2: cohort w0 only
+        (3, _ts(9)), (3, _ts(10)),          # user 3: cohort w1 (dedup within week)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    base = 1704110400 // 604800  # floor(epoch(2024-01-01T12:00Z)/week) = 2817
+    out = {(r["cohort_p"] - base, r["offset"]): r
+           for r in cohort_retention(ev).collect()}
+    assert out[(0, 0)]["cohort_size"] == 2 and out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+    assert out[(1, 0)]["cohort_size"] == 1
+    assert (1, 1) not in out
+
+
+def test_keyness_discriminative_term_ranks_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta", "s1"),
+            (2, "alpha alpha beta beta", "s1"),
+            (3, "gamma gamma gamma beta", "s2"),
+            (4, "gamma beta beta beta", "s2"),
+        ],
+        "doc_id long, text string, lang string",
+    ).withColumnRenamed("lang", "source")
+    out = {(r["source"], r["rank"]): r["term"]
+           for r in keyness_terms(docs, k=2).collect()}
+    assert out[("s1", 1)] == "alpha"   # only in s1
+    assert out[("s2", 1)] == "gamma"   # only in s2
