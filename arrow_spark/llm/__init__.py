@@ -16,3 +16,12 @@ from arrow_spark.llm.dedup import (  # noqa: F401
     simhash_signatures,
 )
 from arrow_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk  # noqa: F401
+from arrow_spark.llm.retrieval import jaccard_topk, rrf_fuse  # noqa: F401
+from arrow_spark.llm.tokenize import (  # noqa: F401
+    bpe_train,
+    encode_documents,
+    encode_words,
+    read_bpe_vocab,
+    word_counts,
+    write_bpe_vocab,
+)

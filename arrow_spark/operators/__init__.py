@@ -6,3 +6,8 @@ driver-side loop, so everything here scales with partition count.
 """
 
 from arrow_spark.operators.asof import asof_join, sorted_merge  # noqa: F401
+from arrow_spark.operators.changepoint import cusum_changepoints  # noqa: F401
+from arrow_spark.operators.cohorts import cohort_retention  # noqa: F401
+from arrow_spark.operators.outliers import mad_outliers  # noqa: F401
+from arrow_spark.operators.quantile_transform import quantile_transform  # noqa: F401
+from arrow_spark.operators.smoothing import ewma  # noqa: F401

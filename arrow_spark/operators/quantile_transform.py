@@ -1,0 +1,53 @@
+"""Empirical-CDF feature normalization (quantile transform).
+
+ML feature prep: map each numeric column to its empirical percentile in
+[0, 1] — the rank-based normalization that is immune to outliers and
+monotone transforms. Relational form: unpivot the feature columns into a
+long (id, feature, value) table, then ONE window pass partitioned by
+feature with SQL-standard ``percent_rank`` = (rank − 1)/(n − 1) — ties
+share a rank on every engine, and the single integer-ratio division is
+deterministic, so the transform is value-hash exact.
+
+Scale note: partitioning by feature name means one shuffle partition per
+feature — the right plan when features ≪ cores carry millions of rows
+each is to let AQE split the per-feature sort (it is frame-free rank
+work), or to pre-bucket values with approx quantiles and rank buckets;
+this operator is the exact-path primitive the approximate variant is
+verified against (the same exact/scale split as dedup_jaccard vs
+MinHash-LSH).
+
+Reference anchor: rank/quantile kernels live in the reference's vector
+sorts (cpp/src/arrow/compute/kernels/vector_rank.cc, rank_quantile);
+the multi-column unpivot composition is left to callers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def quantile_transform(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """Long-form empirical percentiles: (ids…, feature, value, q) with
+    q = percent_rank of value within its feature column. Single-row
+    features yield q = 0.0 (SQL percent_rank convention)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.col(c).cast("double").alias("value"),
+            )
+            for c in feature_cols
+        ]
+    )
+    long = df.select(
+        *[F.col(c) for c in id_cols], F.explode(structs).alias("fv")
+    ).select(*id_cols, F.col("fv.feature").alias("feature"), F.col("fv.value").alias("value"))
+    w = W.partitionBy("feature").orderBy("value")
+    return long.withColumn("q", F.percent_rank().over(w))

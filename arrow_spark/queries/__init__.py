@@ -131,4 +131,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "retrieval_rrf_fusion",
     "cohort_retention",
     "corpus_keyness_terms",
+    "changepoint_cusum",
+    "feature_quantile_transform",
 )

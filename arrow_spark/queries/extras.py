@@ -1436,3 +1436,35 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                                width=1024, depth=4, hash_family="portable")
     exact = l.join(ps, l["l_suppkey"] == ps["ps_suppkey"]).count()
     return est.withColumn("exact_size", F.lit(exact).cast("long"))
+
+
+QT_ORACLE = """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS feature,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, feature, value,
+       percent_rank() OVER (PARTITION BY feature ORDER BY value) AS q
+FROM long
+"""
+
+
+@query("feature_quantile_transform", oracle=QT_ORACLE)
+def feature_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF normalization of three lineitem features in one
+    unpivot + one feature-partitioned window. percent_rank's integer
+    ratio makes every q hash-exact; ties (l_quantity has ~50 distinct
+    values) share ranks identically on both engines."""
+    from arrow_spark.operators.quantile_transform import quantile_transform
+
+    l = table(spark, sf_dir, "lineitem")
+    return quantile_transform(
+        l, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )

@@ -314,3 +314,50 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.operators.cohorts import cohort_retention
 
     return cohort_retention(table(spark, sf_dir, "events"))
+
+
+CUSUM_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT user_id, median(cents) AS target FROM base GROUP BY 1
+), dev AS (
+  SELECT b.user_id, b.event_id, b.cents,
+         b.cents - m.target AS dh, -(b.cents - m.target) AS dl,
+         ROW_NUMBER() OVER (PARTITION BY b.user_id ORDER BY b.ts, b.event_id) AS rn
+  FROM base b JOIN med m USING (user_id)
+), cum AS (
+  SELECT user_id, event_id, cents, rn,
+         sum(dh) OVER (PARTITION BY user_id ORDER BY rn) AS ch,
+         sum(dl) OVER (PARTITION BY user_id ORDER BY rn) AS cl
+  FROM dev
+), runmin AS (
+  SELECT user_id, event_id, cents, ch, cl,
+         min(ch) OVER (PARTITION BY user_id ORDER BY rn) AS mh,
+         min(cl) OVER (PARTITION BY user_id ORDER BY rn) AS ml
+  FROM cum
+)
+SELECT user_id, event_id, cents,
+       ch - least(0, mh) AS cusum_hi,
+       cl - least(0, ml) AS cusum_lo,
+       (ch - least(0, mh) > 20000) OR (cl - least(0, ml) > 20000) AS drift_flag
+FROM runmin
+"""
+
+
+@query("changepoint_cusum", oracle=CUSUM_ORACLE)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift statistics per user over integer-snapped
+    event values, median target, threshold 20000 cents. The clamp-free
+    running-extrema identity (operators/changepoint.py) keeps everything
+    on the 0.5 grid — every statistic and flag replays bit-exact."""
+    from arrow_spark.operators.changepoint import cusum_changepoints
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cusum_changepoints(
+        ev, ["user_id"], ["ts", "event_id"], "cents", threshold=20000.0
+    ).select("user_id", "event_id", "cents", "cusum_hi", "cusum_lo", "drift_flag")
