@@ -133,4 +133,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_keyness_terms",
     "changepoint_cusum",
     "feature_quantile_transform",
+    "stream_windowed_topk",
 )

@@ -356,3 +356,30 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
     return enrich_with_static(stream, dim, ["user_id"])
+
+
+WINDOWED_TOPK_ORACLE = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, n, window_start, window_end,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS INT) AS rank
+FROM counts QUALIFY rank <= 3
+"""
+
+
+@query("stream_windowed_topk", oracle=WINDOWED_TOPK_ORACLE)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: hourly top-3 by count. Streaming form =
+    the same windowed-counts aggregation (watermark-bounded state) with
+    the rank pushed into foreachBatch (tests/test_streaming.py runs the
+    live-stream variant); this batch plan is what the oracle checks."""
+    from arrow_spark.streaming import windowed_topk
+
+    e = table(spark, sf_dir, "events")
+    out = windowed_topk(e, "ts", "1 hour", "event_type", k=3)
+    return out.select("event_type", "n", "window_start", "window_end", "rank")

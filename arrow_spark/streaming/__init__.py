@@ -1,7 +1,9 @@
 from arrow_spark.streaming.joins import interval_join  # noqa: F401
 from arrow_spark.streaming.windows import (  # noqa: F401
+    rank_topk,
     session_window_agg,
     sliding_window_agg,
     stream_from_directory,
     tumbling_window_agg,
+    windowed_topk,
 )

@@ -85,3 +85,56 @@ def stream_from_directory(
     """File-source stream (the streaming analog of the dataset scanner:
     new files are discovered and read incrementally)."""
     return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def rank_topk(
+    counts: DataFrame,
+    k: int,
+    key_col: str,
+    metric_col: str = "n",
+    window_col: str = "window_start",
+) -> DataFrame:
+    """Top-k keys per window from a windowed-counts frame, ties to the
+    smaller key — the deterministic ranking step. Batch-only by Spark's
+    rules (rank is not stream-appendable): in a stream, apply it inside
+    foreachBatch on each micro-batch's aggregate state."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(window_col).orderBy(
+        F.col(metric_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def windowed_topk(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    key_col: str,
+    k: int = 5,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Trending keys: top-k by count per tumbling window.
+
+    Batch input → the full counts + per-window rank plan (what the
+    oracle checks). Streaming input → the windowed-counts aggregation
+    only (state bounded by the watermark); the caller ranks each
+    micro-batch's state with ``rank_topk`` inside foreachBatch — rank is
+    not an appendable streaming operator, and pushing it to the sink
+    side is the standard Structured Streaming idiom (the ranking input
+    is already aggregate-sized: windows × keys, not events).
+    """
+    counts = tumbling_window_agg(
+        df,
+        ts_col,
+        duration,
+        keys=[key_col],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        watermark=watermark,
+    )
+    if df.isStreaming:
+        return counts
+    return rank_topk(counts, k, key_col)

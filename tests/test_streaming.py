@@ -337,3 +337,40 @@ def test_stream_static_enrich_equals_batch_and_broadcasts(spark, sf_dir, tmp_pat
         for r in spark.sql("SELECT * FROM sse_test").collect()
     }
     assert got == expected
+
+
+def test_stream_windowed_topk_equals_batch(spark, sf_dir, tmp_path):
+    """complete-mode windowed counts ranked per micro-batch via
+    foreachBatch — the streaming trending-keys idiom — must land on the
+    batch plan's answer once the availableNow stream drains."""
+    from arrow_spark.streaming import rank_topk, stream_from_directory, windowed_topk
+
+    events = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_topk_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+
+    batch = windowed_topk(static, "ts", "1 hour", "event_type", k=3)
+    expected = {
+        (r.window_start, r.rank): (r.event_type, r.n) for r in batch.collect()
+    }
+
+    sink: dict = {}
+
+    def rank_into_sink(bdf, epoch_id):
+        for r in rank_topk(bdf, 3, "event_type").collect():
+            sink[(r.window_start, r.rank)] = (r.event_type, r.n)
+
+    stream = stream_from_directory(spark, src_dir, static.schema)
+    counts = windowed_topk(
+        stream, "ts", "1 hour", "event_type", k=3, watermark="2 hours"
+    )
+    q = (
+        counts.writeStream.foreachBatch(rank_into_sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sink == expected
