@@ -81,3 +81,82 @@ def running_stats_batch(events: DataFrame, key_col: str = "user_id") -> DataFram
             F.max("value").alias("max_v"),
         )
     )
+
+
+# -- Streaming CUSUM drift detector ----------------------------------------
+
+CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cusum_hi", T.DoubleType()),
+        T.StructField("cusum_lo", T.DoubleType()),
+        T.StructField("drift_flag", T.BooleanType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [T.StructField("s_hi", T.DoubleType()), T.StructField("s_lo", T.DoubleType())]
+)
+
+
+def cusum_stream(
+    events: DataFrame,
+    target: float,
+    threshold: float,
+    slack: float = 0.0,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key online CUSUM over a stream: the sequential Page recursion
+    carried across micro-batches as two doubles of state per key.
+
+    The streaming twin of operators/changepoint.py (which rewrites the
+    same recursion as window extrema for batch): here the recursion runs
+    literally, because a stream IS sequential — state is O(keys), each
+    micro-batch's rows are folded in ``order_col`` order, and the
+    emitted per-row statistics are identical to the batch operator's
+    when the stream delivers rows in order (verified in
+    tests/test_stateful_streaming.py). ``target`` is the known
+    in-control level, per standard online CUSUM (the batch operator's
+    median target needs the full series).
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        s_hi, s_lo = state.get if state.exists else (0.0, 0.0)
+        rows = pd.concat(list(pdfs)).sort_values(order_col)
+        out_hi, out_lo, flags = [], [], []
+        for x in rows[value_col]:
+            s_hi = max(0.0, s_hi + (float(x) - target - slack))
+            s_lo = max(0.0, s_lo - (float(x) - target + slack))
+            out_hi.append(s_hi)
+            out_lo.append(s_lo)
+            flags.append(s_hi > threshold or s_lo > threshold)
+        state.update((s_hi, s_lo))
+        yield pd.DataFrame(
+            {
+                "key": k,
+                "event_id": rows[order_col].to_numpy(),
+                "cusum_hi": out_hi,
+                "cusum_lo": out_lo,
+                "drift_flag": flags,
+            }
+        )
+
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(order_col).alias(order_col),
+            F.col(value_col).alias(value_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

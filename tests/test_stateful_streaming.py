@@ -53,3 +53,66 @@ def test_stateful_stream_converges_to_batch(spark, sf_dir, tmp_path):
         r.key: (r.n, r.total, r.max_v) for r in running_stats_batch(static).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_cusum_stream_equals_batch_operator(spark, sf_dir, tmp_path):
+    """The stateful streaming CUSUM must emit the identical per-row
+    statistics as the batch window-extrema operator when given the same
+    rows with the same fixed target — recursion ≡ closed form, across
+    the micro-batch boundary."""
+    from arrow_spark.operators.changepoint import cusum_changepoints
+    from arrow_spark.streaming.stateful import cusum_stream
+
+    events = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("user_id") < 6)
+    )
+    src = str(tmp_path / "cusum_src")
+    # one ordered file: the stream then delivers rows in event order, the
+    # premise under which stream ≡ batch holds exactly (out-of-order
+    # arrival changes WHICH prefix each s_t sees — a semantic difference,
+    # not a bug)
+    events.coalesce(1).sortWithinPartitions("event_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    static = spark.read.parquet(src)
+
+    target, threshold = 10000.0, 25000.0
+    batch = cusum_changepoints(
+        static.withColumn("__t__", F.lit(target)),
+        ["user_id"], "event_id", "cents",
+        threshold=threshold, target_col="__t__",
+    )
+    want = {
+        (r.user_id, r.event_id): (r.cusum_hi, r.cusum_lo, r.drift_flag)
+        for r in batch.collect()
+    }
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = cusum_stream(
+        stream, target=target, threshold=threshold,
+        key_col="user_id", order_col="event_id", value_col="cents",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.key, r.event_id): (r.cusum_hi, r.cusum_lo, r.drift_flag)
+        for r in spark.sql("SELECT * FROM cusum_stream_test").collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
