@@ -57,6 +57,11 @@ def ewma(
     the trailing-W frame is materialized in-row by ``collect_list`` over
     a ROWS window (frame order = window order), reversed, and folded
     newest→oldest accumulating (numerator, normalizer, weight).
+
+    Nulls: ``collect_list`` drops null values, so a null row receives
+    the EWMA of its non-null window neighbors rather than null
+    (behavior pinned in tests) — pre-filter or impute upstream when
+    null propagation is wanted.
     """
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     win = (

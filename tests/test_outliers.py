@@ -73,3 +73,19 @@ def test_simpson_index_ground_truth(spark):
     # s1: n=4 of one word -> 4*3/(4*3) = 1.0 ; s2: all distinct -> 0.0
     assert out["s1"]["simpson"] == 1.0 and out["s1"]["simpson_num"] == 12
     assert out["s2"]["simpson"] == 0.0 and out["s2"]["distinct_words"] == 4
+
+
+def test_cms_join_cardinality_empty_side(spark):
+    a = spark.createDataFrame([(1,)], "k long").where("k < 0")  # empty
+    b = spark.createDataFrame([(1,), (2,)], "k long")
+    row = cms_join_cardinality(a, "k", b, "k").collect()[0]
+    # empty sketch -> no aligned cells -> null estimate, reported as-is
+    assert row["join_size_est"] is None
+
+
+def test_mad_null_values_ignored_by_percentile(spark):
+    rows = [(1, 0, 5), (1, 1, None), (1, 2, 7)]
+    df = spark.createDataFrame(rows, "k long, i long, x long")
+    out = {r["i"]: r for r in mad_outliers(df, ["k"], "x").collect()}
+    assert out[0]["median"] == 6.0  # percentile skips the null
+    assert out[1]["is_outlier"] is None  # null value -> null flag, not a crash

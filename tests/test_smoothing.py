@@ -66,3 +66,16 @@ def test_single_exchange_plan(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1
     assert "Join" not in plan  # the trailing window is a frame, not a self-join
+
+
+def test_ewma_requires_dense_values_documented_behavior(spark):
+    # collect_list DROPS nulls: a null row still gets an ewma (of its
+    # neighbors) rather than propagating null — pin the behavior the
+    # docstring documents (pre-filter or impute upstream if undesired)
+    df = spark.createDataFrame(
+        [(1, 0, 4), (1, 1, None), (1, 2, 8)], "k long, i long, x long"
+    )
+    got = [r["ewma"] for r in ewma(df, ["k"], "i", "x").orderBy("i").collect()]
+    assert got[0] == 4.0
+    assert got[1] == 4.0          # window saw only [4]
+    assert got[2] == (8 + 4 * 0.5) / 1.5
