@@ -26,6 +26,12 @@ from arrow_spark.plans import substrait_builder as B
 #: "suffix": str, "right_tiebreak": [cols]}.
 ASOF_JOIN_URL = "arrow_spark/extensions/asof_join"
 
+#: type_url of the EWMA ExtensionSingleRel. Payload: {"keys": [cols],
+#: "order_by": [cols], "value_col": col, "halflives": int, "window":
+#: int, "out_col": str} — operators/smoothing.py semantics (the
+#: span-limited dyadic-exact EWMA).
+EWMA_URL = "arrow_spark/extensions/ewma"
+
 
 def asof_join_rel(
     left_rel: bytes,
@@ -79,4 +85,44 @@ def engine_extension_handler(
             suffix=opts.get("suffix", "_r"),
             right_tiebreak=opts.get("right_tiebreak", ()),
         )
+    if type_url == EWMA_URL:
+        from arrow_spark.operators.smoothing import ewma
+
+        if len(inputs) != 1:
+            raise ValueError(f"ewma extension expects 1 input, got {len(inputs)}")
+        opts = json.loads(value.decode())
+        return ewma(
+            inputs[0],
+            keys=opts["keys"],
+            order_by=opts["order_by"],
+            value_col=opts["value_col"],
+            halflives=opts.get("halflives", 1),
+            window=opts.get("window", 32),
+            out_col=opts.get("out_col", "ewma"),
+        )
     raise NotImplementedError(f"unknown extension relation {type_url!r}")
+
+
+def ewma_rel(
+    input_rel: bytes,
+    keys: list[str],
+    order_by: list[str],
+    value_col: str,
+    halflives: int = 1,
+    window: int = 32,
+    out_col: str = "ewma",
+) -> bytes:
+    """Encode a span-limited EWMA as an ExtensionSingleRel (builder
+    side): output schema = input columns ++ [out_col]."""
+    payload = json.dumps(
+        {
+            "keys": keys,
+            "order_by": order_by,
+            "value_col": value_col,
+            "halflives": halflives,
+            "window": window,
+            "out_col": out_col,
+        },
+        sort_keys=True,
+    ).encode()
+    return B.extension_single_rel(input_rel, EWMA_URL, payload)

@@ -134,4 +134,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "changepoint_cusum",
     "feature_quantile_transform",
     "stream_windowed_topk",
+    "substrait_extension_ewma",
 )

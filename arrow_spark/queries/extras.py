@@ -1304,11 +1304,14 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corr_pair_sql(a: str, b: str) -> str:
     n = f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END)::DOUBLE"
-    sx = f"sum(CASE WHEN {b} IS NOT NULL THEN {a} END)::BIGINT::DOUBLE"
-    sy = f"sum(CASE WHEN {a} IS NOT NULL THEN {b} END)::BIGINT::DOUBLE"
-    sxy = f"sum({a} * {b})::BIGINT::DOUBLE"
-    sxx = f"sum(CASE WHEN {b} IS NOT NULL THEN {a} * {a} END)::BIGINT::DOUBLE"
-    syy = f"sum(CASE WHEN {a} IS NOT NULL THEN {b} * {b} END)::BIGINT::DOUBLE"
+    # HUGEINT sums -> DOUBLE directly (round-to-nearest, same as Spark's
+    # decimal(38) -> double). The former ::BIGINT hop overflowed at sf0.1:
+    # sum(price_c^2) ~ 2.2e19 > 2^63 (found by the sf0.1 oracle sweep).
+    sx = f"sum(CASE WHEN {b} IS NOT NULL THEN {a} END)::DOUBLE"
+    sy = f"sum(CASE WHEN {a} IS NOT NULL THEN {b} END)::DOUBLE"
+    sxy = f"sum({a} * {b})::DOUBLE"
+    sxx = f"sum(CASE WHEN {b} IS NOT NULL THEN {a} * {a} END)::DOUBLE"
+    syy = f"sum(CASE WHEN {a} IS NOT NULL THEN {b} * {b} END)::DOUBLE"
     cov = f"({n} * {sxy} - {sx} * {sy})"
     vx = f"({n} * {sxx} - {sx} * {sx})"
     vy = f"({n} * {syy} - {sy} * {sy})"

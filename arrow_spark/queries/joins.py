@@ -182,7 +182,7 @@ def join_residual_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_ORACLE = """
 SELECT
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  floor(round(sum(l_extendedprice * (1 - l_discount)), 4) * 100 + 0.5) / 100 AS revenue,
   CAST(o_orderdate AS DATE) AS orderdate,
   o_orderpriority
 FROM customer
@@ -212,7 +212,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            # tie-safe 2-decimal rounding (see tpch._sum2x): plain
+            # round(sum, 2) flips at .xx5 midpoints — q3 hit one at sf0.1
+            (F.floor(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4) * 100 + F.lit(0.5)) / 100).alias(
                 "revenue"
             )
         )

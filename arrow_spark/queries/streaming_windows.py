@@ -328,7 +328,12 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STATIC_ENRICH_ORACLE = """
 WITH dim AS (
-  SELECT user_id, count(*) AS user_events, round(avg(value), 4) AS user_avg
+  SELECT user_id, count(*) AS user_events,
+         -- exact-cents average: integer sum, ONE deterministic division,
+         -- then a floor-snap — round(avg(value), 4) flipped at a .xxxx5
+         -- midpoint at sf0.1 (found by the sf0.1 oracle sweep)
+         floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / (100 * count(*)) * 1e4 + 0.5) / 1e4 AS user_avg
   FROM events GROUP BY user_id
 )
 SELECT e.event_id, e.user_id, e.event_type,
@@ -350,7 +355,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     dim = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("user_events"),
-        F.round(F.avg("value"), 4).alias("user_avg"),
+        (
+            F.floor(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / (100 * F.count(F.lit(1)))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("user_avg"),
     )
     stream = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")

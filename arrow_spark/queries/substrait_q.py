@@ -548,3 +548,62 @@ def substrait_extension_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda names: table(spark, sf_dir, names[0]),
         extension_handler=engine_extension_handler,
     )
+
+
+# identical semantics to ewma_smooth ⇒ identical oracle
+from arrow_spark.queries.timeseries import EWMA_ORACLE as EXT_EWMA_ORACLE
+
+
+def _extension_ewma_plan_bytes() -> bytes:
+    from arrow_spark.plans.extensions import ewma_rel
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    kinds = ["i64", "i64", "timestamp", "fp64"]
+    read = B.read_named(["events"], cols, kinds)
+    # cents = cast(round(value * 100, 0) as i64) appended as _f4, then
+    # emit (event_id, user_id, ts, cents)
+    cents = B.cast(
+        B.scalar_fn(
+            2,
+            [
+                B.scalar_fn(1, [B.field_ref(3), B.lit_fp64(100.0)],
+                            output=B.typ("fp64")),
+                B.lit_i32(0),
+            ],
+            output=B.typ("fp64"),
+        ),
+        B.typ("i64"),
+    )
+    snapped = B.project_rel(read, [cents], emit=[0, 1, 2, 4])
+    sm = ewma_rel(
+        snapped,
+        keys=["_f1"],
+        order_by=["_f2", "_f0"],
+        value_col="_f3",
+        out_col="ewma_cents",
+    )
+    # ext output re-positionalized _f0..(cents) ++ _f4 (ewma_cents)
+    final = B.project_rel(sm, [], emit=[1, 0, 3, 4])
+    return B.plan(
+        final,
+        ["user_id", "event_id", "cents", "ewma_cents"],
+        functions={1: (B.URI_ARITH, "multiply"), 2: (B.URI_ARITH, "round")},
+    )
+
+
+@query("substrait_extension_ewma", oracle=EXT_EWMA_ORACLE)
+def substrait_extension_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span-32 dyadic-exact EWMA arriving as an ExtensionSingleRel — the
+    second shipped extension (after the as-of ExtensionMultiRel),
+    proving the provider hook over a SINGLE-input rel with arithmetic
+    (multiply/round anchors) composed below it. Identical semantics to
+    ewma_smooth, so the oracle is the same bounded self-join replay —
+    bit-exact."""
+    from arrow_spark.plans.extensions import engine_extension_handler
+
+    return run_substrait(
+        spark,
+        _extension_ewma_plan_bytes(),
+        lambda names: table(spark, sf_dir, names[0]),
+        extension_handler=engine_extension_handler,
+    )
