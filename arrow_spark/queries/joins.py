@@ -223,7 +223,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE
+             / 1e4 * 100 + 0.5) / 100 AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -260,8 +263,22 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact ten-thousandth integer sum (decimal(38) operand),
+            # then one deterministic division + floor-snap — immune to
+            # the .xx5 midpoint flip q3 hit at sf0.1
+            (
+                F.floor(
+                    F.sum(
+                        (
+                            F.round(F.col("l_extendedprice") * 100).cast("long")
+                            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1e4
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("revenue")
         )
     )

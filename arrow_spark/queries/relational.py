@@ -38,8 +38,13 @@ SELECT
   l_linestatus,
   round(sum(l_quantity), 2)                                          AS sum_qty,
   round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+  floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE
+        / 1e4 * 100 + 0.5) / 100                                     AS sum_disc_price,
+  floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            * (100 + CAST(round(l_tax * 100) AS BIGINT)))::DOUBLE
+        / 1e6 * 100 + 0.5) / 100                                     AS sum_charge,
   floor((round(sum(l_quantity), 2) / count(l_quantity)) * 1e6 + 0.5) / 1e6           AS avg_qty,
   floor((round(sum(l_extendedprice), 2) / count(l_extendedprice)) * 1e6 + 0.5) / 1e6 AS avg_price,
   floor((round(sum(l_discount), 2) / count(l_discount)) * 1e6 + 0.5) / 1e6           AS avg_disc,
@@ -54,15 +59,25 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: map-side partial agg + final agg, filter pushed to scan."""
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact-decimal product sums: price/disc/tax are 2-decimal, so the
+    # per-row products are exact integers in ten-thousandths/millionths
+    # and the group sums are EXACT at any scale (decimal(38) operand —
+    # long sums of the millionth-products would overflow ~1e8 rows).
+    # Plain round(sum(double-product), 2) flips at .xx5 midpoints once
+    # engine sum orders diverge — demonstrated live by q3 at sf0.1.
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_f = 100 - F.round(F.col("l_discount") * 100).cast("long")
+    tax_f = 100 + F.round(F.col("l_tax") * 100).cast("long")
+    dp_tt = (price_c * disc_f).cast("decimal(38,0)")
+    ch_m = (price_c * disc_f * tax_f).cast("decimal(38,0)")
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast(l.schema["l_shipdate"].dataType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (F.floor(F.sum(dp_tt).cast("double") / 1e4 * 100 + F.lit(0.5)) / 100).alias("sum_disc_price"),
+            (F.floor(F.sum(ch_m).cast("double") / 1e6 * 100 + F.lit(0.5)) / 100).alias("sum_charge"),
             # Tie-safe mean: round(sum,2)/count is bit-identical across
             # engines (see windows.cumulative_ops for the rationale).
             _mean6("l_quantity").alias("avg_qty"),
