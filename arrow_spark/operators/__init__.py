@@ -11,3 +11,6 @@ from arrow_spark.operators.cohorts import cohort_retention  # noqa: F401
 from arrow_spark.operators.outliers import mad_outliers  # noqa: F401
 from arrow_spark.operators.quantile_transform import quantile_transform  # noqa: F401
 from arrow_spark.operators.smoothing import ewma  # noqa: F401
+from arrow_spark.operators.abtest import welch_ttest  # noqa: F401
+from arrow_spark.operators.ivm import incremental_join_refresh  # noqa: F401
+from arrow_spark.operators.layout import hilbert_by, hilbert_value  # noqa: F401

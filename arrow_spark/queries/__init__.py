@@ -135,4 +135,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "feature_quantile_transform",
     "stream_windowed_topk",
     "substrait_extension_ewma",
+    "incremental_join_refresh",
+    "layout_hilbert",
+    "experiment_welch_ttest",
 )

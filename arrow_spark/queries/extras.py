@@ -1471,3 +1471,128 @@ def feature_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount"],
     )
+
+
+IVM_ORACLE = """
+SELECT o_orderkey, o_custkey, c_name, round(o_totalprice, 2) AS o_totalprice,
+       c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@query("incremental_join_refresh", oracle=IVM_ORACLE)
+def incremental_join_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join IVM delta rule: the orders⋈customer view is materialized
+    from 90% of each input, then refreshed with the held-out 10% deltas
+    — old ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, deltas broadcast. The oracle is the
+    full join of the complete tables, so the hash match proves the
+    delta algebra is exact (refresh ≡ recompute)."""
+    from arrow_spark.operators.ivm import incremental_join_refresh
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o_old, o_new = o.where("o_orderkey % 10 != 0"), o.where("o_orderkey % 10 = 0")
+    c_old, c_new = c.where("c_custkey % 10 != 0"), c.where("c_custkey % 10 = 0")
+    base = o_old.withColumnRenamed("o_custkey", "k").join(
+        c_old.withColumnRenamed("c_custkey", "k"), "k"
+    )
+    out = incremental_join_refresh(
+        base,
+        o_old.withColumnRenamed("o_custkey", "k"),
+        c_old.withColumnRenamed("c_custkey", "k"),
+        o_new.withColumnRenamed("o_custkey", "k"),
+        c_new.withColumnRenamed("c_custkey", "k"),
+        on=["k"],
+    )
+    return out.select(
+        "o_orderkey", F.col("k").alias("o_custkey"), "c_name",
+        "o_totalprice", "c_mktsegment",
+    )
+
+
+def _hilbert_oracle(bits: int = 16) -> str:
+    """DuckDB twin of operators/layout.py::hilbert_value: the rotate/
+    flip recursion unrolled as one chained-CTE projection per level
+    (columns re-materialize each step, so growth is linear, unlike a
+    nested expression)."""
+    steps = ["""h0 AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_partkey % 65536 AS BIGINT) AS x,
+         CAST(l_suppkey % 65536 AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM lineitem
+)"""]
+    for k in range(bits):
+        s = 1 << (bits - 1 - k)
+        steps.append(f"""h{k + 1} AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN (y & {s}) = 0
+         THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END)
+         ELSE x END AS x,
+    CASE WHEN (y & {s}) = 0
+         THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END)
+         ELSE y END AS y,
+    d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                      CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+  FROM h{k})""")
+    return (
+        "WITH " + ",\n".join(steps)
+        + f"\nSELECT l_orderkey, l_linenumber, d AS hval FROM h{bits}"
+    )
+
+
+HILBERT_ORACLE = _hilbert_oracle()
+
+
+@query("layout_hilbert", oracle=HILBERT_ORACLE)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert curve values over (l_partkey, l_suppkey) — the
+    tighter-bounding-box upgrade over layout_zorder (no Morton seams);
+    hilbert_by range-partitions on this key. Pure integer fold,
+    per-row hash-checked against the 16-step CTE replay."""
+    from arrow_spark.operators.layout import hilbert_value
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        hilbert_value(
+            F.pmod(F.col("l_partkey"), F.lit(65536)),
+            F.pmod(F.col("l_suppkey"), F.lit(65536)),
+        ).alias("hval"),
+    )
+
+
+TTEST_ORACLE = """
+WITH m AS (
+  SELECT grp, CAST(count(cents) AS BIGINT) AS n,
+         sum(cents)::DOUBLE AS sx, sum(cents * cents)::DOUBLE AS sxx
+  FROM (SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+  GROUP BY 1
+), d AS (
+  SELECT grp, n, sx / n AS mean, (sxx - sx * sx / n) / (n - 1.0) AS var FROM m
+), b AS (
+  SELECT n AS b_n, mean AS b_mean, var AS b_var FROM d WHERE grp = 'view'
+)
+SELECT d.grp AS event_type, d.n, d.mean, d.var,
+       (d.mean - b.b_mean) / sqrt(d.var / d.n + b.b_var / b.b_n) AS t_stat,
+       abs((d.mean - b.b_mean) / sqrt(d.var / d.n + b.b_var / b.b_n)) > 1.96
+         AS significant
+FROM d, b WHERE d.grp != 'view'
+"""
+
+
+@query("experiment_welch_ttest", oracle=TTEST_ORACLE)
+def experiment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t for every event_type's cent-snapped value vs the 'view'
+    baseline — exact decimal moment sums, one double conversion, fixed
+    IEEE algebra: statistics and significance flags are hash-exact."""
+    from arrow_spark.operators.abtest import welch_ttest
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return welch_ttest(ev, "event_type", "cents", baseline="view")

@@ -141,3 +141,55 @@ def test_zorder_value_bit_interleave(spark):
     z = df.select(zorder_value([F.col("x"), F.col("y")], bits=4).alias("z")).first().z
     # x=0b0011 → bits at 0,2 ; y=0b0101 → bits at 1,5 → z=0b100111=39
     assert z == 0b100111
+
+
+def _xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_implementation(spark):
+    from pyspark.sql import functions as F
+
+    from arrow_spark.operators.layout import hilbert_value
+
+    pts = [(x, y) for x in range(8) for y in range(8)] + [
+        (1234, 4321), (65535, 0), (0, 65535), (65535, 65535), (40000, 20000)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select("x", "y", hilbert_value(F.col("x"), F.col("y")).alias("h")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d(1 << 16, x, y), (x, y)
+
+
+def test_hilbert_is_a_bijection_with_unit_steps(spark):
+    # on the 8x8 grid with bits=3: values are a permutation of 0..63 and
+    # consecutive curve positions are grid neighbors (|dx|+|dy| = 1) —
+    # the locality property Morton lacks
+    from pyspark.sql import functions as F
+
+    from arrow_spark.operators.layout import hilbert_value
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    rows = df.select(
+        "x", "y", hilbert_value(F.col("x"), F.col("y"), bits=3).alias("h")
+    ).collect()
+    by_h = {r["h"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_h) == list(range(64))
+    for h in range(63):
+        (x1, y1), (x2, y2) = by_h[h], by_h[h + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
