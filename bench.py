@@ -145,6 +145,17 @@ HEADLINE = [
     "outlier_mad_flags",
     "retrieval_rrf_fusion",
     "corpus_source_diversity",
+    # round-4 wave 3: Hilbert layout key (600k-row in-row fold), CUSUM
+    # drift windows, weekly cohorts, the 1.8M-row feature-partitioned
+    # percent_rank, join-IVM refresh (deltas broadcast), per-source
+    # keyness. experiment_welch_ttest is correctness-gated only (4-row
+    # output, sub-second — nothing to measure).
+    "layout_hilbert",
+    "changepoint_cusum",
+    "cohort_retention",
+    "feature_quantile_transform",
+    "incremental_join_refresh",
+    "corpus_keyness_terms",
 ]
 
 

@@ -193,3 +193,19 @@ def test_hilbert_is_a_bijection_with_unit_steps(spark):
     for h in range(63):
         (x1, y1), (x2, y2) = by_h[h], by_h[h + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_numpy_path_equals_jvm_fold(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from arrow_spark.operators.layout import hilbert_value, hilbert_value_np
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.pmod(F.col("l_partkey"), F.lit(65536)).alias("x"),
+        F.pmod(F.col("l_suppkey"), F.lit(65536)).alias("y"),
+    )
+    diff = l.select(
+        (hilbert_value(F.col("x"), F.col("y"))
+         != hilbert_value_np(F.col("x"), F.col("y"))).alias("ne")
+    ).where("ne").count()
+    assert diff == 0
