@@ -522,3 +522,34 @@ def keyness_terms(
             (F.col("keyness_micro") / 1e6).alias("keyness"),
         )
     )
+
+
+def packing_efficiency(
+    manifest: DataFrame, max_len: int = 2048
+) -> DataFrame:
+    """Packing-efficiency report from a pack_sequences manifest: per
+    shard, document/token totals and the padding waste of the final
+    partial sequence (concat-and-split wastes ONLY the tail of each
+    shard — interior sequences are full by construction).
+
+    One shard-keyed aggregation over the manifest (manifest rows are one
+    per document — metadata-sized relative to the corpus). Exact integer
+    cells + one deterministic division.
+    """
+    per_shard = manifest.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.max(F.col("seq_last")).cast("long").alias("last_seq"),
+    )
+    n_seqs = F.col("last_seq") + 1
+    padding = n_seqs * max_len - F.col("n_tokens")
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        n_seqs.alias("n_seqs"),
+        padding.alias("padding_tokens"),
+        (F.col("n_tokens").cast("double") / (n_seqs * max_len).cast("double")).alias(
+            "fill_ratio"
+        ),
+    )

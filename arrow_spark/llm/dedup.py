@@ -898,3 +898,45 @@ def excise_duplicate_spans(
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+def pair_set_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Precision/recall/F1 of a candidate pair set against ground truth
+    — the evaluation harness for approximate dedup (is this LSH band
+    plan recalling enough of the exact-Jaccard pairs?). Pairs are
+    canonicalized (small id first) so orientation never miscounts.
+
+    Scale: two distinct canonical pair sets, one full-outer equi-join on
+    the pair key, three counts — every step keyed by the pair, nothing
+    quadratic. Counts are exact; the three ratios are single
+    deterministic divisions (hash-exact).
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(left_col), F.col(right_col)
+        return df.select(
+            F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")
+        ).distinct()
+
+    p, t = canon(predicted).withColumn("__p__", F.lit(1)), canon(truth).withColumn(
+        "__t__", F.lit(1)
+    )
+    j = p.join(t, ["pa", "pb"], "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNotNull(), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("__p__").isNull() & F.col("__t__").isNotNull(), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = tp.cast("double") / (tp + fp).cast("double")
+    rec = tp.cast("double") / (tp + fn).cast("double")
+    return agg.select(
+        "tp", "fp", "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (F.lit(2.0) * tp.cast("double") / (F.lit(2) * tp + fp + fn).cast("double")).alias("f1"),
+    )

@@ -138,4 +138,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "incremental_join_refresh",
     "layout_hilbert",
     "experiment_welch_ttest",
+    "dedup_eval_lsh_recall",
+    "corpus_packing_efficiency",
 )

@@ -498,3 +498,44 @@ def corpus_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.corpus import keyness_terms
 
     return keyness_terms(table(spark, sf_dir, "documents"))
+
+
+PACKING_EFF_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+              AS BIGINT) AS shard,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT shard, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM m
+), per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(max((start_tok + n_tokens - 1) // 2048) AS BIGINT) + 1 AS n_seqs
+  FROM w GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens, n_seqs,
+       n_seqs * 2048 - n_tokens AS padding_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(n_seqs * 2048 AS DOUBLE) AS fill_ratio
+FROM per
+"""
+
+
+@query("corpus_packing_efficiency", oracle=PACKING_EFF_ORACLE)
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing-efficiency report over the pack_sequences manifest: per
+    shard, docs/tokens/sequences and the tail padding waste — the
+    loader-utilization number a packing config is judged by. Exact
+    integer cells + one deterministic division."""
+    from arrow_spark.llm.corpus import pack_sequences, packing_efficiency
+
+    manifest = pack_sequences(table(spark, sf_dir, "documents"))
+    return packing_efficiency(manifest, max_len=2048).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs", "n_tokens", "n_seqs", "padding_tokens", "fill_ratio",
+    )

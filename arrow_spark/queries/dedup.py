@@ -629,3 +629,76 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.dedup import excise_duplicate_spans
 
     return excise_duplicate_spans(table(spark, sf_dir, "documents"), window=20)
+
+
+_SHINGLE_EN_CTE = _SHINGLE_CTE.replace(
+    "FROM documents", "FROM documents\n  WHERE lang = 'en'"
+)
+
+
+def _lsh_eval_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Replay candidates AND exact truth, then the pair-set confusion
+    counts — precision/recall of the band plan, hash-exact."""
+    return f"""
+WITH {_SHINGLE_EN_CTE}, {_minhash_band_ctes(num_hashes, bands)},
+cands AS (
+  SELECT DISTINCT a.id AS pa, b.id AS pb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+), truth AS (
+  SELECT a.id AS pa, b.id AS pb
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE (len(list_intersect(a.sh, b.sh)) * 1.0
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) >= 0.5
+), j AS (
+  SELECT coalesce(c.pa, t.pa) AS pa, coalesce(c.pb, t.pb) AS pb,
+         c.pa IS NOT NULL AS in_p, t.pa IS NOT NULL AS in_t
+  FROM cands c FULL OUTER JOIN truth t ON c.pa = t.pa AND c.pb = t.pb
+), m AS (
+  SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+FROM m
+"""
+
+
+@query("dedup_eval_lsh_recall", oracle=_lsh_eval_oracle())
+def dedup_eval_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the dedup-evaluation harness: precision/recall/F1 of the banded
+    MinHash CANDIDATE set against exact shingle-Jaccard ≥ 0.5 truth
+    (lang='en' slice; the truth side is the lossless length-blocked
+    all-pairs — the oracle recomputes it unblocked, proving the blocking
+    drops nothing). The numbers that justify a band plan before running
+    it on 100 TB."""
+    from arrow_spark.llm.dedup import (
+        minhash_lsh_candidates,
+        pair_set_metrics,
+        shingle_sets,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    pred = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, hash_family="portable"
+    ).select(F.col("id_a"), F.col("id_b"))
+    ss = shingle_sets(docs)
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    truth = (
+        a.join(
+            b,
+            (F.col("a.id") < F.col("b.id"))
+            # lossless length blocking at t=0.5: J >= t needs the sizes
+            # within a factor of 2 of each other
+            & (F.size(F.col("a.sh")) * 2 >= F.size(F.col("b.sh")))
+            & (F.size(F.col("b.sh")) * 2 >= F.size(F.col("a.sh"))),
+        )
+        .where((inter / union) >= 0.5)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return pair_set_metrics(pred, truth)

@@ -7,3 +7,9 @@ from arrow_spark.streaming.windows import (  # noqa: F401
     tumbling_window_agg,
     windowed_topk,
 )
+from arrow_spark.streaming.sink import (  # noqa: F401
+    committed_epochs,
+    idempotent_sink,
+    read_committed,
+    write_epoch,
+)
