@@ -926,17 +926,22 @@ def pair_set_metrics(
         "__t__", F.lit(1)
     )
     j = p.join(t, ["pa", "pb"], "full_outer")
+    # count() of a conditional, not sum-of-when: empty inputs must yield
+    # exact zeros, not nulls (caught by the hypothesis property test)
     agg = j.agg(
-        F.sum(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNotNull(), 1).otherwise(0)).cast("long").alias("tp"),
-        F.sum(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
-        F.sum(F.when(F.col("__p__").isNull() & F.col("__t__").isNotNull(), 1).otherwise(0)).cast("long").alias("fn"),
+        F.count(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNotNull(), 1)).cast("long").alias("tp"),
+        F.count(F.when(F.col("__p__").isNotNull() & F.col("__t__").isNull(), 1)).cast("long").alias("fp"),
+        F.count(F.when(F.col("__p__").isNull() & F.col("__t__").isNotNull(), 1)).cast("long").alias("fn"),
     )
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
-    prec = tp.cast("double") / (tp + fp).cast("double")
-    rec = tp.cast("double") / (tp + fn).cast("double")
+    # degenerate denominators -> null metric (not a crash under ANSI)
+    prec = F.when(tp + fp > 0, tp.cast("double") / (tp + fp).cast("double"))
+    rec = F.when(tp + fn > 0, tp.cast("double") / (tp + fn).cast("double"))
+    f1 = F.when(
+        F.lit(2) * tp + fp + fn > 0,
+        F.lit(2.0) * tp.cast("double") / (F.lit(2) * tp + fp + fn).cast("double"),
+    )
     return agg.select(
         "tp", "fp", "fn",
-        prec.alias("precision"),
-        rec.alias("recall"),
-        (F.lit(2.0) * tp.cast("double") / (F.lit(2) * tp + fp + fn).cast("double")).alias("f1"),
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )

@@ -201,3 +201,55 @@ def test_portable_hash_cross_engine_equality(spark, strings, seed):
             [s, s],
         ).fetchone()
         assert got[s] == (h, slot), s
+
+
+int_groups = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=-(2**20), max_value=2**20)),
+    min_size=2, max_size=50,
+)
+
+
+@given(rows=int_groups)
+@SETTINGS
+def test_mad_outliers_match_numpy(spark, rows):
+    import numpy as np
+
+    from arrow_spark.operators.outliers import mad_outliers
+
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k long, i long, x long"
+    )
+    got = {(r["k"], r["i"]): r for r in mad_outliers(df, ["k"], "x").collect()}
+    by_k: dict = {}
+    for i, (k, v) in enumerate(rows):
+        by_k.setdefault(k, []).append((i, v))
+    for k, items in by_k.items():
+        vals = np.array([v for _, v in items], dtype=float)
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        for i, v in items:
+            r = got[(k, i)]
+            assert r["median"] == med and r["mad"] == mad
+            assert r["is_outlier"] == (abs(v - med) > 3.0 * 1.4826 * mad)
+
+
+@given(
+    pred=st.sets(st.tuples(st.integers(0, 20), st.integers(0, 20)), max_size=30),
+    truth=st.sets(st.tuples(st.integers(0, 20), st.integers(0, 20)), max_size=30),
+)
+@SETTINGS
+def test_pair_set_metrics_match_python_sets(spark, pred, truth):
+    from arrow_spark.llm.dedup import pair_set_metrics
+
+    def canon(pairs):
+        return {(min(a, b), max(a, b)) for a, b in pairs}
+
+    def df_of(pairs):
+        rows = list(pairs) or [(None, None)]
+        d = spark.createDataFrame(rows, "id_a int, id_b int")
+        return d.where(F.col("id_a").isNotNull()) if not pairs else d
+
+    r = pair_set_metrics(df_of(pred), df_of(truth)).collect()[0]
+    p, t = canon(pred), canon(truth)
+    assert (r["tp"], r["fp"], r["fn"]) == (len(p & t), len(p - t), len(t - p))
