@@ -68,7 +68,12 @@ def count_triangles(
     (v, n_triangles) when ``per_vertex`` — each triangle credited to all
     three corners (the clustering-coefficient numerator).
     """
-    o = orient_edges(edges, src, dst)
+    # materialize the oriented edges once: the frame is referenced three
+    # times (both wedge legs + closers) and Catalyst re-inlines the whole
+    # upstream derivation per reference — measured 90 duplicated scans /
+    # 184 exchanges in the static plan of the registry query before this
+    # (plan-fingerprint audit); after, each leg scans the checkpoint.
+    o = orient_edges(edges, src, dst).localCheckpoint()
     w1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     w2 = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
     # wedges u→v, u→w keyed once per unordered {v, w} pair

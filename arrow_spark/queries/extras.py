@@ -895,10 +895,11 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.multimodal import attach_binary_meta, extract_features
 
     d = table(spark, sf_dir, "documents").select("doc_id")
-    enc = F.udf(
-        lambda i: encode_png(8, 8, 1, bytes(((i + k) % 256) for k in range(64))),
-        "binary",
-    )
+    @F.pandas_udf("binary")
+    def enc(ids):  # Arrow-batched synthesis — keeps the whole pipeline off BatchEvalPython
+        return ids.map(
+            lambda i: encode_png(8, 8, 1, bytes(((int(i) + k) % 256) for k in range(64)))
+        )
     media = attach_binary_meta(
         d.select("doc_id", enc("doc_id").alias("payload")),
         "payload",
@@ -933,9 +934,11 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.multimodal import attach_binary_meta, extract_features
 
     d = table(spark, sf_dir, "documents").select("doc_id")
-    enc = F.udf(
-        lambda i: encode_wav([(i % 100) / 100.0] * 16, framerate=8000), "binary"
-    )
+    @F.pandas_udf("binary")
+    def enc(ids):  # Arrow-batched synthesis, matching the PNG twin
+        return ids.map(
+            lambda i: encode_wav([(int(i) % 100) / 100.0] * 16, framerate=8000)
+        )
     media = attach_binary_meta(
         d.select("doc_id", enc("doc_id").alias("payload")),
         "payload",
