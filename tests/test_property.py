@@ -253,3 +253,58 @@ def test_pair_set_metrics_match_python_sets(spark, pred, truth):
     r = pair_set_metrics(df_of(pred), df_of(truth)).collect()[0]
     p, t = canon(pred), canon(truth)
     assert (r["tp"], r["fp"], r["fn"]) == (len(p & t), len(p - t), len(t - p))
+
+
+@given(rows=int_groups)
+@SETTINGS
+def test_quantile_transform_matches_pandas_pct_rank(spark, rows):
+    from arrow_spark.operators.quantile_transform import quantile_transform
+
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(rows)], "id long, a long"
+    )
+    got = {
+        r["id"]: r["q"]
+        for r in quantile_transform(df, ["id"], ["a"]).collect()
+    }
+    vals = pd.Series([v for _, v in rows], dtype="float64")
+    # SQL percent_rank = (min_rank - 1) / (n - 1); ties share the rank
+    want = ((vals.rank(method="min") - 1) / (len(vals) - 1)) if len(vals) > 1 \
+        else pd.Series([0.0] * len(vals))
+    for i in range(len(rows)):
+        assert got[i] == want.iloc[i]
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),  # (user, day)
+        min_size=1, max_size=60,
+    )
+)
+@SETTINGS
+def test_cohort_retention_matches_python(spark, events):
+    from datetime import datetime, timedelta
+
+    from arrow_spark.operators.cohorts import cohort_retention
+
+    base_dt = datetime(2024, 1, 1)
+    rows = [(u, base_dt + timedelta(days=d)) for u, d in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_p"], r["offset"]): (r["n_active"], r["cohort_size"])
+           for r in cohort_retention(df).collect()}
+    # python reference on integer week buckets
+    epoch = datetime(1970, 1, 1)
+    pa = {(u, int((base_dt + timedelta(days=d) - epoch).total_seconds() // 604800))
+          for u, d in events}
+    cohort = {}
+    for u, p in pa:
+        cohort[u] = min(p, cohort.get(u, p))
+    want: dict = {}
+    for u, p in pa:
+        key = (cohort[u], p - cohort[u])
+        want.setdefault(key, set()).add(u)
+    sizes: dict = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want2 = {k: (len(v), sizes[k[0]]) for k, v in want.items()}
+    assert got == want2
