@@ -14,3 +14,4 @@ from arrow_spark.operators.smoothing import ewma  # noqa: F401
 from arrow_spark.operators.abtest import welch_ttest  # noqa: F401
 from arrow_spark.operators.ivm import incremental_join_refresh  # noqa: F401
 from arrow_spark.operators.layout import hilbert_by, hilbert_value  # noqa: F401
+from arrow_spark.operators.survival import kaplan_meier  # noqa: F401

@@ -140,4 +140,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "experiment_welch_ttest",
     "dedup_eval_lsh_recall",
     "corpus_packing_efficiency",
+    "survival_kaplan_meier",
 )

@@ -361,3 +361,56 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         ev, ["user_id"], ["ts", "event_id"], "cents", threshold=20000.0
     ).select("user_id", "event_id", "cents", "cusum_hi", "cusum_lo", "drift_flag")
+
+
+KM_ORACLE = """
+WITH subj AS (
+  SELECT user_id % 3 AS segment,
+         CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS t,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS event
+  FROM events GROUP BY user_id
+), per_t AS (
+  SELECT segment, t, CAST(sum(event) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS n_subjects
+  FROM subj GROUP BY 1, 2
+), w AS (
+  SELECT segment, t, d_events, n_subjects,
+         n_subjects - d_events AS n_censored,
+         CAST(sum(n_subjects) OVER (PARTITION BY segment)
+              - coalesce(sum(n_subjects) OVER (PARTITION BY segment ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM per_t
+), f AS (
+  SELECT *, CAST(1 AS DOUBLE) - CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+            AS fct
+  FROM w
+)
+SELECT a.segment, a.t, a.n_at_risk, a.d_events, a.n_censored,
+       list_reduce(list(b.fct ORDER BY b.t), (x, y) -> x * y) AS survival
+FROM f a JOIN f b ON a.segment = b.segment AND b.t <= a.t
+GROUP BY a.segment, a.t, a.n_at_risk, a.d_events, a.n_censored
+"""
+
+
+@query("survival_kaplan_meier", oracle=KM_ORACLE)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves per user segment: duration = active
+    days, event = made a purchase (others censored). Integer counts +
+    one deterministic division per step + identical ordered left-fold
+    products on both engines ⇒ every survival value is bit-exact."""
+    from arrow_spark.operators.survival import kaplan_meier
+
+    subj = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("t"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("event"),
+        )
+        .withColumn("segment", F.col("user_id") % 3)
+    )
+    return kaplan_meier(subj, ["segment"], "t", "event")

@@ -44,3 +44,33 @@ def test_keyness_discriminative_term_ranks_first(spark):
            for r in keyness_terms(docs, k=2).collect()}
     assert out[("s1", 1)] == "alpha"   # only in s1
     assert out[("s2", 1)] == "gamma"   # only in s2
+
+
+def test_kaplan_meier_textbook_example(spark):
+    from arrow_spark.operators.survival import kaplan_meier
+
+    # classic toy: durations 1,2+,3,4+ (+= censored), one group
+    rows = [(1, 1, 1), (1, 2, 0), (1, 3, 1), (1, 4, 0)]
+    df = spark.createDataFrame(rows, "g long, t long, e long")
+    out = {r["t"]: r for r in kaplan_meier(df, ["g"], "t", "e").collect()}
+    # t=1: n=4, d=1 -> S=3/4 ; t=2: censored only, S unchanged
+    # t=3: n=2, d=1 -> S=3/4 * 1/2 = 3/8 ; t=4: censored, unchanged
+    assert out[1]["n_at_risk"] == 4 and out[1]["survival"] == 0.75
+    assert out[2]["d_events"] == 0 and out[2]["survival"] == 0.75
+    assert out[3]["n_at_risk"] == 2 and out[3]["survival"] == 0.375
+    assert out[4]["n_censored"] == 1 and out[4]["survival"] == 0.375
+
+
+def test_kaplan_meier_no_censoring_equals_empirical_survival(spark):
+    from arrow_spark.operators.survival import kaplan_meier
+
+    # all events observed: S(t) must equal the plain empirical fraction
+    # still alive after t
+    durations = [1, 1, 2, 3, 3, 3, 5, 8]
+    df = spark.createDataFrame(
+        [(1, t, 1) for t in durations], "g long, t long, e long"
+    )
+    out = {r["t"]: r["survival"] for r in kaplan_meier(df, ["g"], "t", "e").collect()}
+    n = len(durations)
+    for t in sorted(set(durations)):
+        assert out[t] == sum(1 for d in durations if d > t) / n
