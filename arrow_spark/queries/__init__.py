@@ -141,4 +141,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "dedup_eval_lsh_recall",
     "corpus_packing_efficiency",
     "survival_kaplan_meier",
+    "similarity_ivf_exact_replay",
 )

@@ -175,3 +175,190 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.select(
         "vec_id", F.posexplode("codes").alias("dim", "code")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-exact IVF replay: the methodology capstone — even the APPROXIMATE
+# ANN path becomes value-hash verifiable once every float is pinned.
+# Embeddings snap to integer milli-units, so dots/norms are exact BIGINTs;
+# Lloyd centroids are exact-sum/count divisions; every distance is the
+# SAME ascending-dimension left fold on both engines. The production
+# ivf_topk keeps its float matmul (faster, rows-only + recall-tested);
+# this twin proves the algorithm end to end. (Pattern precedent:
+# sketch_hll vs sketch_hll_rel.)
+# ---------------------------------------------------------------------------
+
+_IVF_K, _IVF_ITERS, _IVF_NPROBE, _IVF_TOPK, _DIMS = 4, 3, 2, 5, 64
+
+_IVF_DIST = (
+    "list_reduce(list_transform(range(1, {d} + 1),"
+    " i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])),"
+    " (x, y) -> x + y)"
+)
+
+
+def _ivf_replay_oracle() -> str:
+    d = _DIMS
+    parts = [f"""e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, list_transform(e, x -> CAST(x AS DOUBLE)) AS c
+  FROM e WHERE vec_id < {_IVF_K}
+), idx(i) AS (SELECT unnest(range(1, {d} + 1)))"""]
+    for t in range(1, _IVF_ITERS + 1):
+        dist = _IVF_DIST.format(d=d, v="v.e", c="c.c")
+        parts.append(f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {dist} ASC, c.cid) AS rn
+    FROM e v, c{t - 1} c
+  ) WHERE rn = 1
+), u{t} AS (
+  SELECT cid, list(sm ORDER BY pos) AS c FROM (
+    SELECT a.cid, idx.i AS pos,
+           CAST(sum(e.e[idx.i]) AS DOUBLE) / count(*) AS sm
+    FROM a{t} a JOIN e USING (vec_id), idx
+    GROUP BY a.cid, idx.i
+  ) GROUP BY cid
+), c{t} AS MATERIALIZED (
+  SELECT p.cid, coalesce(u.c, p.c) AS c
+  FROM c{t - 1} p LEFT JOIN u{t} u USING (cid)
+)""")
+    qdist = _IVF_DIST.format(d=d, v="p.qe", c="c.c")
+    dot = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> q.qe[i] * v.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    qn = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> q.qe[i] * q.qe[i]),"
+        " (x, y) -> x + y)"
+    )
+    vn = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> v.e[i] * v.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    parts.append(f"""probe AS (
+  SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 3
+), qc AS (
+  SELECT qid, cid FROM (
+    SELECT p.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY {qdist} ASC, c.cid) AS rn
+    FROM probe p, c{_IVF_ITERS} c
+  ) WHERE rn <= {_IVF_NPROBE}
+), cand AS (
+  SELECT qc.qid, a.vec_id FROM qc JOIN a{_IVF_ITERS} a USING (cid)
+), scored AS (
+  SELECT cand.qid, cand.vec_id,
+         CAST({dot} AS DOUBLE) / (sqrt(CAST({qn} AS DOUBLE)) * sqrt(CAST({vn} AS DOUBLE)))
+           AS cos
+  FROM cand JOIN probe q USING (qid) JOIN e v ON cand.vec_id = v.vec_id
+)""")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT qid, vec_id, CAST(rn AS INT) AS rank, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {_IVF_TOPK}
+"""
+
+
+def _fold_sq_dist(vec_col, centroid_vals):
+    lit = F.array(*[F.lit(float(v)) for v in centroid_vals])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+@query("similarity_ivf_exact_replay", oracle=_ivf_replay_oracle())
+def similarity_ivf_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with every float pinned: 3 Lloyd iterations on
+    milli-snapped embeddings (k=4, first-k init, empty clusters keep
+    their centroid), nprobe=2 probe, exact integer cosine top-5 for
+    three query vectors — hash-identical to the DuckDB unrolled replay.
+    Driver holds only the k×64 centroids per iteration (the Lloyd
+    scalar-collect precedent)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * 1000).cast("long")
+        ).alias("e"),
+    ).localCheckpoint()
+    cents = {
+        r["vec_id"]: [float(v) for v in r["e"]]
+        for r in emb.where(F.col("vec_id") < _IVF_K).collect()
+    }
+    assign = None
+    for _ in range(_IVF_ITERS):
+        dists = F.array(
+            *[
+                F.struct(
+                    _fold_sq_dist(F.col("e"), cents[cid]).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid in sorted(cents)
+            ]
+        )
+        assign = emb.withColumn("cid", F.array_min(dists)["cid"])
+        sums = (
+            assign.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", (F.col("s").cast("double") / F.col("n").cast("double")).alias("m")))
+                    ),
+                    lambda st: st["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new_cents = {r["cid"]: list(r["c"]) for r in sums}
+        cents = {cid: new_cents.get(cid, c) for cid, c in cents.items()}
+    probe = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    qdists = F.array(
+        *[
+            F.struct(
+                _fold_sq_dist(F.col("qe"), cents[cid]).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in sorted(cents)
+        ]
+    )
+    qc = probe.select(
+        "qid", "qe",
+        F.explode(F.slice(F.array_sort(qdists), 1, _IVF_NPROBE)).alias("pc"),
+    ).select("qid", "qe", F.col("pc.cid").alias("cid"))
+    cand = qc.join(assign.select("vec_id", "cid", "e"), "cid")
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+        )
+
+    scored = cand.select(
+        "qid", "vec_id",
+        (dot.cast("double") / (_norm(F.col("qe")) * _norm(F.col("e")))).alias("cos"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("qid", "vec_id", "rank", "cos")
+    )
