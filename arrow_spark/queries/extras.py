@@ -569,18 +569,44 @@ def encode_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.select("l_orderkey", "l_linenumber", "code")
 
 
-@query("multimodal_retrieval", oracle=None)
+MM_RETRIEVAL_ORACLE = """
+WITH feats AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(1, 9),
+           i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS DOUBLE) / 255.0)
+           AS embedding
+  FROM documents WHERE doc_id < 200
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM feats WHERE vec_id < 3
+), pairs AS (
+  SELECT q.qid, f.vec_id AS nid,
+         list_cosine_similarity(q.qv, f.embedding) AS cos
+  FROM q, feats f WHERE f.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM pairs
+)
+SELECT qid, nid, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("multimodal_retrieval", oracle=MM_RETRIEVAL_ORACLE)
 def multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """end-to-end multimodal retrieval plumbing: binary payloads →
     media contract (attach_binary_meta) → executor-side decode/feature
-    extraction (mapInPandas, deterministic fake codec) → exact cosine
-    top-k over the extracted embedding column. Rows-only (the decode is
-    a Python codec, not SQL); each stage is separately tested, and the
-    ANN stages have their own oracle-checked twins."""
+    extraction (mapInPandas, deterministic fake codec: 8 'pixels' from
+    the first payload bytes) → exact cosine top-5 over the extracted
+    embedding column. FULLY oracled since r4: the corpus subset is
+    deterministic (doc_id < 200), the ASCII fixture texts make the fake
+    decoder SQL-expressible (ascii(char i)/255), and the cosine replay
+    follows similarity_topk_cosine. (Was rows-only: the old .limit(200)
+    subset was not replayable.)"""
     from arrow_spark.llm.multimodal import attach_binary_meta, extract_features
     from arrow_spark.llm.similarity import brute_force_topk
 
-    docs = table(spark, sf_dir, "documents").limit(200)
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = attach_binary_meta(
         docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("img")),
         "img",
@@ -592,7 +618,9 @@ def multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return brute_force_topk(corpus, queries, k=5).select("qid", "nid", "rank")
+    return brute_force_topk(corpus, queries, k=5).select(
+        "qid", "nid", F.round("cos", 6).alias("cos_sim"), "rank"
+    )
 
 
 ZORDER_ORACLE = """
