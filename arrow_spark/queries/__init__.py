@@ -142,4 +142,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_packing_efficiency",
     "survival_kaplan_meier",
     "similarity_ivf_exact_replay",
+    "similarity_pq_exact_replay",
 )

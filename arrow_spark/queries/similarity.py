@@ -200,7 +200,7 @@ _IVF_DIST = (
 def _ivf_replay_oracle() -> str:
     d = _DIMS
     parts = [f"""e AS MATERIALIZED (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
   FROM embeddings
 ), c0 AS MATERIALIZED (
   SELECT vec_id AS cid, list_transform(e, x -> CAST(x AS DOUBLE)) AS c
@@ -282,7 +282,7 @@ def similarity_ivf_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
-            "embedding", lambda x: F.round(x * 1000).cast("long")
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
         ).alias("e"),
     ).localCheckpoint()
     cents = {
@@ -361,4 +361,200 @@ def similarity_ivf_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _IVF_TOPK)
         .select("qid", "vec_id", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-exact PQ replay: the pinned-float methodology applied to product
+# quantization (the last ANN family without an exact gate). m=4
+# subspaces x 16 dims, k=4 codes, 2 Lloyd iterations per book, ADC
+# top-5 for 3 queries. Every codebook mean, code assignment, and ADC
+# distance is bit-identical to the generated DuckDB replay; the
+# production pq_topk keeps its float matmul (rows-only + recall tests).
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS, _PQ_TOPK = 4, 16, 4, 2, 5
+
+
+def _pq_sub(expr: str, s: int) -> str:
+    """DuckDB slice of subspace s (1-based list positions)."""
+    return f"list_transform(range({s * _PQ_DSUB} + 1, {(s + 1) * _PQ_DSUB} + 1), i -> {expr}[i])"
+
+
+def _pq_dist(v: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_PQ_DSUB} + 1),"
+        f" i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _pq_replay_oracle() -> str:
+    parts = [f"""e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+), sidx(i) AS (SELECT unnest(range(1, {_PQ_DSUB} + 1)))"""]
+    for s in range(_PQ_M):
+        parts.append(f"""sub{s} AS MATERIALIZED (
+  SELECT vec_id, {_pq_sub('e', s)} AS v FROM e
+), cb{s}_0 AS MATERIALIZED (
+  SELECT vec_id AS code, list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+  FROM sub{s} WHERE vec_id < {_PQ_K}
+)""")
+        for t in range(1, _PQ_ITERS + 1):
+            parts.append(f"""as{s}_{t} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT v.vec_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_pq_dist('v.v', 'c.c')} ASC, c.code) AS rn
+    FROM sub{s} v, cb{s}_{t - 1} c
+  ) WHERE rn = 1
+), up{s}_{t} AS (
+  SELECT code, list(sm ORDER BY pos) AS c FROM (
+    SELECT a.code, sidx.i AS pos,
+           CAST(sum(v.v[sidx.i]) AS DOUBLE) / count(*) AS sm
+    FROM as{s}_{t} a JOIN sub{s} v USING (vec_id), sidx
+    GROUP BY a.code, sidx.i
+  ) GROUP BY code
+), cb{s}_{t} AS MATERIALIZED (
+  SELECT p.code, coalesce(u.c, p.c) AS c
+  FROM cb{s}_{t - 1} p LEFT JOIN up{s}_{t} u USING (code)
+)""")
+    T = _PQ_ITERS
+    code_cols = ", ".join(
+        f"a{s}.code AS code{s}" for s in range(_PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN as{s}_{T} a{s} USING (vec_id)" for s in range(_PQ_M)
+    )
+    parts.append(f"""codes AS MATERIALIZED (
+  SELECT vec_id, {code_cols} FROM e {code_joins}
+), probe AS (
+  SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 3
+)""")
+    for s in range(_PQ_M):
+        parts.append(f"""tab{s} AS MATERIALIZED (
+  SELECT p.qid, c.code, {_pq_dist(_pq_sub('p.qe', s), 'c.c')} AS d
+  FROM probe p, cb{s}_{T} c
+)""")
+    tab_joins = " ".join(
+        f"JOIN tab{s} t{s} ON t{s}.qid = p.qid AND t{s}.code = codes.code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    parts.append(f"""scored AS (
+  SELECT p.qid, codes.vec_id, {adc} AS adc
+  FROM probe p, codes {tab_joins}
+  WHERE codes.vec_id <> p.qid
+)""")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT qid, vec_id, CAST(rn AS INT) AS rank, adc FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@query("similarity_pq_exact_replay", oracle=_pq_replay_oracle())
+def similarity_pq_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC with every float pinned: per-subspace 2-iteration Lloyd
+    codebooks on milli-snapped embeddings (first-k init, empty codes
+    keep their centroid), code assignment by ordered-fold distances,
+    ADC = fixed-order sum of 4 table lookups — hash-identical to the
+    generated DuckDB replay. Completes the exact-gate coverage of every
+    ANN family (brute force, LSH, IVF, now PQ)."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("e"),
+    ).localCheckpoint()
+
+    def sub(col, s):
+        return F.slice(col, s * _PQ_DSUB + 1, _PQ_DSUB)
+
+    # per-subspace Lloyd with driver-held centroids (IVF-replay pattern)
+    books: list[dict[int, list[float]]] = []
+    code_cols = []
+    for s in range(_PQ_M):
+        sv = emb.select("vec_id", sub(F.col("e"), s).alias("v"))
+        cents = {
+            r["vec_id"]: [float(x) for x in r["v"]]
+            for r in sv.where(F.col("vec_id") < _PQ_K).collect()
+        }
+        assign = None
+        for _ in range(_PQ_ITERS):
+            dists = F.array(
+                *[
+                    F.struct(
+                        _fold_sq_dist(F.col("v"), cents[code]).alias("dist"),
+                        F.lit(code).alias("code"),
+                    )
+                    for code in sorted(cents)
+                ]
+            )
+            assign = sv.withColumn("code", F.array_min(dists)["code"])
+            sums = (
+                assign.select("code", F.posexplode("v").alias("pos", "val"))
+                .groupBy("code", "pos")
+                .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+                .groupBy("code")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "pos",
+                                    (F.col("sm").cast("double") / F.col("n").cast("double")).alias("m"),
+                                )
+                            )
+                        ),
+                        lambda st: st["m"],
+                    ).alias("c")
+                )
+                .collect()
+            )
+            new_c = {r["code"]: list(r["c"]) for r in sums}
+            cents = {code: new_c.get(code, c) for code, c in cents.items()}
+        books.append(cents)
+        code_cols.append(assign.select("vec_id", F.col("code").alias(f"code{s}")))
+
+    codes = emb.select("vec_id")
+    for s in range(_PQ_M):
+        codes = codes.join(code_cols[s], "vec_id")
+    codes = codes.localCheckpoint()
+
+    # query distance tables, driver-computed with the SAME ascending
+    # left fold the oracle's list_reduce performs
+    qrows = emb.where(F.col("vec_id") < 3).collect()
+    out = []
+    for r in qrows:
+        qid, qe = r["vec_id"], [int(x) for x in r["e"]]
+        adc = None
+        for s in range(_PQ_M):
+            qsub = qe[s * _PQ_DSUB: (s + 1) * _PQ_DSUB]
+            table_s = {}
+            for code, c in books[s].items():
+                acc = 0.0
+                for i in range(_PQ_DSUB):
+                    acc = acc + (float(qsub[i]) - c[i]) * (float(qsub[i]) - c[i])
+                table_s[code] = acc
+            term = F.element_at(
+                F.array(*[F.lit(table_s[code]) for code in sorted(table_s)]),
+                F.col(f"code{s}") + 1,
+            )
+            adc = term if adc is None else adc + term
+        out.append(
+            codes.where(F.col("vec_id") != qid).select(
+                F.lit(qid).alias("qid"), "vec_id", adc.alias("adc")
+            )
+        )
+    scored = out[0]
+    for df in out[1:]:
+        scored = scored.unionByName(df)
+    w = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select("qid", "vec_id", "rank", "adc")
     )
