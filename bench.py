@@ -156,6 +156,16 @@ HEADLINE = [
     "feature_quantile_transform",
     "incremental_join_refresh",
     "corpus_keyness_terms",
+    # round-4 wave 4: Kaplan-Meier survival, packing-efficiency report,
+    # end-to-end multimodal retrieval (now deterministic). The
+    # *_exact_replay ANN twins are verification-only (pinned-float
+    # driver-iterative Lloyd — the bench measures the production matmul
+    # paths, similarity_ivf_topk / similarity_pq_topk, above).
+    # dedup_eval_lsh_recall stays off: its exact all-pairs truth side is
+    # the verifier, not the operator (dedup_jaccard_pairs precedent).
+    "survival_kaplan_meier",
+    "corpus_packing_efficiency",
+    "multimodal_retrieval",
 ]
 
 
