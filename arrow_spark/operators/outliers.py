@@ -59,3 +59,41 @@ def mad_outliers(
         f"{p}is_outlier",
         F.col(f"{p}deviation") > F.lit(k * MAD_SIGMA) * F.col(f"{p}mad"),
     )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    keys: Sequence[str],
+    season_col: str,
+    value_col: str,
+    k: float = 3.0,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Seasonal-baseline anomaly flags: remove the per-(keys, season)
+    median baseline (e.g. hour-of-day), then Hampel-flag the residuals
+    per key group — the ops-monitoring detector that doesn't page on
+    the nightly batch being nightly.
+
+    Adds ``{p}baseline``, ``{p}residual``, ``{p}res_mad``,
+    ``{p}season_flag``. Two window partitionings (keys+season for the
+    baseline, keys for the residual MAD) ⇒ two Exchanges — the minimum
+    for the two grouping granularities. Exactness: on integer-snapped
+    inputs every median lands on a dyadic grid (0.5 → 0.25 → 0.125), so
+    flags replay bit-exact (operators/smoothing.py contract).
+    """
+    p = out_prefix
+    season_win = W.partitionBy(*keys, season_col)
+    key_win = W.partitionBy(*keys)
+    df = df.withColumn(
+        f"{p}baseline", F.expr(f"percentile({value_col}, 0.5)").over(season_win)
+    )
+    df = df.withColumn(f"{p}residual", F.col(value_col) - F.col(f"{p}baseline"))
+    med_r = F.expr(f"percentile({p}residual, 0.5)").over(key_win)
+    df = df.withColumn(f"{p}__dev__", F.abs(F.col(f"{p}residual") - med_r))
+    df = df.withColumn(
+        f"{p}res_mad", F.expr(f"percentile({p}__dev__, 0.5)").over(key_win)
+    )
+    return df.withColumn(
+        f"{p}season_flag",
+        F.col(f"{p}__dev__") > F.lit(k * MAD_SIGMA) * F.col(f"{p}res_mad"),
+    ).drop(f"{p}__dev__")

@@ -143,4 +143,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "survival_kaplan_meier",
     "similarity_ivf_exact_replay",
     "similarity_pq_exact_replay",
+    "seasonal_anomaly_flags",
+    "sketch_sliding_distinct",
 )

@@ -1629,3 +1629,131 @@ def experiment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
     return welch_ttest(ev, "event_type", "cents", baseline="view")
+
+
+SEASONAL_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, CAST(hour(ts) AS BIGINT) AS season,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), b AS (
+  SELECT event_type, season, median(cents) AS baseline
+  FROM base GROUP BY 1, 2
+), r AS (
+  SELECT base.event_type, base.event_id, base.cents, b.baseline,
+         base.cents - b.baseline AS residual
+  FROM base JOIN b USING (event_type, season)
+), mr AS (
+  SELECT event_type, median(residual) AS med_r FROM r GROUP BY 1
+), d AS (
+  SELECT r.*, abs(r.residual - mr.med_r) AS dev
+  FROM r JOIN mr USING (event_type)
+), md AS (
+  SELECT event_type, median(dev) AS res_mad FROM d GROUP BY 1
+)
+SELECT d.event_type, d.event_id, d.cents, d.baseline, d.residual, md.res_mad,
+       d.dev > (3.0 * 1.4826) * md.res_mad AS season_flag
+FROM d JOIN md USING (event_type)
+"""
+
+
+@query("seasonal_anomaly_flags", oracle=SEASONAL_ORACLE)
+def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour-of-day seasonal baseline (median per type×hour) removed,
+    then Hampel flags on the residuals per event type — the detector
+    that ignores daily rhythm. Dyadic-grid medians on cents ⇒ every
+    baseline, residual, and flag hash-exact."""
+    from arrow_spark.operators.outliers import seasonal_residuals
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.hour("ts").cast("long").alias("season"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = seasonal_residuals(ev, ["event_type"], "season", "cents")
+    return out.select(
+        "event_type", "event_id", "cents", "baseline", "residual",
+        "res_mad", "season_flag",
+    )
+
+
+def _sliding_hll_oracle(p: int = 9, max_rank: int = 40) -> str:
+    """Sliding-window distinct counts: the oracle builds each 2h
+    window's registers DIRECTLY over its raw rows, while the Spark path
+    max-merges per-hour sketches — the hash match proves the TEMPORAL
+    merge law (sketch of union ≡ merge of sketches) that makes sliding
+    distinct-count windows O(buckets·2^p) state instead of re-scanning
+    overlapping data."""
+    from arrow_spark.operators.sketches import hll_alpha
+
+    m = 1 << p
+    w = 60 - p
+    alpha_c = hll_alpha(m) * float(m * m * (1 << max_rank))
+    return f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb, user_id FROM events
+), wins AS (
+  SELECT DISTINCT w FROM (SELECT hb AS w FROM e UNION ALL SELECT hb - 1 AS w FROM e)
+), we AS (
+  SELECT wins.w, e.user_id FROM wins JOIN e ON e.hb IN (wins.w, wins.w + 1)
+), h AS (
+  SELECT w, {_portable_sql('user_id', 0)} AS h FROM we
+), br AS (
+  SELECT w, h >> {w} AS bucket,
+         least(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+               ELSE {w} - length(bin(h & {(1 << w) - 1})) + 1 END,
+               {max_rank}) AS rank
+  FROM h
+), regs AS (
+  SELECT w, bucket, max(rank) AS rank FROM br GROUP BY 1, 2
+), agg AS (
+  SELECT w, count(*) AS present,
+         sum(1::BIGINT << ({max_rank} - rank)::INT)::BIGINT AS s_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT w, ({m} - present)::BIGINT AS zero_registers,
+         (s_present + ({m} - present) * {1 << max_rank})::BIGINT AS harmonic_scaled,
+         {alpha_c!r} / (s_present + ({m} - present) * {1 << max_rank})::DOUBLE AS raw
+  FROM agg
+), ex AS (
+  SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM we GROUP BY 1
+)
+SELECT est.w, zero_registers, harmonic_scaled,
+       floor((CASE WHEN raw <= {2.5 * m!r} AND zero_registers > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zero_registers::DOUBLE)
+              ELSE raw END) * 1e4 + 0.5) / 1e4 AS approx_distinct,
+       exact_distinct
+FROM est JOIN ex USING (w)
+"""
+
+
+@query("sketch_sliding_distinct", oracle=_sliding_hll_oracle())
+def sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct users per 2-hour SLIDING window via mergeable relational
+    HLL: per-hour register frames are built once and every window is a
+    positionwise max of two of them — state ∝ buckets·2^p, overlapping
+    raw data never re-scanned (the streaming distinct-count pattern).
+    The oracle builds each window directly, so the hash match proves
+    the temporal merge law; exact counts ride along."""
+    from arrow_spark.operators.sketches import (
+        hll_rel_build,
+        hll_rel_estimate,
+        hll_rel_merge,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hb"), "user_id"
+    )
+    regs = hll_rel_build(ev, "user_id", keys=["hb"], p=9)
+    slid = regs.select(F.col("hb").alias("w"), "bucket", "rank").unionByName(
+        regs.select((F.col("hb") - 1).alias("w"), "bucket", "rank")
+    )
+    est = hll_rel_estimate(hll_rel_merge(slid, keys=["w"]), keys=["w"], p=9)
+    dup = ev.select(F.col("hb").alias("w"), "user_id").unionByName(
+        ev.select((F.col("hb") - 1).alias("w"), "user_id")
+    )
+    exact = dup.groupBy("w").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "w")

@@ -89,3 +89,22 @@ def test_mad_null_values_ignored_by_percentile(spark):
     out = {r["i"]: r for r in mad_outliers(df, ["k"], "x").collect()}
     assert out[0]["median"] == 6.0  # percentile skips the null
     assert out[1]["is_outlier"] is None  # null value -> null flag, not a crash
+
+
+def test_seasonal_residuals_removes_known_seasonality(spark):
+    from arrow_spark.operators.outliers import seasonal_residuals
+
+    # season s baseline = 100*s; one genuine anomaly at (s=1, x=1000)
+    rows = []
+    i = 0
+    for s in (0, 1):
+        for v in (100 * s, 100 * s, 100 * s + 2, 100 * s - 2, 100 * s + 1):
+            rows.append((1, i, s, v)); i += 1
+    rows.append((1, i, 1, 1000))
+    df = spark.createDataFrame(rows, "k long, i long, season long, x long")
+    out = {r["i"]: r for r in seasonal_residuals(df, ["k"], "season", "x").collect()}
+    assert out[i]["season_flag"] is True           # the planted anomaly
+    assert sum(1 for r in out.values() if r["season_flag"]) == 1
+    # season-1 median includes the anomaly row: sorted {98,100,100,101,
+    # 102,1000} -> (100+101)/2
+    assert out[0]["baseline"] == 0.0 and out[5]["baseline"] == 100.5
