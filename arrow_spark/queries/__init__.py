@@ -145,4 +145,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "similarity_pq_exact_replay",
     "seasonal_anomaly_flags",
     "sketch_sliding_distinct",
+    "sketch_hll_intersection",
 )

@@ -1757,3 +1757,100 @@ def sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "w")
+
+
+def _hll_intersect_oracle(p: int = 9, max_rank: int = 40) -> str:
+    """Inclusion-exclusion over three register estimates: |A∩B| ≈
+    est(A) + est(B) − est(A∪B), where est(A∪B) comes from max-merging
+    A's and B's registers — the sketch set-algebra that answers
+    audience-overlap questions without a join. All three estimates and
+    the final fixed-order arithmetic replay exactly."""
+    from arrow_spark.operators.sketches import hll_alpha
+
+    m = 1 << p
+    w = 60 - p
+    alpha_c = hll_alpha(m) * float(m * m * (1 << max_rank))
+    est = (
+        "floor((CASE WHEN raw <= {lim!r} AND zr > 0 "
+        "THEN {fm!r} * ln({fm!r} / zr::DOUBLE) ELSE raw END) * 1e4 + 0.5) / 1e4"
+    ).format(lim=2.5 * m, fm=float(m))
+    return f"""
+WITH e AS (
+  SELECT event_type, user_id, {_portable_sql('user_id', 0)} AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+), br AS (
+  SELECT event_type, h >> {w} AS bucket,
+         least(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+               ELSE {w} - length(bin(h & {(1 << w) - 1})) + 1 END,
+               {max_rank}) AS rank
+  FROM e
+), regs AS (
+  SELECT event_type, bucket, max(rank) AS rank FROM br GROUP BY 1, 2
+), uregs AS (
+  SELECT bucket, max(rank) AS rank FROM regs GROUP BY 1
+), sides AS (
+  SELECT event_type AS side, bucket, rank FROM regs
+  UNION ALL SELECT 'union', bucket, rank FROM uregs
+), agg AS (
+  SELECT side, count(*) AS present,
+         sum(1::BIGINT << ({max_rank} - rank)::INT)::BIGINT AS s_present
+  FROM sides GROUP BY 1
+), ests AS (
+  SELECT side, zr, raw, {est} AS est FROM (
+    SELECT side, ({m} - present)::BIGINT AS zr,
+           {alpha_c!r} / (s_present + ({m} - present) * {1 << max_rank})::DOUBLE AS raw
+    FROM agg)
+), piv AS (
+  SELECT max(CASE WHEN side = 'click' THEN est END) AS est_a,
+         max(CASE WHEN side = 'purchase' THEN est END) AS est_b,
+         max(CASE WHEN side = 'union' THEN est END) AS est_union
+  FROM ests
+), exact AS (
+  SELECT CAST(count(DISTINCT a.user_id) AS BIGINT) AS exact_intersection
+  FROM (SELECT DISTINCT user_id FROM e WHERE event_type = 'click') a
+  JOIN (SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase') b
+    ON a.user_id = b.user_id
+)
+SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_intersection,
+       exact_intersection
+FROM piv, exact
+"""
+
+
+@query("sketch_hll_intersection", oracle=_hll_intersect_oracle())
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audience overlap WITHOUT a join: distinct clickers ∩ purchasers
+    estimated by inclusion-exclusion over relational-HLL registers (the
+    union sketch is a positionwise max-merge); exact intersection rides
+    along. Every register, estimate, and the final fixed-order
+    subtraction replays hash-exact."""
+    from arrow_spark.operators.sketches import (
+        hll_rel_build,
+        hll_rel_estimate,
+        hll_rel_merge,
+    )
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_type", "user_id")
+    regs = hll_rel_build(ev, "user_id", keys=["event_type"], p=9)
+    uregs = hll_rel_merge(regs, keys=[])
+    per_side = hll_rel_estimate(regs, keys=["event_type"], p=9)
+    union_est = hll_rel_estimate(uregs, keys=[], p=9)
+    a = per_side.where(F.col("event_type") == "click").select(
+        F.col("approx_distinct").alias("est_a")
+    )
+    b = per_side.where(F.col("event_type") == "purchase").select(
+        F.col("approx_distinct").alias("est_b")
+    )
+    u = union_est.select(F.col("approx_distinct").alias("est_union"))
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = clickers.join(buyers, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    return (
+        a.crossJoin(b).crossJoin(u).crossJoin(exact)
+        .withColumn("est_intersection", F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .select("est_a", "est_b", "est_union", "est_intersection", "exact_intersection")
+    )
