@@ -90,3 +90,55 @@ def ewma(
         F.reverse(vals), init, step, lambda acc: acc["num"] / acc["den"]
     )
     return df.withColumn(out_col, smoothed)
+
+
+def holt_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    value_col: str,
+    window: int = 16,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Span-limited Holt double exponential smoothing (level + trend),
+    α = β = 1/2 — the trend-aware sibling of ``ewma``:
+
+        l_t = ½·x_t + ½·(l_{t-1} + b_{t-1})
+        b_t = ½·(l_t − l_{t-1}) + ½·b_{t-1}
+
+    initialized (l, b) = (x_first, 0) at the trailing-window head. Adds
+    ``{p}level``, ``{p}trend``, ``{p}forecast`` (= level + trend, the
+    one-step-ahead prediction).
+
+    Exactness: halving is exact; with integer inputs below 2^16 and
+    W = 16, every level/trend stays a dyadic with ≤ 2^30 denominator —
+    inside the 53-bit mantissa, so all three outputs are bit-identical
+    in any IEEE engine (the DuckDB oracle replays the recursion as
+    chained per-step projections). Same single-Exchange window plan as
+    ``ewma``.
+    """
+    p = out_prefix
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    win = (
+        W.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(win)
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        l2 = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        b2 = F.lit(0.5) * (l2 - acc["l"]) + F.lit(0.5) * acc["b"]
+        return F.struct(l2.alias("l"), b2.alias("b"))
+
+    state = F.aggregate(
+        F.slice(vals, 2, window), init, step, lambda acc: acc
+    )
+    return (
+        df.withColumn(f"{p}level", state["l"])
+        .withColumn(f"{p}trend", state["b"])
+        .withColumn(f"{p}forecast", state["l"] + state["b"])
+    )

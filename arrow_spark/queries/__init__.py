@@ -146,4 +146,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "seasonal_anomaly_flags",
     "sketch_sliding_distinct",
     "sketch_hll_intersection",
+    "holt_trend_smooth",
 )

@@ -414,3 +414,66 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segment", F.col("user_id") % 3)
     )
     return kaplan_meier(subj, ["segment"], "t", "event")
+
+
+def _holt_oracle(window: int = 16) -> str:
+    """Chained per-step replay of the Holt recursion: the row's trailing
+    window is pivoted to w1..wN columns, then each step updates (l, b)
+    with the identical half-and-sum expressions (partial head windows
+    skip missing steps via CASE — matching the fold's shorter list)."""
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN pos = {j} THEN w END) AS w{j}" for j in range(1, window + 1)
+    )
+    steps = []
+    for k in range(2, window + 1):
+        carry = ", ".join(f"w{j}" for j in range(k + 1, window + 1))
+        carry = (carry + "," if carry else "")
+        l2 = f"0.5 * w{k} + 0.5 * (l + b)"
+        steps.append(f"""s{k} AS (
+  SELECT user_id, event_id, cents, {carry}
+         CASE WHEN w{k} IS NULL THEN l ELSE {l2} END AS l,
+         CASE WHEN w{k} IS NULL THEN b
+              ELSE 0.5 * (({l2}) - l) + 0.5 * b END AS b
+  FROM s{k - 1}
+)""")
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), wv AS (
+  SELECT a.user_id, a.event_id, a.cents,
+         b.rn - greatest(a.rn - {window - 1}, 1) + 1 AS pos, b.cents AS w
+  FROM base a JOIN base b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {window - 1} AND a.rn
+), piv AS (
+  SELECT user_id, event_id, cents,
+         {pivots}
+  FROM wv GROUP BY 1, 2, 3
+), s1 AS (
+  SELECT user_id, event_id, cents,
+         {', '.join(f'w{j}' for j in range(2, window + 1))},
+         CAST(w1 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM piv
+),
+{','.join(steps)}
+SELECT user_id, event_id, cents, l AS level, b AS trend, l + b AS forecast
+FROM s{window}
+"""
+
+
+@query("holt_trend_smooth", oracle=_holt_oracle())
+def holt_trend_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span-16 Holt level+trend smoothing (α=β=½) of integer-snapped
+    event values per user — the trend-aware sibling of ewma_smooth.
+    Dyadic halving keeps every level/trend/forecast exact, so the
+    chained-step oracle replay is bit-for-bit."""
+    from arrow_spark.operators.smoothing import holt_smooth
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return holt_smooth(
+        ev, ["user_id"], ["ts", "event_id"], "cents", window=16
+    ).select("user_id", "event_id", "cents", "level", "trend", "forecast")

@@ -79,3 +79,35 @@ def test_ewma_requires_dense_values_documented_behavior(spark):
     assert got[0] == 4.0
     assert got[1] == 4.0          # window saw only [4]
     assert got[2] == (8 + 4 * 0.5) / 1.5
+
+
+def test_holt_equals_sequential_recursion(spark):
+    from arrow_spark.operators.smoothing import holt_smooth
+
+    vals = [10, 12, 15, 13, 18, 22, 21, 25, 30, 28, 33, 35, 40, 38, 45, 50, 52, 49]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, i long, x long"
+    )
+    got = [
+        (r["level"], r["trend"], r["forecast"])
+        for r in holt_smooth(df, ["k"], "i", "x").orderBy("i").collect()
+    ]
+    for t in range(len(vals)):
+        window = vals[max(0, t - 15): t + 1]
+        l, b = float(window[0]), 0.0
+        for x in window[1:]:
+            l2 = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (l2 - l) + 0.5 * b
+            l = l2
+        assert got[t] == (l, b, l + b)  # EXACT
+
+
+def test_holt_constant_series_zero_trend(spark):
+    from arrow_spark.operators.smoothing import holt_smooth
+
+    df = spark.createDataFrame(
+        [(1, i, 7) for i in range(20)], "k long, i long, x long"
+    )
+    rows = holt_smooth(df, ["k"], "i", "x").collect()
+    assert all(r["level"] == 7.0 and r["trend"] == 0.0 and r["forecast"] == 7.0
+               for r in rows)
