@@ -39,10 +39,24 @@ def welch_ttest(
     value_col: str,
     baseline: str,
     critical: float = Z_95,
+    validate: bool = True,
 ) -> DataFrame:
     """Per-group Welch t vs the ``baseline`` group: returns
     (group, n, mean, var, t_stat, significant). The baseline's own row
-    is excluded from the output (t against itself is 0/0)."""
+    is excluded from the output (t against itself is 0/0).
+
+    Input contract: ``value_col`` must be integral (the exact-moment
+    path snaps through decimal(38,0), which rounds half-up — snap your
+    metric to cents/micros FIRST, as ``experiment_welch_ttest`` does,
+    or the rounding silently changes the statistic). Degenerate groups
+    (n <= 1, no sample variance) get NULL var / t_stat and NULL
+    significant — never a NaN, which Spark would order ABOVE the
+    critical value and flag as significant. With ``validate=True``
+    (default) raises ``ValueError`` if the baseline group has no rows
+    (a silent empty result otherwise) — that pre-flight costs one extra
+    aggregation pass over ``df``; pass ``validate=False`` on very large
+    inputs where the caller guarantees the baseline exists.
+    """
     moments = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(value_col).cast("long").alias("n"),
         F.sum(F.col(value_col).cast("decimal(38,0)")).alias("sx"),
@@ -55,22 +69,38 @@ def welch_ttest(
         n = F.col("n").cast("double")
         sx = F.col("sx").cast("double")
         sxx = F.col("sxx").cast("double")
+        # n <= 1: no sample variance — NULL, not 0/0 = NaN (Spark sorts
+        # NaN above every number, so a NaN t would read as significant)
+        var = F.when(
+            F.col("n") > 1, (sxx - sx * sx / n) / (n - F.lit(1.0))
+        )
         return src.select(
             F.col("grp").alias(f"{prefix}grp"),
             F.col("n").alias(f"{prefix}n"),
             (sx / n).alias(f"{prefix}mean"),
-            ((sxx - sx * sx / n) / (n - F.lit(1.0))).alias(f"{prefix}var"),
+            var.alias(f"{prefix}var"),
         )
 
     treat = derive("", moments.where(F.col("grp") != baseline))
     base = derive("b_", moments.where(F.col("grp") == baseline))
-    t = (F.col("mean") - F.col("b_mean")) / F.sqrt(
-        F.col("var") / F.col("n") + F.col("b_var") / F.col("b_n")
+    if validate and base.limit(1).count() == 0:
+        raise ValueError(
+            f"welch_ttest: baseline group {baseline!r} has no rows in {group_col!r}"
+        )
+    t = F.when(
+        (F.col("n") > 1) & (F.col("b_n") > 1),
+        (F.col("mean") - F.col("b_mean"))
+        / F.sqrt(F.col("var") / F.col("n") + F.col("b_var") / F.col("b_n")),
     )
     return (
         treat.crossJoin(F.broadcast(base))
         .withColumn("t_stat", t)
-        .withColumn("significant", F.abs(F.col("t_stat")) > F.lit(critical))
+        .withColumn(
+            "significant",
+            F.when(
+                F.col("t_stat").isNotNull(), F.abs(F.col("t_stat")) > F.lit(critical)
+            ),
+        )
         .select(
             F.col("grp").alias(group_col),
             "n", "mean", "var", "t_stat", "significant",

@@ -36,7 +36,11 @@ def quantile_transform(
 ) -> DataFrame:
     """Long-form empirical percentiles: (ids…, feature, value, q) with
     q = percent_rank of value within its feature column. Single-row
-    features yield q = 0.0 (SQL percent_rank convention)."""
+    features yield q = 0.0 (SQL percent_rank convention). NULL feature
+    values are dropped in the unpivot: Spark sorts NULLs first while
+    DuckDB sorts them last, so a NULL that reached the window would both
+    get a meaningless percentile and inflate (n − 1) for every real row
+    — filtering pins one cross-engine contract for null inputs."""
     structs = F.array(
         *[
             F.struct(
@@ -46,8 +50,10 @@ def quantile_transform(
             for c in feature_cols
         ]
     )
-    long = df.select(
-        *[F.col(c) for c in id_cols], F.explode(structs).alias("fv")
-    ).select(*id_cols, F.col("fv.feature").alias("feature"), F.col("fv.value").alias("value"))
+    long = (
+        df.select(*[F.col(c) for c in id_cols], F.explode(structs).alias("fv"))
+        .select(*id_cols, F.col("fv.feature").alias("feature"), F.col("fv.value").alias("value"))
+        .where(F.col("value").isNotNull())
+    )
     w = W.partitionBy("feature").orderBy("value")
     return long.withColumn("q", F.percent_rank().over(w))

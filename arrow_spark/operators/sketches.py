@@ -444,4 +444,15 @@ def cms_join_cardinality(
         .groupBy("row")
         .agg(F.sum(F.col("sa.cnt") * F.col("sb.cnt")).alias("dot"))
     )
-    return dots.agg(F.min("dot").cast("long").alias("join_size_est"))
+    # A depth row whose aligned (row,bucket) cells are all empty has dot
+    # product 0 but drops out of the inner join entirely — min() must
+    # still range over it (disjoint key sets estimate 0, not NULL). A
+    # static depth-row frame left-joined to the surviving dots keeps the
+    # bound exact; it is depth rows, literally driver-sized.
+    rows = a.sparkSession.createDataFrame(
+        [(i,) for i in range(depth)], "row int"
+    )
+    full = rows.join(dots, "row", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
+    )
+    return full.agg(F.min("dot").cast("long").alias("join_size_est"))

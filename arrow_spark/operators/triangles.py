@@ -67,6 +67,17 @@ def count_triangles(
     Returns a 1-row (n_triangles) frame, or per-vertex counts
     (v, n_triangles) when ``per_vertex`` — each triangle credited to all
     three corners (the clustering-coefficient numerator).
+
+    Tradeoff: the oriented-edge frame is ``localCheckpoint()``-ed because
+    it is referenced three times (both wedge legs + closers) and Catalyst
+    otherwise re-inlines the whole derivation per reference (measured 90
+    duplicated scans / 184 exchanges before the fix). That makes this
+    function EAGER at construction time and stores the materialized edges
+    on non-fault-tolerant local executor storage — an executor loss makes
+    the frame unrecoverable mid-job. Where fault tolerance matters more
+    than the checkpoint's lineage cut (very long-lived jobs on flaky
+    fleets), swap for ``persist()`` + a count and unpersist after the
+    action; on a healthy cluster the checkpoint is the faster plan.
     """
     # materialize the oriented edges once: the frame is referenced three
     # times (both wedge legs + closers) and Catalyst re-inlines the whole

@@ -97,54 +97,19 @@ def load_all() -> dict[str, QueryDef]:
 
 
 #: Never-green queries that MUST land in this round's sampled prefix
-#: (ahead of the backlog) — e.g. a rows-only query that just gained an
-#: oracle and the verdict asked to see hash-green.
-_PROMOTE: tuple[str, ...] = ("dedup_incremental",)
+#: (ahead of the backlog) — e.g. a query whose r4 driver row was red
+#: (HUGEINT/floor float-stringification in the oracle, fixed r5) and
+#: needs its green row re-recorded this round.
+_PROMOTE: tuple[str, ...] = (
+    "corpus_contamination",
+    "corpus_pack_sequences",
+    "corpus_pipeline_end_to_end",
+    "corpus_lm_score",
+    "sessionize_events",
+)
 
 #: Oracle-bearing queries first registered this round. They sort behind
 #: the pre-existing never-green backlog so they don't consume sampled
 #: slots the backlog has been waiting on; they drain from the next
-#: round. (Last round's entries — flight_sql_statement,
-#: substrait_extension_asof — are ordinary backlog now.)
-_DEFER_NEW: tuple[str, ...] = (
-    "sketch_hll_rel",
-    "dedup_ngram_spans",
-    "corpus_source_caps",
-    "stream_interval_join_left",
-    "graph_triangles",
-    "cdc_scd2_intervals",
-    "stream_static_enrich",
-    "dedup_excise_spans",
-    "quality_quarantine",
-    "quality_rule_summary",
-    "retrieval_phrase_match",
-    "groupwise_ols_trend",
-    "table_diff_reconcile",
-    "retrieval_proximity_match",
-    "profile_corr_matrix",
-    "tokenize_bpe_merges",
-    "tokenize_bpe_encode",
-    "ewma_smooth",
-    "outlier_mad_flags",
-    "sketch_join_cardinality",
-    "corpus_source_diversity",
-    "retrieval_rrf_fusion",
-    "cohort_retention",
-    "corpus_keyness_terms",
-    "changepoint_cusum",
-    "feature_quantile_transform",
-    "stream_windowed_topk",
-    "substrait_extension_ewma",
-    "incremental_join_refresh",
-    "layout_hilbert",
-    "experiment_welch_ttest",
-    "dedup_eval_lsh_recall",
-    "corpus_packing_efficiency",
-    "survival_kaplan_meier",
-    "similarity_ivf_exact_replay",
-    "similarity_pq_exact_replay",
-    "seasonal_anomaly_flags",
-    "sketch_sliding_distinct",
-    "sketch_hll_intersection",
-    "holt_trend_smooth",
-)
+#: round. (Round 4's 40 entries are ordinary backlog now.)
+_DEFER_NEW: tuple[str, ...] = ()

@@ -47,7 +47,7 @@ WITH t AS (
   FROM g LEFT JOIN train_g USING (g)
   WHERE g.bucket = 9
 )
-SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_shared,
+SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_shared,
        floor(sum(hit) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS overlap
 FROM probe
 GROUP BY doc_id
@@ -201,14 +201,14 @@ WITH d AS (
   FROM documents
 ), offs AS (
   SELECT doc_id, shard, n_tokens,
-         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS start_tok
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_tok
   FROM d
 )
 SELECT doc_id, shard, n_tokens, start_tok,
-       floor(start_tok / 512) AS seq_first,
-       floor((start_tok + n_tokens - 1) / 512) AS seq_last
+       CAST(floor(start_tok / 512) AS BIGINT) AS seq_first,
+       CAST(floor((start_tok + n_tokens - 1) / 512) AS BIGINT) AS seq_last
 FROM offs
 """
 
@@ -251,9 +251,9 @@ WITH scored AS (
   FROM sampled
 )
 SELECT doc_id, lang, shard, n_tokens,
-       coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                0) AS start_tok
+       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS start_tok
 FROM sharded
 """
 
@@ -315,7 +315,7 @@ WITH t AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        floor((-sum(CAST(floor(ln((coalesce(c, 0) + 1) / (n + v)) * 1e6 + 0.5)
                         AS BIGINT))
               / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6 AS nll

@@ -515,8 +515,8 @@ WITH flagged AS (
   FROM events
 ), runs AS (
   SELECT user_id, event_id, event_type,
-         sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
-                        ROWS UNBOUNDED PRECEDING) AS run_seq
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq
   FROM flagged
 )
 SELECT user_id, run_seq, any_value(event_type) AS value,
@@ -630,8 +630,8 @@ WITH b AS (
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber,
-       (SELECT sum((((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))
-        FROM generate_series(0, 15) AS t(i)) AS zval
+       CAST((SELECT sum((((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))
+             FROM generate_series(0, 15) AS t(i)) AS BIGINT) AS zval
 FROM b
 """
 
@@ -1191,12 +1191,12 @@ def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_SUMMARY_ORACLE = """
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN NOT coalesce(l_discount <= 0.05, false) THEN 1 ELSE 0 END)
-         AS discount_cap,
-       sum(CASE WHEN NOT coalesce(l_quantity <= 30, false) THEN 1 ELSE 0 END)
-         AS qty_cap,
-       sum(CASE WHEN NOT coalesce(l_tax <= 0.04, false) THEN 1 ELSE 0 END)
-         AS tax_cap
+       CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, false) THEN 1 ELSE 0 END)
+            AS BIGINT) AS discount_cap,
+       CAST(sum(CASE WHEN NOT coalesce(l_quantity <= 30, false) THEN 1 ELSE 0 END)
+            AS BIGINT) AS qty_cap,
+       CAST(sum(CASE WHEN NOT coalesce(l_tax <= 0.04, false) THEN 1 ELSE 0 END)
+            AS BIGINT) AS tax_cap
 FROM lineitem
 """
 
@@ -1445,8 +1445,13 @@ CMS_JOIN_ORACLE = _PS_CTE + f"""
 ), dots AS (
   SELECT la.row, sum(la.cnt * ps.cnt) AS dot
   FROM la JOIN ps USING (row, bucket) GROUP BY 1
+), alldots AS (
+  -- depth rows with zero aligned cells have dot 0 (they drop out of the
+  -- inner join); min must still range over them — mirrors the operator
+  SELECT coalesce(dot, 0) AS dot
+  FROM (SELECT unnest(generate_series(0, 3)) AS row) r LEFT JOIN dots USING (row)
 )
-SELECT (SELECT min(dot) FROM dots)::BIGINT AS join_size_est,
+SELECT (SELECT min(dot) FROM alldots)::BIGINT AS join_size_est,
        (SELECT count(*) FROM lineitem JOIN partsupp ON l_suppkey = ps_suppkey)::BIGINT
          AS exact_size
 """
@@ -1486,6 +1491,7 @@ WITH long AS (
 SELECT l_orderkey, l_linenumber, feature, value,
        percent_rank() OVER (PARTITION BY feature ORDER BY value) AS q
 FROM long
+WHERE value IS NOT NULL
 """
 
 
@@ -1606,15 +1612,21 @@ WITH m AS (
         FROM events)
   GROUP BY 1
 ), d AS (
-  SELECT grp, n, sx / n AS mean, (sxx - sx * sx / n) / (n - 1.0) AS var FROM m
+  SELECT grp, n, sx / n AS mean,
+         CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1.0) END AS var
+  FROM m
 ), b AS (
   SELECT n AS b_n, mean AS b_mean, var AS b_var FROM d WHERE grp = 'view'
+), t AS (
+  SELECT d.grp, d.n, d.mean, d.var,
+         CASE WHEN d.n > 1 AND b.b_n > 1
+              THEN (d.mean - b.b_mean) / sqrt(d.var / d.n + b.b_var / b.b_n)
+         END AS t_stat
+  FROM d, b WHERE d.grp != 'view'
 )
-SELECT d.grp AS event_type, d.n, d.mean, d.var,
-       (d.mean - b.b_mean) / sqrt(d.var / d.n + b.b_var / b.b_n) AS t_stat,
-       abs((d.mean - b.b_mean) / sqrt(d.var / d.n + b.b_var / b.b_n)) > 1.96
-         AS significant
-FROM d, b WHERE d.grp != 'view'
+SELECT grp AS event_type, n, mean, var, t_stat,
+       CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
+FROM t
 """
 
 

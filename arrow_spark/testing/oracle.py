@@ -38,36 +38,67 @@ class CompareResult:
     errors: list[str] = field(default_factory=list)
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Canonicalize for order-insensitive comparison."""
-    df = df[sorted(df.columns)].copy()
+def _cstr(v) -> str:
+    """Canonical DRIVER-GRADE string for one cell.
+
+    The driver hashes stringified values with NO float tolerance, and a
+    DuckDB HUGEINT/floor() lands in pandas as float64 ('3.0') while the
+    Spark long is int64 ('3') — a silent hash mismatch (all 5 red rows
+    of CORRECTNESS_r04 were exactly this). So: ints and floats stringify
+    DIFFERENTLY here on purpose, and floats compare by exact repr (bit
+    equality), never isclose.
+    """
+    import datetime
+    from decimal import Decimal
+
+    if v is None or v is pd.NaT:
+        return "\x00NULL"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "\x00NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return "True" if v else "False"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, pd.Timestamp):
+        # µs-floor (pandas ns-resolution vs DuckDB µs) — driver tolerates
+        return v.floor("us").isoformat(timespec="microseconds")
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        # a DATE equals the midnight timestamp (cast_matrix is driver-green
+        # with Spark date vs DuckDB timestamp in one column)
+        return datetime.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ", ".join(_cstr(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_cstr(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {_cstr(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def _canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df[sorted(df.columns)]
+    cols = []
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: None
-                if v is None or (isinstance(v, float) and math.isnan(v))
-                else (v if isinstance(v, (str, bytes)) else str(v))
-            )
-    sort_cols = [c for c in df.columns]
-    key = df.astype(str)
-    order = key.sort_values(by=sort_cols, kind="mergesort").index
-    return df.loc[order].reset_index(drop=True)
-
-
-def _values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a) if a is not None else math.nan, float(b) if b is not None else math.nan
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
-    return a == b
+        # to_list() yields pd.Timestamp for datetime64 columns (to_numpy
+        # would yield np.datetime64, whose str keeps ns digits and dodges
+        # the µs normalization in _cstr)
+        if pd.api.types.is_numeric_dtype(s) and s.dtype != object:
+            cols.append(s.to_numpy())
+        else:
+            cols.append(s.to_list())
+    rows = [tuple(_cstr(col[i]) for col in cols) for i in range(len(df))]
+    rows.sort()
+    return rows
 
 
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
@@ -86,19 +117,15 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         res.ok = False
         res.errors.append(f"row counts differ: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return res
-    a, b = _canon(spark_pdf), _canon(oracle_pdf)
-    for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        for i in range(len(av)):
-            x = av[i] if not (isinstance(av[i], float) and np.isnan(av[i])) else None
-            y = bv[i] if not (isinstance(bv[i], float) and np.isnan(bv[i])) else None
-            x = None if x is pd.NaT or (x is np.nan) else x
-            y = None if y is pd.NaT or (y is np.nan) else y
-            if not _values_equal(x, y):
-                res.ok = False
-                res.errors.append(f"col {c} row {i}: spark={av[i]!r} oracle={bv[i]!r}")
-                if len(res.errors) > 5:
-                    return res
+    a, b = _canon_rows(spark_pdf), _canon_rows(oracle_pdf)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            for c, xa, xb in zip(sp_cols, ra, rb):
+                if xa != xb:
+                    res.ok = False
+                    res.errors.append(f"sorted row {i} col {c}: spark={xa!r} oracle={xb!r}")
+                    if len(res.errors) > 5:
+                        return res
     return res
 
 

@@ -74,3 +74,34 @@ def test_welch_ttest_identical_groups_insignificant(spark):
     df = spark.createDataFrame(rows, "g string, x long")
     r = welch_ttest(df, "g", "x", baseline="a").collect()[0]
     assert r["t_stat"] == 0.0 and r["significant"] is False
+
+
+def test_welch_ttest_singleton_group_not_significant(spark):
+    from arrow_spark.operators.abtest import welch_ttest
+
+    # n=1 treatment: var is 0/0 — must surface as NULL var/t/significant,
+    # never NaN (Spark orders NaN above every number, so a NaN t_stat
+    # would read |t| > critical = True)
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", 100)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = welch_ttest(df, "g", "x", baseline="a").collect()[0]
+    assert r["var"] is None and r["t_stat"] is None and r["significant"] is None
+
+
+def test_welch_ttest_singleton_baseline_nulls_all_groups(spark):
+    from arrow_spark.operators.abtest import welch_ttest
+
+    rows = [("a", 5)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = welch_ttest(df, "g", "x", baseline="a").collect()[0]
+    assert r["t_stat"] is None and r["significant"] is None
+
+
+def test_welch_ttest_missing_baseline_raises(spark):
+    import pytest
+
+    from arrow_spark.operators.abtest import welch_ttest
+
+    df = spark.createDataFrame([("b", 1), ("b", 2)], "g string, x long")
+    with pytest.raises(ValueError, match="baseline"):
+        welch_ttest(df, "g", "x", baseline="zzz")

@@ -79,8 +79,19 @@ def test_cms_join_cardinality_empty_side(spark):
     a = spark.createDataFrame([(1,)], "k long").where("k < 0")  # empty
     b = spark.createDataFrame([(1,), (2,)], "k long")
     row = cms_join_cardinality(a, "k", b, "k").collect()[0]
-    # empty sketch -> no aligned cells -> null estimate, reported as-is
-    assert row["join_size_est"] is None
+    # empty sketch -> every depth row's dot product is 0 -> exact 0
+    # estimate (min over the static depth-row frame, not NULL)
+    assert row["join_size_est"] == 0
+
+
+def test_cms_join_cardinality_disjoint_keys_estimates_zero_or_small(spark):
+    # disjoint key sets: true join size 0; a depth row with no aligned
+    # cells must still contribute its 0 dot product to the min
+    a = spark.createDataFrame([(i,) for i in range(1, 5)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 1004)], "k long")
+    row = cms_join_cardinality(a, "k", b, "k", width=4096, depth=4).collect()[0]
+    assert row["join_size_est"] is not None
+    assert 0 <= row["join_size_est"] <= 4  # >=0 exact, tiny collision slack
 
 
 def test_mad_null_values_ignored_by_percentile(spark):
