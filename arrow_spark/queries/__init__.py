@@ -112,4 +112,7 @@ _PROMOTE: tuple[str, ...] = (
 #: the pre-existing never-green backlog so they don't consume sampled
 #: slots the backlog has been waiting on; they drain from the next
 #: round. (Round 4's 40 entries are ordinary backlog now.)
-_DEFER_NEW: tuple[str, ...] = ()
+_DEFER_NEW: tuple[str, ...] = (
+    "timeseries_time_weighted_avg",
+    "timeseries_lttb_downsample",
+)

@@ -477,3 +477,109 @@ def holt_trend_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_smooth(
         ev, ["user_id"], ["ts", "event_id"], "cents", window=16
     ).select("user_id", "event_id", "cents", "level", "trend", "forecast")
+
+
+TWA_ORACLE = """
+WITH p AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), seg AS (
+  SELECT event_type, t, cents,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t AS dt
+  FROM p
+), b AS (
+  SELECT event_type,
+         CAST(floor(t / 86400) * 86400 AS BIGINT) AS bucket_start, cents, dt
+  FROM seg
+)
+SELECT event_type, bucket_start,
+       count(*) AS n_points,
+       CAST(coalesce(sum(dt), 0) AS BIGINT) AS total_dt,
+       CASE WHEN coalesce(sum(dt), 0) > 0
+            THEN floor(CAST(sum(cents * dt) AS DOUBLE) / sum(dt) * 1e6 + 0.5) / 1e6
+       END AS twa_cents
+FROM b
+GROUP BY 1, 2
+"""
+
+
+@query("timeseries_time_weighted_avg", oracle=TWA_ORACLE)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted daily average of event values per event_type
+    (the TimescaleDB time_weight/average pair): each point's value is
+    weighted by how long it stayed the latest observation. One lead()
+    window + one group-by, both on the series key; decimal moment sums
+    + a single division keep the value hash exact."""
+    from arrow_spark.operators.timeweight import time_weighted_avg
+
+    e = table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        e,
+        ["event_type"],
+        "ts",
+        F.round(F.col("value") * 100),
+        bucket_seconds=86400,
+        tiebreak=["event_id"],
+    )
+
+
+LTTB_ORACLE = """
+WITH p AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+), rn AS (
+  SELECT event_type, event_id, t, v_cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY t, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM p
+), bk AS (
+  SELECT event_type, event_id, t, v_cents,
+         CAST(floor((r - 1) * 32 / n) AS BIGINT) AS bucket
+  FROM rn
+), cent AS (
+  SELECT event_type, bucket,
+         CAST(sum(t) AS DOUBLE) AS st, CAST(sum(v_cents) AS DOUBLE) AS sv,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM bk GROUP BY 1, 2
+), j AS (
+  SELECT bk.event_type, bk.bucket, bk.t, bk.v_cents, bk.event_id,
+         abs((pv.st / pv.c - nx.st / nx.c)
+               * (CAST(bk.v_cents AS DOUBLE) - nx.sv / nx.c)
+             - (pv.st / pv.c - CAST(bk.t AS DOUBLE))
+               * (pv.sv / pv.c - nx.sv / nx.c)) AS area2
+  FROM bk
+  LEFT JOIN cent pv ON pv.event_type = bk.event_type AND pv.bucket = bk.bucket - 1
+  LEFT JOIN cent nx ON nx.event_type = bk.event_type AND nx.bucket = bk.bucket + 1
+), pick AS (
+  SELECT event_type, bucket, t, v_cents, area2,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY area2 DESC NULLS LAST, t ASC, event_id ASC)
+           AS pk
+  FROM j
+)
+SELECT event_type, bucket, t, v_cents, area2 FROM pick WHERE pk = 1
+"""
+
+
+@query("timeseries_lttb_downsample", oracle=LTTB_ORACLE)
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bucket LTTB downsample (fixed-anchor parallel variant) of each
+    event_type's value series — per equal-count bucket, the point whose
+    triangle against the neighbor-bucket centroids is largest. Integer
+    bucket assignment + single-division centroids + one fixed-shape
+    area expression ⇒ the selected points hash-match the SQL replay."""
+    from arrow_spark.operators.downsample import lttb_downsample
+
+    e = table(spark, sf_dir, "events")
+    return lttb_downsample(
+        e,
+        ["event_type"],
+        "ts",
+        F.round(F.col("value") * 100),
+        n_buckets=32,
+        tiebreak=["event_id"],
+    )

@@ -1,0 +1,98 @@
+"""time_weighted_avg + lttb_downsample unit tests (known-value series,
+degenerate buckets, plan shape)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from arrow_spark.operators.downsample import lttb_downsample
+from arrow_spark.operators.timeweight import time_weighted_avg
+
+
+def _ts(sec: int):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+def test_twa_known_values(spark):
+    # key a: v=100 holds 10s, v=300 holds 30s, final point dangles
+    rows = [
+        ("a", _ts(0), 100),
+        ("a", _ts(10), 300),
+        ("a", _ts(40), 999),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, cents long")
+    out = time_weighted_avg(
+        df, ["k"], "ts", F.col("cents"), bucket_seconds=86400
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_points"] == 3 and r["total_dt"] == 40
+    assert r["twa_cents"] == (100 * 10 + 300 * 30) / 40  # 250.0
+
+
+def test_twa_final_only_bucket_is_null_not_nan(spark):
+    # second bucket holds only the key's final point: no duration -> NULL
+    rows = [("a", _ts(0), 100), ("a", _ts(86400 + 5), 200)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, cents long")
+    out = {r["bucket_start"]: r for r in
+           time_weighted_avg(df, ["k"], "ts", F.col("cents"), 86400).collect()}
+    day0 = min(out)
+    assert out[day0]["twa_cents"] == 100.0  # held until next point
+    last = out[max(out)]
+    assert last["total_dt"] == 0 and last["twa_cents"] is None
+
+
+def test_twa_segment_credited_to_start_bucket(spark):
+    # a segment spanning the bucket edge is credited wholly to its start
+    rows = [("a", _ts(86400 - 10), 100), ("a", _ts(86400 + 10), 200),
+            ("a", _ts(86400 + 20), 0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, cents long")
+    out = {r["bucket_start"]: r for r in
+           time_weighted_avg(df, ["k"], "ts", F.col("cents"), 86400).collect()}
+    b0 = min(out)
+    assert out[b0]["total_dt"] == 20 and out[b0]["twa_cents"] == 100.0
+
+
+def test_lttb_keeps_first_point_and_spike(spark):
+    # 12 flat points with one big spike: the spike's bucket must pick it
+    rows = [("a", _ts(i * 10), 100) for i in range(12)]
+    rows[7] = ("a", _ts(70), 5000)  # spike
+    df = spark.createDataFrame(rows, "k string, ts timestamp, cents long")
+    out = lttb_downsample(df, ["k"], "ts", F.col("cents"), n_buckets=4).collect()
+    assert len(out) == 4  # one winner per bucket
+    by_bucket = {r["bucket"]: r for r in out}
+    assert by_bucket[0]["t"] == min(r["t"] for r in out)  # first point survives
+    assert any(r["v_cents"] == 5000 for r in out)  # spike selected
+
+
+def test_lttb_single_point_key(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0), 42)], "k string, ts timestamp, cents long"
+    )
+    out = lttb_downsample(df, ["k"], "ts", F.col("cents"), n_buckets=8).collect()
+    assert len(out) == 1 and out[0]["v_cents"] == 42 and out[0]["area2"] is None
+
+
+def test_twa_plan_two_exchanges_no_python(spark, sf_dir):
+    from arrow_spark.catalog import table
+
+    e = table(spark, str(sf_dir), "events")
+    plan = (
+        time_weighted_avg(e, ["event_type"], "ts", F.round(F.col("value") * 100), 86400)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_lttb_plan_no_cartesian_no_python(spark, sf_dir):
+    from arrow_spark.catalog import table
+
+    e = table(spark, str(sf_dir), "events")
+    plan = (
+        lttb_downsample(e, ["event_type"], "ts", F.round(F.col("value") * 100), 32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
