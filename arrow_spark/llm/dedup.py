@@ -153,6 +153,43 @@ def shingles(col, n: int = 3):
     )
 
 
+def hashed_shingles(col, n: int = 3):
+    """64-bit keys of word n-gram shingles WITHOUT building the strings.
+
+    ``shingles(col, n)`` chains n−1 string concats, so each window costs
+    O(n²) character copies before it is even hashed — the dominant cost
+    of window-dedup at n=20. This twin hashes each token ONCE
+    (xxhash64) and rolls a degree-(n−1) polynomial over the token
+    hashes with the same zip_with-over-shifted-slices shape: O(n) long
+    multiply-adds per window, zero string construction. Same null-pad /
+    array_compact tail handling and the same short-doc single-gram
+    convention, so positions align 1:1 with ``shingles``.
+
+    The mixing step is rotate-left-5 + XOR (pure bit ops — ANSI mode
+    forbids wrapping long multiplication, and bit shifts never
+    overflow). Position sensitivity: rotation period 64/gcd(5,64) = 64
+    exceeds any practical window, so permuted windows don't collide
+    structurally. Two distinct windows of random 64-bit token hashes
+    collide with ~2^-64; callers' oracle twins group by the gram STRING,
+    so any collision turns the value hash red instead of passing
+    silently.
+    """
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    cnt = F.size(toks)
+
+    def mix(a, b):
+        rot = F.shiftleft(a, 5).bitwiseOR(F.shiftrightunsigned(a, 59))
+        return rot.bitwiseXOR(b)
+
+    gram = th
+    for j in range(1, n):
+        shifted = F.slice(th, j + 1, 1 << 30)
+        gram = F.zip_with(gram, shifted, mix)
+    whole = F.aggregate(th, F.lit(0).cast("long"), mix)
+    return F.when(cnt >= n, F.array_compact(gram)).otherwise(F.array(whole))
+
+
 #: Modulus of the affine minhash family: the Mersenne prime 2^31 − 1.
 #: Without a modulus every h_i = a_i·base + b_i is MONOTONIC in base, so
 #: all num_hashes mins collapse onto the same argmin shingle and the
@@ -798,12 +835,18 @@ def duplicate_ngram_spans(
     against corpus sizes (~1e-9 at 10^5 distinct grams) and the exact
     string path (hash_grams=False) is the DuckDB-oracle twin.
     """
+    # hashed_shingles: exploded rows (and everything downstream) carry
+    # 8-byte longs and the ~100+ byte gram strings are never built
+    gram_arr = (
+        hashed_shingles(F.col(text_col), window)
+        if hash_grams
+        else shingles(F.col(text_col), window)
+    )
     w = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), window)).alias("gram"),
+        F.explode(gram_arr).alias("gram_k"),
     )
-    key = F.xxhash64("gram").alias("gram_k") if hash_grams else F.col("gram").alias("gram_k")
-    g = w.select("id", key).groupBy("id", "gram_k").agg(F.count(F.lit(1)).alias("k"))
+    g = w.groupBy("id", "gram_k").agg(F.count(F.lit(1)).alias("k"))
     tot = g.groupBy("gram_k").agg(F.sum("k").alias("tot"))
     dup_k = F.sum(F.when(F.col("tot") >= min_count, F.col("k")).otherwise(0))
     return (
@@ -848,33 +891,37 @@ def excise_duplicate_spans(
     oracle twin).
     """
     toks = tokens(F.col(text_col))
+    # hashed_shingles (see duplicate_ngram_spans): the gram-keyed
+    # shuffle moves (long, id, pos) rows and no gram string ever exists
+    gram_arr = (
+        hashed_shingles(F.col(text_col), window)
+        if hash_grams
+        else shingles(F.col(text_col), window)
+    )
     base = docs.select(
         F.col(id_col).alias("id"),
         toks.alias("toks"),
-        shingles(F.col(text_col), window).alias("grams"),
+        gram_arr.alias("grams"),
     )
     occ = base.select(
         "id",
         F.size("toks").alias("n_toks"),
         F.posexplode("grams").alias("pos", "gram"),
     )
-    key = F.xxhash64("gram") if hash_grams else F.col("gram")
-    w = W.partitionBy(key).orderBy("id", "pos")
+    w = W.partitionBy("gram").orderBy("id", "pos")
     ranked = occ.select(
         "id", "n_toks", "pos", F.row_number().over(w).alias("rn")
     )
     cov_len = F.when(F.col("n_toks") >= window, F.lit(window)).otherwise(
         F.col("n_toks")
     )
-    dropped = (
-        ranked.where(F.col("rn") > 1)
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + cov_len - 1)
-            ).alias("tp"),
-        )
-        .distinct()
+    # NO distinct: overlapping covered positions repeat in this frame,
+    # but the left_anti below is set-semantics on the probe side — a
+    # duplicate right row changes nothing, and dropping the distinct
+    # removes a full (id,tp) shuffle
+    dropped = ranked.where(F.col("rn") > 1).select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + cov_len - 1)).alias("tp"),
     )
     tok_stream = base.select("id", F.posexplode("toks").alias("tp", "tok"))
     kept = tok_stream.join(dropped, ["id", "tp"], "left_anti")
