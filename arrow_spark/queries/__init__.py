@@ -116,4 +116,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_time_weighted_avg",
     "timeseries_lttb_downsample",
     "dedup_semantic_prune",
+    "graph_label_propagation",
 )

@@ -126,3 +126,68 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").alias("a"), F.col("q").alias("b"))
     )
     return count_triangles(edges, per_vertex=True)
+
+
+_LPA_ITERS = 4
+
+_LPA_BASE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+),
+trans AS (
+  SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS pk
+  FROM ev
+),
+edges AS (
+  SELECT pk AS src, k AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM trans WHERE pk IS NOT NULL GROUP BY pk, k
+),
+und AS (
+  SELECT src AS u, dst AS v, w FROM edges
+  UNION ALL
+  SELECT dst AS u, src AS v, w FROM edges
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+
+_LPA_ITER = """,
+v{i} AS (
+  SELECT und.u AS node, l.label, sum(und.w) AS s
+  FROM und JOIN l{p} l ON und.v = l.node
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY s DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+
+LPA_ORACLE = (
+    _LPA_BASE
+    + "".join(_LPA_ITER.format(i=i, p=i - 1) for i in range(1, _LPA_ITERS + 1))
+    + f"\nSELECT node, label FROM l{_LPA_ITERS}"
+)
+
+
+@query("graph_label_propagation", oracle=LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    deterministic variant: weight-argmax with smallest-label ties) over
+    the undirected click-transition graph, 4 rounds. Labels and weights
+    are integers — no float exists anywhere — so the unrolled 4-round
+    CTE replay is bit-exact by construction; each round is the same
+    2-shuffle join+argmax shape as pagerank."""
+    from arrow_spark.operators.labelprop import label_propagation
+    from arrow_spark.operators.pagerank import transition_edges
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = transition_edges(
+        ev, node_col="k", partition_col="user_id", order_col="event_id"
+    )
+    return label_propagation(edges, n_iters=_LPA_ITERS)
