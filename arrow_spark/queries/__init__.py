@@ -117,4 +117,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_lttb_downsample",
     "dedup_semantic_prune",
     "graph_label_propagation",
+    "similarity_eval_ann_quality",
 )

@@ -585,3 +585,122 @@ def similarity_pq_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _PQ_TOPK)
         .select("qid", "vec_id", "rank", "adc")
     )
+
+
+def _ann_quality_oracle() -> str:
+    """Per-query recall@k and MRR of the pinned IVF replay against the
+    exact integer-cosine top-k — BOTH sides are replays this module
+    already proves hash-exact, so their comparison is hash-exact too
+    (the dedup_eval_lsh_recall pattern applied to ANN)."""
+    d = _DIMS
+    dot = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> q.e[i] * v.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    qn = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> q.e[i] * q.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    vn = (
+        f"list_reduce(list_transform(range(1, {d} + 1), i -> v.e[i] * v.e[i]),"
+        " (x, y) -> x + y)"
+    )
+    return f"""
+WITH ivf AS (
+  {_ivf_replay_oracle().strip()}
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+), exact AS (
+  SELECT qid, vec_id, rn AS rank FROM (
+    SELECT q.vec_id AS qid, v.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST({dot} AS DOUBLE)
+                      / (sqrt(CAST({qn} AS DOUBLE)) * sqrt(CAST({vn} AS DOUBLE)))
+                      DESC, v.vec_id ASC) AS rn
+    FROM e q, e v WHERE q.vec_id < 3
+  ) WHERE rn <= {_IVF_TOPK}
+), hits AS (
+  SELECT i.qid, i.vec_id, i.rank AS ivf_rank
+  FROM ivf i JOIN exact x ON i.qid = x.qid AND i.vec_id = x.vec_id
+)
+SELECT q.qid,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {_IVF_TOPK} AS recall_at_k,
+       CASE WHEN h.best IS NOT NULL THEN CAST(1 AS DOUBLE) / h.best END AS mrr
+FROM (SELECT DISTINCT qid FROM ivf) q
+LEFT JOIN (SELECT qid, count(*) AS n, min(ivf_rank) AS best
+           FROM hits GROUP BY qid) h USING (qid)
+"""
+
+
+@query("similarity_eval_ann_quality", oracle=_ann_quality_oracle())
+def similarity_eval_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: per probe query, recall@5 and MRR of the pinned
+    IVF replay against the exact integer-cosine top-5 over the full
+    corpus. Both rankings are already hash-exact constructions, and the
+    metrics are single IEEE divisions of exact integers — the numbers a
+    planner reads before trusting an index, themselves value-hash
+    verified. (Per-query rows only: cross-query means would be a ≥3-term
+    float sum whose order differs between engines.)"""
+    from pyspark.sql import Window as W2
+
+    from arrow_spark.queries.base import REGISTRY
+
+    ivf = REGISTRY["similarity_ivf_exact_replay"].fn(spark, sf_dir)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+            ).alias("e"),
+        )
+        .localCheckpoint()
+    )
+    probe = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+    def _n(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+        )
+
+    scored = probe.crossJoin(emb).select(
+        "qid", "vec_id",
+        (dot.cast("double") / (_n(F.col("qe")) * _n(F.col("e")))).alias("cos"),
+    )
+    w = W2.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        ivf.select("qid", "vec_id", F.col("rank").alias("ivf_rank"))
+        .join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ivf_rank").alias("best"))
+    )
+    base = ivf.select("qid").distinct()
+    return base.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n"), F.lit(0)).cast("double") / _IVF_TOPK).alias(
+            "recall_at_k"
+        ),
+        F.when(
+            F.col("best").isNotNull(), F.lit(1.0) / F.col("best").cast("double")
+        ).alias("mrr"),
+    )
