@@ -118,4 +118,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "dedup_semantic_prune",
     "graph_label_propagation",
     "similarity_eval_ann_quality",
+    "skyline_pareto_offers",
 )

@@ -1866,3 +1866,46 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("est_intersection", F.col("est_a") + F.col("est_b") - F.col("est_union"))
         .select("est_a", "est_b", "est_union", "est_intersection", "exact_intersection")
     )
+
+
+SKYLINE_ORACLE = _PS_CTE + """
+, offers AS (
+  SELECT p.p_brand, ps.ps_partkey, ps.ps_suppkey,
+         CAST(round(ps.ps_supplycost * 100) AS BIGINT) AS cost_cents,
+         CAST(ps.ps_availqty AS BIGINT) AS availqty
+  FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
+)
+SELECT p_brand, ps_partkey, ps_suppkey, cost_cents, availqty
+FROM offers a
+WHERE NOT EXISTS (
+  SELECT 1 FROM offers b
+  WHERE b.p_brand = a.p_brand
+    AND b.cost_cents <= a.cost_cents AND b.availqty >= a.availqty
+    AND (b.cost_cents < a.cost_cents OR b.availqty > a.availqty)
+)
+"""
+
+
+@query("skyline_pareto_offers", oracle=SKYLINE_ORACLE)
+def skyline_pareto_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto front of supplier offers: minimize supply cost,
+    maximize available quantity (Börzsönyi et al. 2001 skyline). The
+    engine runs the 2-D window algebra (ONE group Exchange, two shared
+    windows, no self-join); the oracle is the naive NOT EXISTS dominance
+    test — genuinely different algebra, so the hash match proves the
+    window form drops and keeps exactly the textbook front."""
+    from arrow_spark.operators.skyline import skyline_2d
+    from arrow_spark.sources.tpchgen import partsupp
+
+    ps = partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    offers = ps.join(p, ps["ps_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        "ps_partkey",
+        "ps_suppkey",
+        F.round(F.col("ps_supplycost") * 100).cast("long").alias("cost_cents"),
+        F.col("ps_availqty").cast("long").alias("availqty"),
+    )
+    return skyline_2d(
+        offers, ["p_brand"], F.col("cost_cents"), F.col("availqty")
+    )

@@ -15,15 +15,18 @@ from pyspark.sql import functions as F
 from arrow_spark.catalog import table
 from arrow_spark.queries.base import query
 
+# every round() gets '+ 0.0': DuckDB's round keeps IEEE -0.0 for tiny
+# negatives while Spark's returns +0.0, and the driver-grade exact
+# compare distinguishes them (caught at sf0.001: slice_sum -0.0 vs 0.0)
 LIST_ORACLE = """
 SELECT
   vec_id,
-  len(embedding)                                   AS list_len,
-  round(CAST(embedding[1] AS DOUBLE), 6)           AS first_elem,
-  round(CAST(embedding[8] AS DOUBLE), 6)           AS eighth_elem,
-  round(CAST(list_sum(embedding[1:4]) AS DOUBLE), 4) AS slice_sum,
-  round(CAST(list_min(embedding) AS DOUBLE), 6)    AS vmin,
-  round(CAST(list_max(embedding) AS DOUBLE), 6)    AS vmax
+  len(embedding)                                         AS list_len,
+  round(CAST(embedding[1] AS DOUBLE), 6) + 0.0           AS first_elem,
+  round(CAST(embedding[8] AS DOUBLE), 6) + 0.0           AS eighth_elem,
+  round(CAST(list_sum(embedding[1:4]) AS DOUBLE), 4) + 0.0 AS slice_sum,
+  round(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0    AS vmin,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0    AS vmax
 FROM embeddings
 """
 
@@ -37,14 +40,15 @@ def nested_list_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_sum = F.aggregate(
         F.slice(emb, 1, 4), F.lit(0.0), lambda acc, x: acc + x.cast("double")
     )
+    z = F.lit(0.0)  # + 0.0 canonicalizes IEEE -0.0 (see LIST_ORACLE note)
     return e.select(
         "vec_id",
         F.size(emb).alias("list_len"),
-        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
-        F.round(F.element_at(emb, 8).cast("double"), 6).alias("eighth_elem"),
-        F.round(slice_sum, 4).alias("slice_sum"),
-        F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
-        F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
+        (F.round(F.element_at(emb, 1).cast("double"), 6) + z).alias("first_elem"),
+        (F.round(F.element_at(emb, 8).cast("double"), 6) + z).alias("eighth_elem"),
+        (F.round(slice_sum, 4) + z).alias("slice_sum"),
+        (F.round(F.array_min(emb).cast("double"), 6) + z).alias("vmin"),
+        (F.round(F.array_max(emb).cast("double"), 6) + z).alias("vmax"),
     )
 
 

@@ -166,6 +166,17 @@ HEADLINE = [
     "survival_kaplan_meier",
     "corpus_packing_efficiency",
     "multimodal_retrieval",
+    # round-5 wave: LOCF time-weighted daily averages (lead window +
+    # decimal-sum agg), parallel fixed-anchor LTTB downsampling (two
+    # shuffles, no sequential dependency), 4-round deterministic label
+    # propagation (pagerank-shaped join+argmax per round).
+    # dedup_semantic_prune and similarity_eval_ann_quality are
+    # verification-gated only: both run the pinned driver-iterative
+    # Lloyd replay (the *_exact_replay precedent — the bench measures
+    # the production matmul paths).
+    "timeseries_time_weighted_avg",
+    "timeseries_lttb_downsample",
+    "graph_label_propagation",
 ]
 
 

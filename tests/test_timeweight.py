@@ -96,3 +96,46 @@ def test_lttb_plan_no_cartesian_no_python(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_quantile_transform_binned_tracks_exact(spark, sf_dir):
+    # scale-path twin: |q̂ − q| ≤ 1/n_bins + GK ε on a real column
+    from arrow_spark.catalog import table
+    from arrow_spark.operators.quantile_transform import (
+        quantile_transform,
+        quantile_transform_binned,
+    )
+
+    l = table(spark, str(sf_dir), "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ids = ["l_orderkey", "l_linenumber"]
+    # (orderkey, linenumber) is NOT unique in the fixture — join on the
+    # value too (equal values share identical q in both variants)
+    keys = [*ids, "value"]
+    exact = quantile_transform(l, ids, ["l_extendedprice"]).select(
+        *keys, F.col("q").alias("q_exact")
+    )
+    approx = quantile_transform_binned(
+        l, ids, ["l_extendedprice"], n_bins=100
+    ).select(*keys, F.col("q").alias("q_hat"))
+    joined = exact.join(approx, keys)
+    worst = joined.agg(
+        F.max(F.abs(F.col("q_exact") - F.col("q_hat"))).alias("e")
+    ).collect()[0]["e"]
+    assert worst <= 1 / 100 + 1e-4 + 1e-9
+
+
+def test_quantile_transform_binned_rowscale_stage_is_maponly(spark, sf_dir):
+    from arrow_spark.catalog import table
+    from arrow_spark.operators.quantile_transform import quantile_transform_binned
+
+    l = table(spark, str(sf_dir), "lineitem")
+    plan = (
+        quantile_transform_binned(l, ["l_orderkey"], ["l_extendedprice"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the row-scale side reaches the result via broadcast join — no sort
+    # of the full feature partition anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
