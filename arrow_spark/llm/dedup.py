@@ -992,3 +992,90 @@ def pair_set_metrics(
         "tp", "fp", "fn",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple = (),
+) -> DataFrame:
+    """Token-set Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. 2007 / Xiao et al. 2008) — the candidate plan that
+    beats length-blocking when token frequencies are skewed.
+
+    Under one global token order (ascending corpus frequency, rarest
+    first, token tie-break), any pair with J ≥ t must share a token
+    inside both records' prefixes of length |x| − ⌈t·|x|⌉ + 1 (PPJoin
+    Lemma 1) — so candidates are an equi-join on PREFIX tokens only.
+    Rare tokens join tiny groups; the frequent tokens that make
+    token-level joins quadratic are exactly the ones prefixes exclude.
+
+    Exactness: the threshold is handled as the rational num/1000, so
+    the prefix length uses integer ceil (no float boundary slip can
+    shrink a prefix and silently drop a pair) and the final filter is
+    the integer cross-multiplication inter·den ≥ num·union — the oracle
+    (unblocked all-pairs) uses the same comparison, and its hash match
+    IS the losslessness proof for the prefix plan on this corpus.
+
+    Scale: frequency table is vocabulary-sized; per-doc ordering is one
+    sort of its own tokens; candidate volume is Σ per-prefix-token
+    populations² — bounded by prefix tokens' rarity, never corpus².
+    """
+    num, den = int(round(threshold * 1000)), 1000
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        *[F.col(c) for c in block_cols],
+    )
+    tok = d.select("id", *block_cols, F.explode("toks").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        tok.join(freq, "tok")
+        .groupBy("id", *block_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "tok"))),
+                lambda s: s["tok"],
+            ).alias("otoks")
+        )
+    )
+    size = F.size("otoks")
+    # ceil(t·n) on exact integers: floor((num·n + den − 1) / den)
+    ceil_tn = F.floor((size * num + den - 1) / den)
+    plen = (size - ceil_tn + 1).cast("int")
+    pref = ordered.select(
+        "id", *block_cols, F.explode(F.slice("otoks", 1, plen)).alias("ptok")
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), *block_cols, "ptok"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("ptok").alias("__b_ptok"),
+    )
+    join_cond = (F.col("ptok") == F.col("__b_ptok")) & (
+        F.col("id_a") < F.col("id_b")
+    )
+    for c in block_cols:
+        join_cond = join_cond & (F.col(c) == F.col(f"__b_{c}"))
+    cand = a.join(b, join_cond).select("id_a", "id_b").distinct()
+    arrs = ordered.select("id", "otoks")
+    pairs = cand.join(
+        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")),
+        "id_a",
+    ).join(
+        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        pairs.where(inter * den >= union * num)
+        .select(
+            "id_a", "id_b",
+            (F.floor(inter * 1.0 / union * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+        )
+    )

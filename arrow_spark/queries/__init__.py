@@ -119,4 +119,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_label_propagation",
     "similarity_eval_ann_quality",
     "skyline_pareto_offers",
+    "dedup_prefix_filter_pairs",
 )

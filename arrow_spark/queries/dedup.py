@@ -811,3 +811,35 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cid", F.col("dup_of").isNull().alias("keep"), "dup_of"
         )
     )
+
+
+PREFIX_FILTER_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       floor((len(list_intersect(a.toks, b.toks)) * 1.0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+             * 1e6 + 0.5) / 1e6 AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.id < b.id
+WHERE len(list_intersect(a.toks, b.toks)) * 1000
+      >= 500 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+"""
+
+
+@query("dedup_prefix_filter_pairs", oracle=PREFIX_FILTER_ORACLE)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ≥ 0.5 pairs via PPJoin prefix filtering (candidates =
+    equi-join on each record's rarest-token prefix, never corpus² and
+    immune to the frequent-token blowup of naive token joins). The
+    oracle is the UNBLOCKED all-pairs Jaccard with the same integer
+    cross-multiplied threshold — the hash match is the losslessness
+    proof for the prefix plan (the dedup_jaccard_pairs pattern with a
+    sharper candidate generator)."""
+    from arrow_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, block_cols=("lang",)
+    )

@@ -60,3 +60,29 @@ def test_semdedup_threshold_one_drops_nothing_but_exact_twins(spark, sf_dir):
     assign, _ = pinned_lloyd(emb, k=4, iters=1)
     assert assign.where(F.col("cid").isNull()).count() == 0
     assert assign.count() == 50
+
+
+def test_prefix_filter_plan_no_cartesian(spark, sf_dir):
+    plan = (
+        REGISTRY["dedup_prefix_filter_pairs"].fn(spark, str(sf_dir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_prefix_filter_equals_length_blocked_exact(spark, sf_dir):
+    # two independent candidate plans, same exact result set
+    from arrow_spark.catalog import table
+    from arrow_spark.llm.dedup import (
+        jaccard_near_dup_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = table(spark, str(sf_dir), "documents").where("doc_id < 120")
+    a = sorted(
+        map(tuple, jaccard_near_dup_pairs(docs, 0.5, block_cols=("lang",)).collect())
+    )
+    b = sorted(
+        map(tuple, prefix_filter_jaccard_pairs(docs, 0.5, block_cols=("lang",)).collect())
+    )
+    assert a == b and len(a) > 0
