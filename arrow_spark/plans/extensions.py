@@ -32,6 +32,11 @@ ASOF_JOIN_URL = "arrow_spark/extensions/asof_join"
 #: span-limited dyadic-exact EWMA).
 EWMA_URL = "arrow_spark/extensions/ewma"
 
+#: type_url of the 2-D skyline ExtensionSingleRel. Payload: {"groups":
+#: [cols], "minimize": col, "maximize": col} — operators/skyline.py
+#: semantics (window-algebra Pareto front, duplicates survive).
+SKYLINE_URL = "arrow_spark/extensions/skyline_2d"
+
 
 def asof_join_rel(
     left_rel: bytes,
@@ -100,6 +105,20 @@ def engine_extension_handler(
             window=opts.get("window", 32),
             out_col=opts.get("out_col", "ewma"),
         )
+    if type_url == SKYLINE_URL:
+        from pyspark.sql import functions as F
+
+        from arrow_spark.operators.skyline import skyline_2d
+
+        if len(inputs) != 1:
+            raise ValueError(f"skyline extension expects 1 input, got {len(inputs)}")
+        opts = json.loads(value.decode())
+        return skyline_2d(
+            inputs[0],
+            group_cols=opts["groups"],
+            minimize=F.col(opts["minimize"]),
+            maximize=F.col(opts["maximize"]),
+        )
     raise NotImplementedError(f"unknown extension relation {type_url!r}")
 
 
@@ -126,3 +145,18 @@ def ewma_rel(
         sort_keys=True,
     ).encode()
     return B.extension_single_rel(input_rel, EWMA_URL, payload)
+
+
+def skyline_rel(
+    input_rel: bytes,
+    groups: list[str],
+    minimize: str,
+    maximize: str,
+) -> bytes:
+    """Encode a 2-D skyline as an ExtensionSingleRel (builder side):
+    output schema = input columns, rows filtered to the Pareto front."""
+    payload = json.dumps(
+        {"groups": groups, "minimize": minimize, "maximize": maximize},
+        sort_keys=True,
+    ).encode()
+    return B.extension_single_rel(input_rel, SKYLINE_URL, payload)

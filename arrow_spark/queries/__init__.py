@@ -120,4 +120,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "similarity_eval_ann_quality",
     "skyline_pareto_offers",
     "dedup_prefix_filter_pairs",
+    "substrait_extension_skyline",
 )

@@ -607,3 +607,82 @@ def substrait_extension_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda names: table(spark, sf_dir, names[0]),
         extension_handler=engine_extension_handler,
     )
+
+
+EXT_SKYLINE_ORACLE = """
+WITH o AS (
+  SELECT l_returnflag AS returnflag,
+         l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cost_cents,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey < 2000
+)
+SELECT returnflag, orderkey, linenumber, cost_cents, qty
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.returnflag = a.returnflag
+    AND b.cost_cents <= a.cost_cents AND b.qty >= a.qty
+    AND (b.cost_cents < a.cost_cents OR b.qty > a.qty)
+)
+"""
+
+
+def _extension_skyline_plan_bytes() -> bytes:
+    from arrow_spark.plans.extensions import skyline_rel
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+            "l_extendedprice"]
+    kinds = ["i64", "i32", "string", "fp64", "fp64"]
+    read = B.read_named(["lineitem"], cols, kinds)
+    flt = B.filter_rel(
+        read,
+        B.scalar_fn(1, [B.field_ref(0), B.lit_i64(2000)], output=B.typ("bool")),
+    )
+    cents = B.cast(
+        B.scalar_fn(
+            2,
+            [
+                B.scalar_fn(3, [B.field_ref(4), B.lit_fp64(100.0)],
+                            output=B.typ("fp64")),
+                B.lit_i32(0),
+            ],
+            output=B.typ("fp64"),
+        ),
+        B.typ("i64"),
+    )
+    qty = B.cast(
+        B.scalar_fn(2, [B.field_ref(3), B.lit_i32(0)], output=B.typ("fp64")),
+        B.typ("i64"),
+    )
+    lnum = B.cast(B.field_ref(1), B.typ("i64"))
+    # emit (returnflag, orderkey, linenumber_i64, cost_cents, qty)
+    proj = B.project_rel(flt, [cents, qty, lnum], emit=[2, 0, 7, 5, 6])
+    sky = skyline_rel(proj, groups=["_f0"], minimize="_f3", maximize="_f4")
+    return B.plan(
+        sky,
+        ["returnflag", "orderkey", "linenumber", "cost_cents", "qty"],
+        functions={
+            1: (B.URI_CMP, "lt"),
+            2: (B.URI_ARITH, "round"),
+            3: (B.URI_ARITH, "multiply"),
+        },
+    )
+
+
+@query("substrait_extension_skyline", oracle=EXT_SKYLINE_ORACLE)
+def substrait_extension_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front arriving as an ExtensionSingleRel — the THIRD
+    shipped extension (after the as-of ExtensionMultiRel and the EWMA
+    single rel), with a filter + arithmetic projection composed below
+    it in the plan. The oracle is the naive NOT EXISTS dominance test,
+    so the substrait route is held to the same different-algebra proof
+    as the native skyline query."""
+    from arrow_spark.plans.extensions import engine_extension_handler
+
+    return run_substrait(
+        spark,
+        _extension_skyline_plan_bytes(),
+        lambda names: table(spark, sf_dir, names[0]),
+        extension_handler=engine_extension_handler,
+    )

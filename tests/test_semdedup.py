@@ -86,3 +86,24 @@ def test_prefix_filter_equals_length_blocked_exact(spark, sf_dir):
         map(tuple, prefix_filter_jaccard_pairs(docs, 0.5, block_cols=("lang",)).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_skyline_extension_rel_round_trip(spark):
+    # builder → consumer → operator: the third shipped extension rel
+    import arrow_spark.plans.substrait_builder as B
+    from arrow_spark.plans.extensions import engine_extension_handler, skyline_rel
+    from arrow_spark.plans.substrait import run_substrait
+
+    # consumer positionalizes read columns to _f0.._f2
+    read = B.read_named(["t"], ["g", "x", "y"], ["string", "i64", "i64"])
+    plan = B.plan(
+        skyline_rel(read, groups=["_f0"], minimize="_f1", maximize="_f2"),
+        ["g", "x", "y"],
+    )
+    src = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 5), ("a", 3, 20)], "g string, x long, y long"
+    )
+    out = run_substrait(
+        spark, plan, lambda names: src, extension_handler=engine_extension_handler
+    )
+    assert sorted((r["x"], r["y"]) for r in out.collect()) == [(1, 10), (3, 20)]
