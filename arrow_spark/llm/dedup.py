@@ -1079,3 +1079,54 @@ def prefix_filter_jaccard_pairs(
             (F.floor(inter * 1.0 / union * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023), production float path: cluster the
+    embedding space with the IVF index builder (map-only broadcast-
+    centroid assignment), then within each cluster drop every vector
+    that has a LOWER-id neighbor with cosine ≥ ``threshold``.
+
+    Returns (id, cid, keep, dup_of). The hash-verified pinned twin is
+    ``queries/dedup.py::dedup_semantic_prune`` (milli-snapped Lloyd
+    replay — the similarity_ivf_exact_replay pattern); this path keeps
+    the float matmul assignment and float cosines for speed, with the
+    identical prune rule.
+
+    Scale: candidates are within-cluster only — grow n_clusters with
+    the corpus so per-list populations stay bounded; the SemDeDup
+    paper's recursive re-shard of oversized clusters is the escape
+    hatch for skewed lists. Never corpus².
+    """
+    from arrow_spark.llm.similarity import cosine_similarity, ivf_build_index
+
+    _, indexed = ivf_build_index(
+        emb, n_clusters=n_clusters, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    a = indexed.select(
+        F.col("nid").alias("ida"), "cid", F.col("nv").alias("va")
+    )
+    b = indexed.select(
+        F.col("nid").alias("idb"), "cid", F.col("nv").alias("vb")
+    )
+    pairs = a.join(b, ["cid"]).where(F.col("ida") < F.col("idb"))
+    dups = (
+        pairs.where(
+            cosine_similarity(F.col("va"), F.col("vb")) >= F.lit(threshold)
+        )
+        .groupBy(F.col("idb").alias("id"))
+        .agg(F.min("ida").alias("dup_of"))
+    )
+    return (
+        indexed.select(F.col("nid").alias("id"), "cid")
+        .join(dups, "id", "left")
+        .select("id", "cid", F.col("dup_of").isNull().alias("keep"), "dup_of")
+    )

@@ -107,3 +107,20 @@ def test_skyline_extension_rel_round_trip(spark):
         spark, plan, lambda names: src, extension_handler=engine_extension_handler
     )
     assert sorted((r["x"], r["y"]) for r in out.collect()) == [(1, 10), (3, 20)]
+
+
+def test_semantic_dedup_production_path(spark, sf_dir):
+    from arrow_spark.catalog import table
+    from arrow_spark.llm.dedup import semantic_dedup
+
+    emb = table(spark, str(sf_dir), "embeddings")
+    out = semantic_dedup(emb, threshold=0.95, n_clusters=8, n_iters=2).collect()
+    assert len(out) == emb.count()
+    by_id = {r["id"]: r for r in out}
+    for r in out:
+        if not r["keep"]:
+            assert r["dup_of"] < r["id"]
+            assert by_id[r["dup_of"]]["cid"] == r["cid"]
+    # determinism
+    again = semantic_dedup(emb, threshold=0.95, n_clusters=8, n_iters=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
