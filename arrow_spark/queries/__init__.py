@@ -121,4 +121,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "skyline_pareto_offers",
     "dedup_prefix_filter_pairs",
     "substrait_extension_skyline",
+    "forecast_backtest_holt",
 )

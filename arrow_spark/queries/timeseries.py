@@ -583,3 +583,54 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=32,
         tiebreak=["event_id"],
     )
+
+
+BACKTEST_ORACLE = f"""
+WITH h AS (
+  {_holt_oracle().strip()}
+), o AS (
+  SELECT h.user_id, h.event_id, h.cents, h.forecast, e.ts
+  FROM h JOIN events e USING (event_id)
+), nx AS (
+  SELECT user_id, forecast,
+         lead(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM o
+)
+SELECT user_id,
+       CAST(count(nxt) AS BIGINT) AS n_evals,
+       CASE WHEN count(nxt) > 0 THEN sum(abs(forecast - nxt)) END AS sum_abs_err,
+       CASE WHEN count(nxt) > 0 THEN sum(abs(forecast - nxt)) / count(nxt) END
+         AS mae_cents
+FROM nx
+GROUP BY user_id
+"""
+
+
+@query("forecast_backtest_holt", oracle=BACKTEST_ORACLE)
+def forecast_backtest_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin 1-step backtest of the Holt forecaster: per user,
+    the mean absolute error of forecast_t against the NEXT observed
+    value — the evaluation loop a forecasting pipeline runs before
+    trusting a model. Every error term is a dyadic (exact Holt forecast
+    minus integer cents, all on the 2^-15 grid), so the error SUM is
+    order-independent exact and the MAE a single division — hash-exact
+    without any snapping."""
+    from pyspark.sql import Window as W
+
+    from arrow_spark.operators.smoothing import holt_smooth
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sm = holt_smooth(ev, ["user_id"], ["ts", "event_id"], "cents", window=16)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nx = sm.select(
+        "user_id", "forecast", F.lead("cents").over(w).alias("nxt")
+    )
+    err = F.abs(F.col("forecast") - F.col("nxt"))
+    return nx.groupBy("user_id").agg(
+        F.count("nxt").cast("long").alias("n_evals"),
+        F.when(F.count("nxt") > 0, F.sum(err)).alias("sum_abs_err"),
+        F.when(F.count("nxt") > 0, F.sum(err) / F.count("nxt")).alias("mae_cents"),
+    )
