@@ -122,4 +122,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "dedup_prefix_filter_pairs",
     "substrait_extension_skyline",
     "forecast_backtest_holt",
+    "graph_shortest_paths",
 )

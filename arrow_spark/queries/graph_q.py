@@ -191,3 +191,72 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, node_col="k", partition_col="user_id", order_col="event_id"
     )
     return label_propagation(edges, n_iters=_LPA_ITERS)
+
+
+_SP_ITERS = 3
+
+_SP_BASE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+),
+trans AS (
+  SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS pk
+  FROM ev
+),
+edges AS (
+  SELECT pk AS src, k AS dst FROM trans WHERE pk IS NOT NULL GROUP BY pk, k
+),
+und AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL
+  SELECT dst AS u, src AS v FROM edges
+),
+s0 AS (
+  SELECT DISTINCT CAST(u AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  FROM und WHERE u % 17 = 0
+)"""
+
+_SP_ITER = """,
+s{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM s{p}
+    UNION ALL
+    SELECT CAST(und.v AS BIGINT) AS node, s{p}.dist + 1 AS dist
+    FROM s{p} JOIN und ON und.u = s{p}.node
+  ) GROUP BY node
+)"""
+
+SHORTEST_PATHS_ORACLE = (
+    _SP_BASE
+    + "".join(_SP_ITER.format(i=i, p=i - 1) for i in range(1, _SP_ITERS + 1))
+    + f"\nSELECT node, dist AS hops FROM s{_SP_ITERS}"
+)
+
+
+@query("graph_shortest_paths", oracle=SHORTEST_PATHS_ORACLE)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the undirected click-transition
+    graph (sources: every node ≡ 0 mod 17), 3 relaxation rounds —
+    Bellman-Ford supersteps as join+group-min relational rounds
+    (operators/shortest_paths.py). Hops are integers, so the unrolled
+    3-round CTE replay is bit-exact by construction; unreachable nodes
+    are absent, never NULL-padded."""
+    from arrow_spark.operators.pagerank import transition_edges
+    from arrow_spark.operators.shortest_paths import shortest_paths
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = transition_edges(
+        ev, node_col="k", partition_col="user_id", order_col="event_id"
+    ).select("src", "dst")
+    sources = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).where(F.col("node") % 17 == 0)
+    return (
+        shortest_paths(edges, sources, n_iters=_SP_ITERS, directed=False)
+        .select("node", F.col("dist").alias("hops"))
+    )
