@@ -123,4 +123,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "substrait_extension_skyline",
     "forecast_backtest_holt",
     "graph_shortest_paths",
+    "fuzzy_match_assignment",
 )

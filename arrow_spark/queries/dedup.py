@@ -389,6 +389,49 @@ def fuzzy_join_lsh_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATCH_ASSIGN_ORACLE = f"""
+WITH scored AS ({FUZZY_JOIN_ORACLE})
+SELECT probe_id, doc_id, jaccard FROM (
+  SELECT probe_id, doc_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY jaccard DESC, doc_id ASC) AS lr,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, probe_id ASC) AS rr
+  FROM scored
+) WHERE lr = 1 AND rr = 1
+"""
+
+
+@query("fuzzy_match_assignment", oracle=MATCH_ASSIGN_ORACLE)
+def fuzzy_match_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entity-resolution assignment: the many-to-many fuzzy-join pairs
+    reduced to a 1:1 matching by mutual-best argmax (each side the
+    other's top score; ties to the smallest partner id) — two window
+    Exchanges over the candidate set (operators/linkage.py), never a
+    corpus shuffle. Scores are snapped to 1e-6 BEFORE ranking so the
+    ordering key is cross-engine identical and the whole assignment is
+    hash-exact."""
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join
+    from arrow_spark.operators.linkage import mutual_best_match
+    from arrow_spark.llm.dedup import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    raw = _tokens(F.col("text"))
+    probe = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(
+            F.slice(raw, 1, F.greatest(F.size(raw) - 5, F.lit(1))), " "
+        ).alias("probe_text"),
+    )
+    corpus = d.select("doc_id", "text")
+    pairs = fuzzy_join(probe, corpus, "probe_text", "text", threshold=0.5).select(
+        "probe_id",
+        "doc_id",
+        (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+    )
+    return mutual_best_match(pairs, "probe_id", "doc_id", "jaccard")
+
+
 INCREMENTAL_ORACLE = """
 WITH d AS (
   SELECT doc_id AS id, lang,
