@@ -282,6 +282,85 @@ def unigram_logprob_score(
     )
 
 
+def bigram_interp_score(
+    score_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram-LM quality score (Jelinek-Mercer with a fixed
+    dyadic λ=0.75): per document, the mean negative log-likelihood of its
+    token bigrams under p(w|v) = 0.75·c(v,w)/c(v·) + 0.25·p₁(w), where
+    p₁ is the add-one unigram model — the standard step up from the
+    unigram filter that additionally penalizes scrambled word ORDER
+    (bag-of-words-identical gibberish scores the same under unigrams).
+
+    Returns (id, n_bigrams, n_unseen, nll); positions 2..n are scored,
+    so documents with <2 tokens are absent. Unseen contexts fall back
+    entirely to the unigram term (the bigram term coalesces to 0).
+
+    Determinism: λ is a dyadic float, both model terms are single IEEE
+    divisions of exact integer counts, and each bigram's log-prob snaps
+    to integer micros before the per-document sum — the
+    unigram_logprob_score contract extended to two terms.
+
+    Scale: bigram extraction is a pure projection (arrays_zip of two
+    slices — no window, no shuffle); the model is two count shuffles
+    (bigrams, then contexts as a sum over the bigram table); scoring is
+    equi-joins against zipfian-small count tables plus one groupBy(id).
+    """
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        t = tokens(F.col(text_col))
+        n = F.size(t)
+        z = F.arrays_zip(
+            F.slice(t, 1, n - 1).alias("prev"), F.slice(t, 2, n - 1).alias("cur")
+        )
+        return df.select(
+            F.col(id_col).alias("id"), F.explode(z).alias("__p__")
+        ).select("id", F.col("__p__.prev").alias("prev"), F.col("__p__.cur").alias("cur"))
+
+    train_pairs = _pairs(train_docs)
+    bi = train_pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bi.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    vocab = (
+        train_docs.select(F.explode(tokens(F.col(text_col))).alias("cur"))
+        .groupBy("cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = vocab.agg(
+        F.sum("c").alias("__n__"), F.count(F.lit(1)).alias("__v__")
+    )
+    bterm = F.coalesce(
+        F.lit(0.75) * F.coalesce(F.col("cb"), F.lit(0)) / F.col("cp"), F.lit(0.0)
+    )
+    uterm = (
+        F.lit(0.25)
+        * (F.coalesce(F.col("c"), F.lit(0)) + 1)
+        / (F.col("__n__") + F.col("__v__"))
+    )
+    logp_micro = F.floor(F.log(bterm + uterm) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        _pairs(score_docs)
+        .join(bi, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .join(vocab, "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("cb").isNull(), 1).otherwise(0)).alias("n_unseen"),
+            F.sum(logp_micro).alias("__lp__"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "n_unseen",
+            _floor6(-F.col("__lp__") / (F.col("n_bigrams") * F.lit(1e6))).alias("nll"),
+        )
+    )
+
+
 # -- PII redaction -----------------------------------------------------------
 
 PII_PATTERNS: dict[str, str] = {

@@ -124,4 +124,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "forecast_backtest_holt",
     "graph_shortest_paths",
     "fuzzy_match_assignment",
+    "corpus_bigram_lm_score",
 )

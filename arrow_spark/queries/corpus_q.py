@@ -346,6 +346,74 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_SCORE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
+           AS bucket,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id, bucket, toks[pos - 1] AS prev, toks[pos] AS cur
+  FROM (SELECT doc_id, bucket, toks,
+               unnest(generate_series(2, len(toks))) AS pos
+        FROM t)
+), bi AS (
+  SELECT prev, cur, count(*) AS cb FROM pairs WHERE bucket < 8 GROUP BY 1, 2
+), ctx AS (
+  SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM bi GROUP BY 1
+), tok AS (
+  SELECT unnest(toks) AS cur FROM t WHERE bucket < 8
+), vocab AS (
+  SELECT cur, count(*) AS c FROM tok GROUP BY cur
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM vocab
+), scored AS (
+  SELECT p.doc_id,
+         floor(ln(coalesce(0.75 * coalesce(bi.cb, 0) / ctx.cp, 0)
+                  + 0.25 * (coalesce(vocab.c, 0) + 1) / (tot.n + tot.v))
+               * 1e6 + 0.5) AS lp,
+         CASE WHEN bi.cb IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM pairs p
+  LEFT JOIN bi ON p.prev = bi.prev AND p.cur = bi.cur
+  LEFT JOIN ctx ON p.prev = ctx.prev
+  LEFT JOIN vocab ON p.cur = vocab.cur
+  CROSS JOIN tot
+  WHERE p.bucket = 9
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       floor((-sum(CAST(lp AS BIGINT)) / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6
+         AS nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("corpus_bigram_lm_score", oracle=BIGRAM_SCORE_ORACLE)
+def corpus_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interpolated bigram-LM perplexity filter (Jelinek-Mercer, dyadic
+    λ=0.75 over an add-one unigram backoff): trained on the md5 train
+    split, scored on bucket 9 — the word-ORDER-sensitive upgrade of
+    corpus_lm_score. Bigram extraction is a pure projection (arrays_zip
+    of two slices), per-bigram log-probs snap to integer micros before
+    the sum, so the whole score is hash-exact."""
+    from arrow_spark.llm.corpus import bigram_interp_score
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 10
+    )
+    d = d.withColumn("__b__", bucket)
+    return bigram_interp_score(
+        d.where(F.col("__b__") == 9), d.where(F.col("__b__") < 8)
+    )
+
+
 WEIGHTED_SAMPLE_ORACLE = """
 WITH d AS (
   SELECT doc_id, n_chars,
