@@ -133,6 +133,78 @@ def stratified_sample(
     return docs.where(bucket < rate)
 
 
+def stratified_split(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    train_tenths: int = 8,
+    val_tenths: int = 1,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT-proportion stratified train/val/test split: within every
+    stratum, precisely ⌊n·train/10⌋ rows land in train and ⌊n·(train+
+    val)/10⌋−⌊n·train/10⌋ in val — unlike the pure hash split
+    (text_hash_split), whose per-stratum proportions drift ∝ 1/√n and
+    can starve rare strata entirely. Assignment is by rank in a
+    deterministic hash order (md5 prefix, ties to the smaller id), so
+    it is reproducible and stable under re-runs.
+
+    Scale design — the naive form is a window over each stratum, and a
+    dominant stratum (half the corpus in one language) would serialize
+    into ONE window partition at 100 TB. Instead the rank is computed
+    two-level, the distributed order-statistics decomposition:
+
+      1. RANGE-bucket rows by the hash's high bits within the stratum
+         (bucket order must agree with hash order — a modulo bucket
+         would interleave the sort key and break the offsets);
+      2. count per (stratum, bucket) — metadata-sized (strata ×
+         n_buckets rows), cumulated into per-bucket rank offsets by a
+         window over that TINY frame;
+      3. row_number within (stratum, bucket) — every window partition
+         is ~1/n_buckets of the stratum — plus the broadcast offset.
+
+    All rule arithmetic is integer (rank·1 vs n·tenths div 10), so the
+    split is bit-exact and the single-window SQL replay hash-matches —
+    proving the decomposition, not just resembling it.
+    """
+    width = (1 << 32) // n_buckets  # h is a 32-bit md5 prefix
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rows = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        h.alias("h"),
+    ).withColumn("b", F.expr(f"h div {width}"))
+    counts = rows.groupBy("stratum", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = W.partitionBy("stratum").orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "stratum",
+        "b",
+        F.coalesce(F.sum("cnt").over(cum), F.lit(0)).alias("off"),
+        F.sum("cnt").over(W.partitionBy("stratum")).alias("n"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("stratum", "b").orderBy(F.col("h").asc(), F.col("id").asc())
+    )
+    ranked = rows.withColumn("__rn__", rn).join(
+        F.broadcast(offsets), ["stratum", "b"]
+    )
+    rank = F.col("off") + F.col("__rn__")
+    train_cut = F.expr(f"n * {train_tenths} div 10")
+    val_cut = F.expr(f"n * {train_tenths + val_tenths} div 10")
+    split = (
+        F.when(rank <= train_cut, "train")
+        .when(rank <= val_cut, "val")
+        .otherwise("test")
+    )
+    return ranked.select(
+        F.col("id").alias(id_col),
+        F.col("stratum").alias(strata_col),
+        split.alias("split"),
+    )
+
+
 def mixture_weights(
     docs: DataFrame, by: str = "source", alpha: float = 0.5
 ) -> DataFrame:

@@ -125,4 +125,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_shortest_paths",
     "fuzzy_match_assignment",
     "corpus_bigram_lm_score",
+    "corpus_stratified_split",
 )

@@ -346,6 +346,39 @@ def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATIFIED_SPLIT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM d
+)
+SELECT doc_id, lang,
+       CASE WHEN rk <= n * 8 // 10 THEN 'train'
+            WHEN rk <= n * 9 // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+@query("corpus_stratified_split", oracle=STRATIFIED_SPLIT_ORACLE)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion stratified 80/10/10 split per language: rank in
+    deterministic md5-hash order within each stratum, integer cutoffs —
+    unlike the pure hash split, rare strata get precisely their share.
+    The engine computes the rank TWO-LEVEL (per-bucket row_number +
+    metadata-frame offsets, so no window partition ever holds a whole
+    stratum at 100 TB); the oracle is the naive single-window rank —
+    the hash match proves the decomposition exact."""
+    from arrow_spark.llm.corpus import stratified_split
+
+    return stratified_split(table(spark, sf_dir, "documents"))
+
+
 BIGRAM_SCORE_ORACLE = """
 WITH t AS (
   SELECT doc_id,
