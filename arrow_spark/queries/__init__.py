@@ -37,6 +37,7 @@ _MODULES = (
     "extras",
     "substrait_q",
     "tokenize_q",
+    "evaluation_q",
 )
 
 
@@ -126,4 +127,7 @@ _DEFER_NEW: tuple[str, ...] = (
     "fuzzy_match_assignment",
     "corpus_bigram_lm_score",
     "corpus_stratified_split",
+    "eval_roc_auc",
+    "eval_pr_curve",
+    "eval_calibration_bins",
 )
