@@ -130,4 +130,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "eval_roc_auc",
     "eval_pr_curve",
     "eval_calibration_bins",
+    "graph_kcore",
 )

@@ -260,3 +260,91 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortest_paths(edges, sources, n_iters=_SP_ITERS, directed=False)
         .select("node", F.col("dist").alias("hops"))
     )
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 5
+
+_KCORE_BASE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+),
+trans AS (
+  SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS pk
+  FROM ev
+),
+raw AS (
+  SELECT least(pk, k) AS lo, greatest(pk, k) AS hi
+  FROM trans WHERE pk IS NOT NULL AND pk <> k
+),
+e0 AS MATERIALIZED (
+  SELECT lo, hi FROM (
+    SELECT lo, hi, count(*) AS w FROM raw GROUP BY lo, hi
+  ) WHERE w >= 5
+)"""
+
+_KCORE_ROUND = """,
+d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d
+  FROM (SELECT lo AS n FROM e{p} UNION ALL SELECT hi FROM e{p})
+  GROUP BY n
+),
+a{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT lo, hi FROM e{p}
+  WHERE lo IN (SELECT n FROM a{i}) AND hi IN (SELECT n FROM a{i})
+)"""
+
+KCORE_ORACLE = (
+    _KCORE_BASE
+    + "".join(
+        _KCORE_ROUND.format(i=i, p=i - 1, k=_KCORE_K)
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    + f"""
+SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT lo AS n FROM e{_KCORE_ROUNDS}
+      UNION ALL SELECT hi FROM e{_KCORE_ROUNDS})
+GROUP BY n
+"""
+)
+
+
+@query("graph_kcore", oracle=KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the click-transition graph (co-visit pairs seen ≥5
+    times), peeled for 5 bounded rounds — each round one vertex-keyed
+    degree aggregation + two broadcast semi-joins dropping edges of
+    peeled vertices (operators/kcore.py); all-integer algebra makes the
+    unrolled-round oracle bit-exact whether or not the peel has
+    converged. Graph-cohesion member of the relational graph family
+    (centrality / communities / distance / closure / cohesion)."""
+    from pyspark.sql import Window as W
+
+    from arrow_spark.operators.kcore import k_core
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    trans = ev.select(
+        F.col("k"),
+        F.lag("k").over(
+            W.partitionBy("user_id").orderBy("event_id")
+        ).alias("pk"),
+    )
+    # undirected occurrence counts BEFORE dedup: an edge is real only
+    # if the co-visit pair was seen >= 5 times in either direction
+    und = (
+        trans.where(F.col("pk").isNotNull() & (F.col("pk") != F.col("k")))
+        .select(
+            F.least("pk", "k").alias("lo"), F.greatest("pk", "k").alias("hi")
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 5)
+        .select("lo", "hi")
+    )
+    return k_core(und, k=_KCORE_K, rounds=_KCORE_ROUNDS)
