@@ -704,3 +704,74 @@ def packing_efficiency(
             "fill_ratio"
         ),
     )
+
+
+def tv_drift(
+    docs: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group total-variation distance between the group's word
+    distribution and the POOLED corpus distribution — the mixture-drift
+    monitor that, unlike KL/JS, needs NO logarithm: TV = ½·Σ|p − q| has
+    an all-integer numerator under the common denominator
+
+        Σ_k |c_gk·N − r_k·n_g|   over every key k in the pooled vocab,
+
+    so the statistic is exact integers until ONE final division —
+    hash-exact cross-engine with zero transcendentals (ln differs in
+    the last ulp between engines; TV sidesteps the whole class).
+
+    Keys absent from the group still carry mass |0·N − r_k·n_g|; they
+    are NEVER materialized — their total is (N − Σ_{k∈group} r_k)·n_g,
+    recovered from the group's own keys alone. Join cost is therefore
+    ∝ per-group vocab, not groups × vocab.
+
+    Returns (group…, n_tokens, tv_distance) with tv ∈ [0, 1]; 0 = the
+    group's distribution equals the pool, 1 = disjoint support.
+
+    Scale anatomy: explode → (group, word) cells (map-side combined) →
+    vocab-keyed equi-join to the pooled counts (broadcast when the
+    vocab is small) + broadcast group totals; numerator sums run in
+    decimal(38,0) so c·N never overflows at corpus scale. The final
+    decimal→double cast is exact below 2^53 — beyond that the TV value
+    itself is still correct to double precision but no longer bit-
+    replayable; snap upstream counts if that matters.
+    """
+    from arrow_spark.llm.tokenize import WORD_RE
+
+    groups = [F.col(c) for c in group_cols]
+    words = docs.select(
+        *groups,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    cells = words.groupBy(*group_cols, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ref = cells.groupBy("word").agg(F.sum("c").cast("long").alias("r"))
+    gt = cells.groupBy(*group_cols).agg(F.sum("c").cast("long").alias("ng"))
+    nt = cells.agg(F.sum("c").cast("long").alias("n"))
+    d = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        cells.join(ref, "word")
+        .join(F.broadcast(gt), list(group_cols))
+        .crossJoin(F.broadcast(nt))
+    )
+    agg = joined.groupBy(*group_cols, "ng", "n").agg(
+        F.sum(F.abs(d(F.col("c")) * d(F.col("n")) - d(F.col("r")) * d(F.col("ng"))))
+        .alias("present_num"),
+        F.sum("r").cast("long").alias("r_present"),
+    )
+    tv_num = F.col("present_num") + d(F.col("n") - F.col("r_present")) * d(
+        F.col("ng")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("ng").alias("n_tokens"),
+        (
+            tv_num.cast("double")
+            / (d(F.lit(2)) * d(F.col("ng")) * d(F.col("n"))).cast("double")
+        ).alias("tv_distance"),
+    )

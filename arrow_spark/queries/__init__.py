@@ -131,4 +131,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "eval_pr_curve",
     "eval_calibration_bins",
     "graph_kcore",
+    "corpus_distribution_drift",
 )

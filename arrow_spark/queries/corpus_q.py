@@ -640,3 +640,45 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         "n_docs", "n_tokens", "n_seqs", "padding_tokens", "fill_ratio",
     )
+
+
+TV_DRIFT_ORACLE = """
+WITH words AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+), cells AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1, 2
+), ref AS (
+  SELECT word, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1
+), gt AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY 1
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+), agg AS (
+  SELECT cells.source, gt.ng, nt.n,
+         sum(abs(c * n - r * ng)) AS present_num,
+         CAST(sum(r) AS BIGINT) AS r_present
+  FROM cells
+  JOIN ref USING (word)
+  JOIN gt USING (source), nt
+  GROUP BY cells.source, gt.ng, nt.n
+)
+SELECT source, ng AS n_tokens,
+       CAST(present_num + (n - r_present) * ng AS DOUBLE)
+         / CAST(2 * ng * n AS DOUBLE) AS tv_distance
+FROM agg
+"""
+
+
+@query("corpus_distribution_drift", oracle=TV_DRIFT_ORACLE)
+def corpus_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source total-variation distance vs the pooled word
+    distribution — the log-free mixture-drift monitor: the numerator is
+    Σ|c_g·N − r·n_g| in exact integers (absent-key mass recovered
+    algebraically, never materialized), so the single final division is
+    hash-exact with zero transcendentals (llm/corpus.py::tv_drift).
+    Complements corpus_source_diversity (within-group concentration)
+    with a between-group distance."""
+    from arrow_spark.llm.corpus import tv_drift
+
+    return tv_drift(table(spark, sf_dir, "documents"))

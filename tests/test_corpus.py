@@ -140,3 +140,43 @@ def test_chunk_documents_boundaries(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, window=64, overlap=64)
+
+
+def test_tv_drift_identical_groups_zero(spark):
+    # every source has the same word distribution ⇒ each equals the
+    # pool ⇒ TV = 0 exactly
+    docs = spark.createDataFrame(
+        [("a", "x y"), ("b", "x y")], "source string, text string"
+    )
+    from arrow_spark.llm.corpus import tv_drift
+
+    rows = {r["source"]: r for r in tv_drift(docs).collect()}
+    assert rows["a"]["tv_distance"] == 0.0
+    assert rows["b"]["tv_distance"] == 0.0
+    assert rows["a"]["n_tokens"] == 2
+
+
+def test_tv_drift_disjoint_equal_halves(spark):
+    # A is all "x", B all "y", equal sizes: pool = (1/2, 1/2);
+    # TV(A, pool) = 1/2(|1 - 1/2| + |0 - 1/2|) = 1/2
+    docs = spark.createDataFrame(
+        [("a", "x x"), ("b", "y y")], "source string, text string"
+    )
+    from arrow_spark.llm.corpus import tv_drift
+
+    rows = {r["source"]: r for r in tv_drift(docs).collect()}
+    assert rows["a"]["tv_distance"] == 0.5
+    assert rows["b"]["tv_distance"] == 0.5
+
+
+def test_tv_drift_absent_key_mass_counted(spark):
+    # A = {x:1}, B = {x:1, y:1}. pool = {x:2/3, y:1/3}.
+    # TV(A) = 1/2(|1-2/3| + |0-1/3|) = 1/3 — the y term exists only
+    # through the algebraic absent-key recovery
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "x y")], "source string, text string"
+    )
+    from arrow_spark.llm.corpus import tv_drift
+
+    rows = {r["source"]: r for r in tv_drift(docs).collect()}
+    assert abs(rows["a"]["tv_distance"] - 1 / 3) < 1e-15
