@@ -142,3 +142,89 @@ def holt_smooth(
         .withColumn(f"{p}trend", state["b"])
         .withColumn(f"{p}forecast", state["l"] + state["b"])
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    phase_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    core of STL, Cleveland et al. 1990, without the robustness loops):
+    value = trend + seasonal + residual.
+
+    - trend: centered moving average over ``period`` rows. For even
+      periods the standard 2×p MA (half-weight endpoints) keeps the
+      average centered; its numerator stays an exact INTEGER for
+      integer inputs (the ×2 trick: 2·Σ_mid + first + last), so trend
+      is one IEEE division per row. Rows without a full window get
+      NULL trend (no padding inventions).
+    - seasonal: per (keys…, phase) mean of the DETRENDED series,
+      micro-snapped before averaging so the mean is an integer sum +
+      one division, never an order-dependent float sum.
+    - residual = value − trend − seasonal, a fixed-order double chain.
+
+    Every step is integer sums → one division → snap, so the whole
+    decomposition is hash-exact cross-engine for integer inputs (snap
+    to cents/micros first, as every caller here does).
+
+    The MA window is POSITIONAL (ROWS, ordered by ``order_col``): gaps
+    in the grid shorten calendar spans, not row spans — run gapfill
+    upstream when strict time semantics matter. ``phase_col`` names a
+    precomputed integer phase (e.g. hour-of-day) so decompositions stay
+    joinable on it downstream.
+
+    Scale: ONE key-partitioned window Exchange (trend), one
+    (keys, phase) aggregation over micro-snapped detrended values
+    (map-side combined, p·|keys| output rows — metadata-sized), joined
+    back by broadcast. No self-joins, no UDFs.
+    """
+    half = period // 2
+    w = W.partitionBy(*key_cols).orderBy(order_col)
+    v = F.col(value_col).cast("long")
+    if period % 2 == 0:
+        mid = F.sum(v).over(w.rowsBetween(-(half - 1), half - 1))
+        first = F.lag(v, half).over(w)
+        last = F.lead(v, half).over(w)
+        trend = (2 * mid + first + last).cast("double") / F.lit(
+            float(2 * period)
+        )
+    else:
+        full = F.sum(v).over(w.rowsBetween(-half, half))
+        cnt = F.count(v).over(w.rowsBetween(-half, half))
+        trend = F.when(
+            cnt == period, full.cast("double") / F.lit(float(period))
+        )
+    t = df.withColumn("trend", trend)
+    ds = F.when(
+        F.col("trend").isNotNull(),
+        F.floor((v.cast("double") - F.col("trend")) * 1e6 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    t = t.withColumn("__ds__", ds)
+    seas = (
+        t.where(F.col("__ds__").isNotNull())
+        .groupBy(*key_cols, phase_col)
+        .agg(
+            (
+                F.sum("__ds__").cast("double")
+                / (F.count("__ds__") * F.lit(1_000_000)).cast("double")
+            ).alias("seasonal")
+        )
+    )
+    out = t.join(F.broadcast(seas), [*key_cols, phase_col], "left")
+    return out.select(
+        *key_cols,
+        order_col,
+        phase_col,
+        F.col(value_col),
+        "trend",
+        "seasonal",
+        (v.cast("double") - F.col("trend") - F.col("seasonal")).alias(
+            "residual"
+        ),
+    )

@@ -132,4 +132,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "eval_calibration_bins",
     "graph_kcore",
     "corpus_distribution_drift",
+    "timeseries_seasonal_decompose",
 )

@@ -634,3 +634,70 @@ def forecast_backtest_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.count("nxt") > 0, F.sum(err)).alias("sum_abs_err"),
         F.when(F.count("nxt") > 0, F.sum(err) / F.count("nxt")).alias("mae_cents"),
     )
+
+
+SEASONAL_DECOMP_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), ph AS (
+  SELECT event_type, bucket,
+         CAST(floor(bucket / 3600.0) AS BIGINT) % 24 AS phase, cents
+  FROM hourly
+), tr AS (
+  SELECT event_type, bucket, phase, cents,
+         CAST(2 * sum(cents) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+              + lag(cents, 12) OVER o + lead(cents, 12) OVER o
+              AS DOUBLE) / 48.0 AS trend
+  FROM ph
+  WINDOW o AS (PARTITION BY event_type ORDER BY bucket)
+), ds AS (
+  SELECT *, CASE WHEN trend IS NOT NULL THEN
+           CAST(floor((CAST(cents AS DOUBLE) - trend) * 1e6 + 0.5) AS BIGINT)
+         END AS dmicro
+  FROM tr
+), seas AS (
+  SELECT event_type, phase,
+         CAST(sum(dmicro) AS DOUBLE)
+           / CAST(count(dmicro) * 1000000 AS DOUBLE) AS seasonal
+  FROM ds WHERE dmicro IS NOT NULL GROUP BY 1, 2
+)
+SELECT ds.event_type, ds.bucket, ds.phase, ds.cents, ds.trend, seas.seasonal,
+       CAST(ds.cents AS DOUBLE) - ds.trend - seas.seasonal AS residual
+FROM ds LEFT JOIN seas ON ds.event_type = seas.event_type
+                      AND ds.phase = seas.phase
+"""
+
+
+@query("timeseries_seasonal_decompose", oracle=SEASONAL_DECOMP_ORACLE)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classical additive decomposition of the hourly per-event-type
+    cents series with a daily (period-24) season: centered 2×24 MA
+    trend whose ×2 numerator stays integer, micro-snapped per-phase
+    seasonal means (integer sum + ONE division), fixed-order residual
+    chain — hash-exact end to end (operators/smoothing.py::
+    seasonal_decompose). Per-event cents snap BEFORE the bucket sum so
+    the series itself is exact integers."""
+    from arrow_spark.operators.smoothing import seasonal_decompose
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("bucket"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .withColumn(
+            "phase", F.floor(F.col("bucket") / 3600.0).cast("long") % 24
+        )
+    )
+    return seasonal_decompose(
+        hourly, ["event_type"], "bucket", "cents", "phase", period=24
+    )

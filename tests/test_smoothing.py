@@ -111,3 +111,61 @@ def test_holt_constant_series_zero_trend(spark):
     rows = holt_smooth(df, ["k"], "i", "x").collect()
     assert all(r["level"] == 7.0 and r["trend"] == 0.0 and r["forecast"] == 7.0
                for r in rows)
+
+
+def _decomp(spark, rows, period, schema="k string, t long, v long, ph long"):
+    from arrow_spark.operators.smoothing import seasonal_decompose
+
+    df = spark.createDataFrame(rows, schema)
+    out = seasonal_decompose(df, ["k"], "t", "v", "ph", period=period)
+    return {r["t"]: r for r in out.collect()}
+
+
+def test_seasonal_constant_series_decomposes_to_constant(spark):
+    rows = [("a", t, 10, t % 4) for t in range(12)]
+    got = _decomp(spark, rows, period=4)
+    # interior rows (full 2x4 MA window: t in 2..9) get exact results
+    for t in range(2, 10):
+        assert got[t]["trend"] == 10.0
+        assert got[t]["seasonal"] == 0.0
+        assert got[t]["residual"] == 0.0
+    # edges: no full window, NULL trend and residual
+    assert got[0]["trend"] is None and got[0]["residual"] is None
+
+
+def test_seasonal_square_wave_recovered_odd_period(spark):
+    # period-3 pattern [0, 30, 0] around zero-trend base 10:
+    # values 10,40,10 repeating; MA(3) = 20 everywhere interior
+    vals = [10, 40, 10] * 4
+    rows = [("a", t, vals[t], t % 3) for t in range(12)]
+    got = _decomp(spark, rows, period=3)
+    for t in range(1, 11):
+        assert got[t]["trend"] == 20.0
+    # seasonal: phase of the 40s is +20, the others -10
+    assert got[4]["seasonal"] == 20.0 and got[4]["residual"] == 0.0
+    assert got[3]["seasonal"] == -10.0 and got[3]["residual"] == 0.0
+
+
+def test_seasonal_trend_plus_season_additive_recovery(spark):
+    # linear trend t*2 plus period-2 alternation +-5 (even period):
+    # 2x2 MA of a linear series is exact, so residuals vanish
+    vals = [2 * t + (5 if t % 2 == 0 else -5) for t in range(10)]
+    rows = [("a", t, vals[t], t % 2) for t in range(10)]
+    got = _decomp(spark, rows, period=2)
+    for t in range(1, 9):
+        assert got[t]["trend"] == 2.0 * t
+        assert abs(got[t]["residual"]) < 1e-9
+
+
+def test_seasonal_groups_independent(spark):
+    rows = [("a", t, 10, t % 2) for t in range(6)] + [
+        ("b", t, 50, t % 2) for t in range(6)
+    ]
+    from arrow_spark.operators.smoothing import seasonal_decompose
+
+    df = spark.createDataFrame(rows, "k string, t long, v long, ph long")
+    out = seasonal_decompose(df, ["k"], "t", "v", "ph", period=2).collect()
+    a = [r for r in out if r["k"] == "a" and r["trend"] is not None]
+    b = [r for r in out if r["k"] == "b" and r["trend"] is not None]
+    assert all(r["trend"] == 10.0 for r in a)
+    assert all(r["trend"] == 50.0 for r in b)
