@@ -66,3 +66,62 @@ def groupwise_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int,
+) -> DataFrame:
+    """Trailing-window Pearson correlation of two integer-snapped
+    series: adds a `corr` column over the last ``window_rows`` rows per
+    key (the co-movement monitor: metric-vs-metric drift, leading-
+    indicator checks).
+
+    Exactness: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) run in
+    decimal(38,0) over integer inputs — exact at any width — and the
+    correlation is the fixed expression
+
+        (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ))
+
+    evaluated in doubles. IEEE-754 sqrt is CORRECTLY ROUNDED (unlike
+    ln/exp), so the whole chain is bit-identical cross-engine: rolling
+    correlation is hash-exact, not tolerance-tested. The decimal→double
+    casts are exact below 2^53 — snap upstream units (cents, not
+    micros, for wide windows) to stay under it.
+
+    Partial windows (fewer than ``window_rows`` rows) and zero-variance
+    windows yield NULL — never NaN (Spark orders NaN above 1.0, so a
+    NaN corr would read as perfectly correlated downstream).
+
+    Scale: ONE key-partitioned Exchange; all five sums share the same
+    window frame so Tungsten computes them in a single pass. The window
+    is POSITIONAL (ROWS) — gapfill upstream for strict calendar spans.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = d(F.col(x_col)), d(F.col(y_col))
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    nn = d(n)
+    num = (nn * sxy - sx * sy).cast("double")
+    dx = (nn * sxx - sx * sx).cast("double")
+    dy = (nn * syy - sy * sy).cast("double")
+    corr = F.when(
+        (n == window_rows) & (dx > 0) & (dy > 0),
+        num / (F.sqrt(dx) * F.sqrt(dy)),
+    )
+    return df.withColumn("corr", corr)

@@ -133,4 +133,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_kcore",
     "corpus_distribution_drift",
     "timeseries_seasonal_decompose",
+    "timeseries_rolling_corr",
 )

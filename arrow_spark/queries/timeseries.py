@@ -701,3 +701,72 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     return seasonal_decompose(
         hourly, ["event_type"], "bucket", "cents", "phase", period=24
     )
+
+
+ROLLING_CORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+), xy AS (
+  SELECT 'click_view' AS pair, a.bucket, a.cents AS x, b.cents AS y
+  FROM hourly a JOIN hourly b ON a.bucket = b.bucket
+  WHERE a.event_type = 'click' AND b.event_type = 'view'
+), m AS (
+  SELECT pair, bucket, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM xy
+  WINDOW w AS (PARTITION BY pair ORDER BY bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT pair, bucket, x, y, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS dy
+  FROM m
+)
+SELECT pair, bucket, x, y,
+       CASE WHEN n = 24 AND dx > 0 AND dy > 0
+            THEN num / (sqrt(dx) * sqrt(dy)) END AS corr
+FROM c
+"""
+
+
+@query("timeseries_rolling_corr", oracle=ROLLING_CORR_ORACLE)
+def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation between the click and view
+    hourly cents series — five decimal(38,0) moment sums in ONE window
+    pass, then a fixed double expression whose only irrational op is
+    IEEE sqrt (correctly rounded, so cross-engine bit-identical):
+    rolling correlation is hash-exact, not tolerance-tested
+    (operators/regression.py::rolling_corr). Partial/degenerate windows
+    yield NULL, never NaN."""
+    from arrow_spark.operators.regression import rolling_corr
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("bucket"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    clicks = hourly.where(F.col("event_type") == "click").select(
+        "bucket", F.col("cents").alias("x")
+    )
+    views = hourly.where(F.col("event_type") == "view").select(
+        "bucket", F.col("cents").alias("y")
+    )
+    xy = clicks.join(views, "bucket").select(
+        F.lit("click_view").alias("pair"), "bucket", "x", "y"
+    )
+    return rolling_corr(xy, ["pair"], "bucket", "x", "y", window_rows=24)

@@ -169,3 +169,52 @@ def test_seasonal_groups_independent(spark):
     b = [r for r in out if r["k"] == "b" and r["trend"] is not None]
     assert all(r["trend"] == 10.0 for r in a)
     assert all(r["trend"] == 50.0 for r in b)
+
+
+def test_rolling_corr_perfect_linear(spark):
+    from arrow_spark.operators.regression import rolling_corr
+
+    rows = [("p", t, t, 2 * t + 7) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, x long, y long")
+    out = {r["t"]: r["corr"] for r in rolling_corr(df, ["k"], "t", "x", "y", 4).collect()}
+    assert out[0] is None and out[2] is None  # partial windows
+    # mathematically 1.0; the fixed float expression lands within an
+    # ulp or two (sqrt(dx)*sqrt(dy) is not exactly sqrt(dx*dy))
+    for t in range(3, 10):
+        assert abs(out[t] - 1.0) < 1e-12
+
+
+def test_rolling_corr_anticorrelated(spark):
+    from arrow_spark.operators.regression import rolling_corr
+
+    rows = [("p", t, t, -3 * t) for t in range(6)]
+    df = spark.createDataFrame(rows, "k string, t long, x long, y long")
+    out = {r["t"]: r["corr"] for r in rolling_corr(df, ["k"], "t", "x", "y", 3).collect()}
+    assert out[4] == -1.0
+
+
+def test_rolling_corr_zero_variance_null_not_nan(spark):
+    from arrow_spark.operators.regression import rolling_corr
+
+    rows = [("p", t, 5, t) for t in range(5)]  # x constant
+    df = spark.createDataFrame(rows, "k string, t long, x long, y long")
+    out = rolling_corr(df, ["k"], "t", "x", "y", 3).collect()
+    assert all(r["corr"] is None for r in out)
+
+
+def test_rolling_corr_known_value(spark):
+    from arrow_spark.operators.regression import rolling_corr
+    import math
+
+    xs, ys = [1, 2, 4, 3], [2, 1, 5, 6]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    expect = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    rows = [("p", t, xs[t], ys[t]) for t in range(4)]
+    df = spark.createDataFrame(rows, "k string, t long, x long, y long")
+    got = rolling_corr(df, ["k"], "t", "x", "y", 4).collect()[-1]["corr"]
+    assert got == expect  # bit-exact: same IEEE expression
