@@ -106,3 +106,96 @@ def welch_ttest(
             "n", "mean", "var", "t_stat", "significant",
         )
     )
+
+
+#: Cumulative Poisson(1) CDF breakpoints mapped into the 60-bit
+#: portable-hash domain, precomputed as INTEGER literals (floor(cdf_k ·
+#: 2^60)) — the runtime never touches exp/factorial, so both engines
+#: compare the same integers against the same hash. A hash below the
+#: first breakpoint draws weight 0 (p = e^-1), between k and k+1 draws
+#: k+1; at or above the last draws 5 (the merged ≥5 tail, p ≈ 0.0037).
+POISSON1_Q60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 40,
+    tail_millis: int = 25,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean, via the
+    DETERMINISTIC Poisson bootstrap (the resampling scheme that works
+    on distributed data: per-row replicate weights instead of a global
+    resample — Chamandy et al., "Estimating uncertainty for massive
+    data streams", Google 2012).
+
+    Each (row, replicate) draws a Poisson(1)-distributed weight from
+    the PORTABLE 60-bit hash of (id, replicate): no RNG state, no
+    driver coordination, bit-identical replay on any engine — the CI is
+    hash-exact, which no sampled-with-RNG bootstrap can be. Replicate
+    means are exact integer-weighted sums with ONE division; the
+    interval is nearest-rank (ceil via integer arithmetic — no float
+    quantile interpolation to diverge cross-engine).
+
+    Returns (groups…, n, mean, ci_lo, ci_hi) with a two-sided
+    ``tail_millis``/1000 tail each side (default 25 → 95 % CI).
+
+    Scale: the replicate explode multiplies ROWS FED TO THE AGGREGATION
+    by n_reps, but map-side combine collapses them to |groups|·n_reps
+    cells before the shuffle — the network cost is the cell table, not
+    the exploded data. The per-group sorted-means array is n_reps
+    doubles: driver-free, metadata-sized. Degenerate replicates (total
+    weight 0 — vanishing probability beyond toy groups) are excluded
+    and the nearest-rank indices follow the surviving count.
+    """
+    from arrow_spark.functions.portable_hash import portable_hash64
+
+    groups = list(group_cols)
+    v = F.col(value_col).cast("long")
+    reps = df.withColumn(
+        "__b__", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1)))
+    )
+    h = portable_hash64(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.col("__b__").cast("string")
+        ),
+        seed,
+    )
+    w = sum(
+        (h >= F.lit(t)).cast("int") for t in POISSON1_Q60
+    ).cast("long")
+    cells = reps.groupBy(*groups, "__b__").agg(
+        F.sum(w * v).alias("wv"), F.sum(w).alias("wt")
+    )
+    means = cells.where(F.col("wt") > 0).select(
+        *groups,
+        (F.col("wv").cast("double") / F.col("wt").cast("double")).alias("m"),
+    )
+    sorted_means = means.groupBy(*groups).agg(
+        F.array_sort(F.collect_list("m")).alias("ms")
+    )
+    lo_i = F.expr(f"CAST((size(ms) * {tail_millis} + 999) DIV 1000 AS INT)")
+    hi_i = F.expr(f"CAST((size(ms) * {1000 - tail_millis} + 999) DIV 1000 AS INT)")
+    ci = sorted_means.select(
+        *groups,
+        F.element_at("ms", F.greatest(lo_i, F.lit(1))).alias("ci_lo"),
+        F.element_at("ms", F.greatest(hi_i, F.lit(1))).alias("ci_hi"),
+    )
+    point = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(v).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean"
+        ),
+    )
+    return point.join(F.broadcast(ci), groups).select(
+        *groups, "n", "mean", "ci_lo", "ci_hi"
+    )

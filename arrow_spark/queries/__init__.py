@@ -134,4 +134,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_distribution_drift",
     "timeseries_seasonal_decompose",
     "timeseries_rolling_corr",
+    "experiment_bootstrap_ci",
 )

@@ -1909,3 +1909,66 @@ def skyline_pareto_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(
         offers, ["p_brand"], F.col("cost_cents"), F.col("availqty")
     )
+
+
+BOOTSTRAP_CI_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), reps AS (
+  SELECT event_type, event_id, cents, b
+  FROM base CROSS JOIN (SELECT unnest(range(0, 40)) AS b)
+), wtab AS (
+  SELECT event_type, b, cents,
+         (CASE WHEN h >= 424136118829305344 THEN 1 ELSE 0 END
+        + CASE WHEN h >= 848272237658610688 THEN 1 ELSE 0 END
+        + CASE WHEN h >= 1060340297073263360 THEN 1 ELSE 0 END
+        + CASE WHEN h >= 1131029650211480960 THEN 1 ELSE 0 END
+        + CASE WHEN h >= 1148701988496035328 THEN 1 ELSE 0 END) AS w
+  FROM (
+    SELECT event_type, b, cents,
+           ('0x' || substr(md5('0:' || CAST(event_id AS VARCHAR) || ':'
+                                || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM reps
+  )
+), cells AS (
+  SELECT event_type, b, sum(w * cents) AS wv, sum(w) AS wt
+  FROM wtab GROUP BY 1, 2
+), means AS (
+  SELECT event_type, CAST(wv AS DOUBLE) / CAST(wt AS DOUBLE) AS m
+  FROM cells WHERE wt > 0
+), arr AS (
+  SELECT event_type, list_sort(list(m)) AS ms FROM means GROUP BY 1
+), pt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+  FROM base GROUP BY 1
+)
+SELECT pt.event_type, pt.n, pt.mean,
+       ms[greatest((len(ms) * 25 + 999) // 1000, 1)] AS ci_lo,
+       ms[greatest((len(ms) * 975 + 999) // 1000, 1)] AS ci_hi
+FROM pt JOIN arr ON pt.event_type = arr.event_type
+"""
+
+
+@query("experiment_bootstrap_ci", oracle=BOOTSTRAP_CI_ORACLE)
+def experiment_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic Poisson-bootstrap 95% CI of mean cents per event
+    type (operators/abtest.py::bootstrap_mean_ci) — per-(row,replicate)
+    Poisson(1) weights drawn by comparing the PORTABLE 60-bit hash
+    against precomputed integer CDF breakpoints (no RNG, no exp at
+    runtime), replicate means exact integer-weighted sums + one
+    division, nearest-rank interval via integer ceil — the whole
+    uncertainty estimate is value-hash verifiable, which no RNG
+    bootstrap can be. 40 replicates; map-side combine keeps the shuffle
+    at |groups|·40 cells regardless of corpus size."""
+    from arrow_spark.operators.abtest import bootstrap_mean_ci
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return bootstrap_mean_ci(
+        ev, ["event_type"], "event_id", "cents", n_reps=40
+    )
