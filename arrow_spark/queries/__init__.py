@@ -135,4 +135,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_seasonal_decompose",
     "timeseries_rolling_corr",
     "experiment_bootstrap_ci",
+    "corpus_zipf_slope",
 )

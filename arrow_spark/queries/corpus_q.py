@@ -682,3 +682,94 @@ def corpus_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_spark.llm.corpus import tv_drift
 
     return tv_drift(table(spark, sf_dir, "documents"))
+
+
+ZIPF_ORACLE = """
+WITH words AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+), cells AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1, 2
+), ranked AS (
+  SELECT source,
+         CAST(floor(ln(row_number() OVER (PARTITION BY source
+                        ORDER BY c DESC, word)) * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM cells
+), m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ranked GROUP BY source
+), fit AS (
+  SELECT source, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+           / (CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+  FROM m
+)
+SELECT source, n AS n_points,
+       floor(slope * 1e6 + 0.5) / 1e6 AS zipf_slope,
+       floor(least(greatest(r2, 0.0), 1.0) * 1e6 + 0.5) / 1e6 AS r2
+FROM fit
+"""
+
+
+@query("corpus_zipf_slope", oracle=ZIPF_ORACLE)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source Zipf-law fit: OLS slope of ln(freq) on ln(rank) over
+    the word-frequency table (natural text ≈ −1; templated/synthetic
+    sources drift toward 0 — a corpus-quality fingerprint). Log values
+    micro-snap to integers BEFORE the moment sums (the keyness ln
+    discipline), so the five sums are exact and the closed form is two
+    deterministic divisions — hash-exact. Rank window runs over the
+    per-source vocab, never rows."""
+    from pyspark.sql import Window as W
+
+    from arrow_spark.llm.tokenize import WORD_RE
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    cells = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("c").desc(), F.col("word"))
+    )
+    ranked = cells.select(
+        "source",
+        F.floor(F.log(rn.cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    m = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    det = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ssy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / det
+    r2 = F.least(F.greatest(num * num / (det * ssy), F.lit(0.0)), F.lit(1.0))
+    return m.select(
+        "source",
+        F.col("n").alias("n_points"),
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
+        (F.floor(r2 * 1e6 + F.lit(0.5)) / 1e6).alias("r2"),
+    )
