@@ -136,4 +136,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "timeseries_rolling_corr",
     "experiment_bootstrap_ci",
     "corpus_zipf_slope",
+    "attribution_linear_touch",
 )

@@ -1972,3 +1972,58 @@ def experiment_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(
         ev, ["event_type"], "event_id", "cents", n_reps=40
     )
+
+
+ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT user_id, event_id AS cid, CAST(floor(epoch(ts)) AS BIGINT) AS ct,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tt, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT conv.cid, conv.cents, touch.channel
+  FROM conv JOIN touch ON conv.user_id = touch.user_id
+  WHERE touch.tt < conv.ct AND touch.tt >= conv.ct - 86400
+), split AS (
+  SELECT channel,
+         CAST(floor(CAST(cents AS DOUBLE) * 1e6
+                    / CAST(count(*) OVER (PARTITION BY cid) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS credit
+  FROM pairs
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit) AS BIGINT) AS credited_micros,
+       CAST(sum(credit) AS DOUBLE) / 1e6 AS credited_value
+FROM split GROUP BY channel
+"""
+
+
+@query("attribution_linear_touch", oracle=ATTRIBUTION_ORACLE)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linear multi-touch attribution: each purchase's cents split
+    equally across the user's click/view touches in the preceding 24 h
+    (operators/attribution.py) — ONE user-keyed equi-join with a
+    residual window predicate (co-located under user bucketing at
+    scale), per-conversion count window, credits snapped to micros
+    BEFORE the channel sum so the report is an exact integer aggregate
+    + one closing division."""
+    from arrow_spark.operators.attribution import linear_attribution
+
+    ev = table(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        epoch.alias("ct"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", epoch.alias("tt"), F.col("event_type").alias("channel")
+    )
+    return linear_attribution(
+        conv, touch,
+        user_col="user_id", conv_id="cid", conv_time="ct", value_col="cents",
+        touch_time="tt", channel_col="channel", window_seconds=86400,
+    )
