@@ -456,3 +456,62 @@ def cms_join_cardinality(
         F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
     )
     return full.agg(F.min("dot").cast("long").alias("join_size_est"))
+
+
+def heavy_hitters(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """EXACT φ-heavy hitters (frequency > N/k) by the two-pass
+    candidate-then-recount scheme — the distributed pattern that makes
+    "top items by share" safe at any scale without a global sort.
+
+    Pass 1 (candidates): count items per PHYSICAL partition and keep
+    those with per-partition share > 1/k. Pigeonhole guarantees no
+    miss: freq(x) > N/k = Σ_p N_p/k forces freq_p(x) > N_p/k in at
+    least one partition, so every true heavy hitter is a candidate.
+    Partitioning is nondeterministic — the CANDIDATE set varies run to
+    run — but pass 2 recounts candidates exactly and applies the strict
+    global threshold, so the RESULT is deterministic (false candidates
+    are filtered, true hitters can't be missed). This is the relational
+    twin of per-partition Misra-Gries + exact verification, with no UDF
+    anywhere.
+
+    Pass 2 shuffles only the candidate-filtered rows (broadcast
+    semi-join); candidate volume is bounded by k per partition — at
+    1000 executors and k=100 that is ≤ 100k strings, KBs.
+
+    All thresholds are integer cross-multiplications (c·k > n) — no
+    division until the final share column. Returns (item, cnt, share),
+    share = cnt/N in one IEEE division.
+
+    Reference anchor: the reference ships value_counts / dictionary
+    kernels (cpp/src/arrow/compute/kernels/vector_hash.cc) but no
+    share-threshold mining; its users run exactly this two-pass shape.
+    """
+    item = F.col(item_col)
+    cells = df.groupBy(
+        F.spark_partition_id().alias("__p__"), item.alias("item")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ptot = cells.groupBy("__p__").agg(F.sum("c").alias("np"))
+    cand = (
+        cells.join(ptot, "__p__")
+        .where(F.col("c") * k > F.col("np"))
+        .select("item")
+        .distinct()
+    )
+    exact = (
+        df.select(item.alias("item"))
+        .join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("n"))
+        .select(
+            "item",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

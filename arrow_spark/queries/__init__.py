@@ -137,4 +137,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "experiment_bootstrap_ci",
     "corpus_zipf_slope",
     "attribution_linear_touch",
+    "corpus_heavy_hitters",
 )

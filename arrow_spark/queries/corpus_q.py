@@ -773,3 +773,40 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
         (F.floor(r2 * 1e6 + F.lit(0.5)) / 1e6).alias("r2"),
     )
+
+
+HEAVY_HITTERS_ORACLE = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item
+  FROM documents
+), c AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1
+), n AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+)
+SELECT item, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
+FROM c, n WHERE cnt * 30 > n
+"""
+
+
+@query("corpus_heavy_hitters", oracle=HEAVY_HITTERS_ORACLE)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact words with share > 1/30 of the corpus by the two-pass
+    candidate-then-recount scheme (operators/sketches.py::
+    heavy_hitters): per-PHYSICAL-partition counts pigeonhole-guarantee
+    no true hitter is missed, exact recount + strict integer
+    cross-multiplied threshold make the result deterministic even
+    though the candidate set isn't. The oracle is the naive full
+    GROUP BY + HAVING — different algebra; the hash match proves the
+    two-pass scheme loses nothing."""
+    from arrow_spark.operators.sketches import heavy_hitters
+
+    from arrow_spark.llm.tokenize import WORD_RE
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+        ).alias("word")
+    )
+    return heavy_hitters(words, "word", k=30)
