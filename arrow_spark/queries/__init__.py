@@ -138,4 +138,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_zipf_slope",
     "attribution_linear_touch",
     "corpus_heavy_hitters",
+    "graph_ktruss",
 )

@@ -348,3 +348,91 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lo", "hi")
     )
     return k_core(und, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 2
+
+_TRUSS_ROUND = """,
+tri{i} AS MATERIALIZED (
+  SELECT w1.lo AS u, w1.hi AS v, w2.hi AS w
+  FROM e{p} w1
+  JOIN e{p} w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+  JOIN e{p} c ON c.lo = w1.hi AND c.hi = w2.hi
+),
+sup{i} AS MATERIALIZED (
+  SELECT lo, hi, count(*) AS s FROM (
+    SELECT u AS lo, v AS hi FROM tri{i}
+    UNION ALL SELECT u, w FROM tri{i}
+    UNION ALL SELECT v, w FROM tri{i}
+  ) GROUP BY 1, 2
+),
+e{i} AS MATERIALIZED (
+  SELECT e.lo, e.hi FROM e{p} e
+  JOIN sup{i} s ON e.lo = s.lo AND e.hi = s.hi
+  WHERE s.s >= {km2}
+)"""
+
+KTRUSS_ORACLE = (
+    _KCORE_BASE
+    + "".join(
+        _TRUSS_ROUND.format(i=i, p=i - 1, km2=_KTRUSS_K - 2)
+        for i in range(1, _KTRUSS_ROUNDS + 1)
+    )
+    + f""",
+trif AS MATERIALIZED (
+  SELECT w1.lo AS u, w1.hi AS v, w2.hi AS w
+  FROM e{_KTRUSS_ROUNDS} w1
+  JOIN e{_KTRUSS_ROUNDS} w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+  JOIN e{_KTRUSS_ROUNDS} c ON c.lo = w1.hi AND c.hi = w2.hi
+),
+supf AS MATERIALIZED (
+  SELECT lo, hi, CAST(count(*) AS BIGINT) AS s FROM (
+    SELECT u AS lo, v AS hi FROM trif
+    UNION ALL SELECT u, w FROM trif
+    UNION ALL SELECT v, w FROM trif
+  ) GROUP BY 1, 2
+)
+SELECT e.lo, e.hi, coalesce(supf.s, 0) AS support
+FROM e{_KTRUSS_ROUNDS} e
+LEFT JOIN supf ON e.lo = supf.lo AND e.hi = supf.hi
+"""
+)
+
+
+@query("graph_ktruss", oracle=KTRUSS_ORACLE)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the ≥5-count co-visit graph (every surviving edge in
+    ≥1 triangle of the surviving subgraph), 2 bounded peel rounds —
+    per round a triangle enumeration over canonical oriented edges (the
+    count_triangles wedge shape, never all-pairs) credits each triangle
+    to its 3 edges; support-filtered inner join drops weak edges
+    (operators/ktruss.py). All-integer ⇒ the unrolled MATERIALIZED-CTE
+    oracle is bit-exact. The community-backbone extractor beside
+    k-core's vertex cohesion."""
+    from pyspark.sql import Window as W
+
+    from arrow_spark.operators.ktruss import k_truss
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    trans = ev.select(
+        F.col("k"),
+        F.lag("k").over(
+            W.partitionBy("user_id").orderBy("event_id")
+        ).alias("pk"),
+    )
+    und = (
+        trans.where(F.col("pk").isNotNull() & (F.col("pk") != F.col("k")))
+        .select(
+            F.least("pk", "k").alias("lo"), F.greatest("pk", "k").alias("hi")
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 5)
+        .select("lo", "hi")
+    )
+    return k_truss(und, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
