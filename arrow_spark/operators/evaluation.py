@@ -36,7 +36,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "pr_curve", "calibration_bins"]
+__all__ = [
+    "roc_auc",
+    "pr_curve",
+    "calibration_bins",
+    "confusion_matrix",
+    "classification_report",
+]
 
 
 def _cells(
@@ -186,4 +192,83 @@ def calibration_bins(
                 "frac_pos"
             ),
         )
+    )
+
+
+def confusion_matrix(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """(truth, pred, n) cells — one map-side-combined aggregation; the
+    output is |classes|² rows at most, metadata-sized at any corpus
+    size. NULL truth/pred rows are excluded (no class to attribute)."""
+    return (
+        df.where(F.col(truth_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(truth_col).alias("truth"), F.col(pred_col).alias("pred")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def classification_report(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 from the confusion cells:
+    (cls, support, tp, fp, fn, precision, recall, f1).
+
+    Classes are the UNION of truth and prediction labels (a class the
+    model invents shows up with support 0; one it never predicts shows
+    up with precision NULL). All counts are exact integers; F1 uses the
+    single-division form 2·tp/(2·tp+fp+fn) — no chained P·R float
+    algebra — so the whole report is hash-exact. Degenerate
+    denominators yield NULL, never NaN.
+
+    Scale: one cells aggregation (the row-scale stage), then class-
+    table-sized joins (broadcast)."""
+    cells = confusion_matrix(df, truth_col, pred_col)
+    tp = (
+        cells.where(F.col("truth") == F.col("pred"))
+        .select(F.col("truth").alias("cls"), F.col("n").alias("tp"))
+    )
+    pt = cells.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("predicted")
+    )
+    tt = cells.groupBy(F.col("truth").alias("cls")).agg(
+        F.sum("n").cast("long").alias("support")
+    )
+    classes = tt.select("cls").unionAll(pt.select("cls")).distinct()
+    j = (
+        classes.join(F.broadcast(tt), "cls", "left")
+        .join(F.broadcast(pt), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
+            F.coalesce(F.col("predicted"), F.lit(0).cast("long")).alias("predicted"),
+            F.coalesce(F.col("tp"), F.lit(0).cast("long")).alias("tp"),
+        )
+    )
+    fp = F.col("predicted") - F.col("tp")
+    fn = F.col("support") - F.col("tp")
+    precision = F.when(
+        F.col("predicted") > 0,
+        F.col("tp").cast("double") / F.col("predicted").cast("double"),
+    )
+    recall = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    )
+    f1_den = 2 * F.col("tp") + fp + fn
+    f1 = F.when(
+        f1_den > 0, (2 * F.col("tp")).cast("double") / f1_den.cast("double")
+    )
+    return j.select(
+        "cls",
+        "support",
+        "tp",
+        fp.alias("fp"),
+        fn.alias("fn"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
     )

@@ -139,4 +139,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "attribution_linear_touch",
     "corpus_heavy_hitters",
     "graph_ktruss",
+    "eval_lang_id_report",
 )

@@ -170,3 +170,75 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(
         scored.select("y", micros.alias("micros")), "y", "micros", n_bins=10
     )
+
+
+LANG_REPORT_ORACLE = """
+WITH scored AS (
+  SELECT
+    lang AS truth,
+    CASE
+      WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) >= 2 THEN 'en'
+      WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')                        THEN 'zh'
+      WHEN len(regexp_extract_all(lower(text), '\\b(le|la|et|de|un)\\b')) >= 2  THEN 'fr'
+      WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) >= 2 THEN 'de'
+      ELSE 'unknown'
+    END AS pred
+  FROM documents
+), cells AS (
+  SELECT truth, pred, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY 1, 2
+), tp AS (
+  SELECT truth AS cls, n AS tp FROM cells WHERE truth = pred
+), pt AS (
+  SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS predicted FROM cells GROUP BY 1
+), tt AS (
+  SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS support FROM cells GROUP BY 1
+), classes AS (
+  SELECT cls FROM tt UNION SELECT cls FROM pt
+), j AS (
+  SELECT classes.cls,
+         coalesce(support, 0) AS support,
+         coalesce(predicted, 0) AS predicted,
+         coalesce(tp, 0) AS tp
+  FROM classes
+  LEFT JOIN tt USING (cls) LEFT JOIN pt USING (cls) LEFT JOIN tp USING (cls)
+)
+SELECT cls, support, tp,
+       predicted - tp AS fp,
+       support - tp AS fn,
+       CASE WHEN predicted > 0
+            THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END AS precision,
+       CASE WHEN support > 0
+            THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + (predicted - tp) + (support - tp) > 0
+            THEN CAST(2 * tp AS DOUBLE)
+                 / CAST(2 * tp + (predicted - tp) + (support - tp) AS DOUBLE)
+       END AS f1
+FROM j
+"""
+
+
+@query("eval_lang_id_report", oracle=LANG_REPORT_ORACLE)
+def eval_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-class precision/recall/F1 of the lang-id heuristic against
+    the fixture's true lang labels — the multi-class companion of the
+    binary AUC family: confusion cells in ONE map-side-combined
+    aggregation, class-table-sized broadcast joins, F1 in the
+    single-division form 2tp/(2tp+fp+fn) so the whole report is
+    hash-exact (operators/evaluation.py::classification_report)."""
+    from arrow_spark.operators.evaluation import classification_report
+
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def hits(pat):
+        return F.size(F.regexp_extract_all(low, F.lit(pat)))
+
+    pred = (
+        F.when(hits(r"(\b(?:the|and|of|to|is)\b)") >= 2, "en")
+        .when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(hits(r"(\b(?:le|la|et|de|un)\b)") >= 2, "fr")
+        .when(hits(r"(\b(?:der|die|und|das|ist)\b)") >= 2, "de")
+        .otherwise("unknown")
+    )
+    scored = d.select(F.col("lang").alias("truth"), pred.alias("pred"))
+    return classification_report(scored, "truth", "pred")

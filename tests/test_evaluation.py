@@ -128,3 +128,42 @@ def test_calibration_plan_single_aggregation_no_window(spark):
     )
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_classification_report_hand_truth(spark):
+    from arrow_spark.operators.evaluation import classification_report
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),       # a: tp=2, fn=1
+        ("b", "b"), ("b", "a"),                   # b: tp=1, fn=1
+        ("c", "b"),                               # c: never predicted
+    ]
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = {r["cls"]: r for r in classification_report(df, "t", "p").collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (3, 2, 1, 1)
+    assert a["precision"] == 2 / 3 and a["recall"] == 2 / 3
+    assert a["f1"] == 4 / 6  # 2tp/(2tp+fp+fn) = 4/6
+    assert (b["tp"], b["fp"], b["fn"]) == (1, 2, 1)
+    assert (c["support"], c["tp"], c["precision"]) == (1, 0, None)
+    assert c["recall"] == 0.0 and c["f1"] == 0.0
+
+
+def test_classification_report_invented_class(spark):
+    from arrow_spark.operators.evaluation import classification_report
+
+    # model predicts a class that never occurs in truth
+    df = spark.createDataFrame([("a", "z"), ("a", "a")], "t string, p string")
+    got = {r["cls"]: r for r in classification_report(df, "t", "p").collect()}
+    assert got["z"]["support"] == 0 and got["z"]["precision"] == 0.0
+    assert got["z"]["recall"] is None
+
+
+def test_confusion_matrix_cells(spark):
+    from arrow_spark.operators.evaluation import confusion_matrix
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "b"), (None, "a")], "t string, p string"
+    )
+    got = {(r["truth"], r["pred"]): r["n"] for r in confusion_matrix(df, "t", "p").collect()}
+    assert got == {("a", "a"): 1, ("a", "b"): 2}  # NULL row excluded
