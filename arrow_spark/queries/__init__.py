@@ -140,4 +140,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "corpus_heavy_hitters",
     "graph_ktruss",
     "eval_lang_id_report",
+    "trend_mann_kendall",
+    "trend_theil_sen",
 )

@@ -770,3 +770,104 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_view").alias("pair"), "bucket", "x", "y"
     )
     return rolling_corr(xy, ["pair"], "bucket", "x", "y", window_rows=24)
+
+
+_TREND_BASE = """
+pts AS (
+  SELECT user_id,
+         list(struct_pack(t := s, v := cents) ORDER BY s, cents) AS l
+  FROM (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+  ) GROUP BY user_id
+), sized AS (
+  SELECT user_id, l, CAST(len(l) AS BIGINT) AS n FROM pts
+)"""
+
+MANN_KENDALL_ORACLE = f"""
+WITH {_TREND_BASE},
+dd AS (
+  SELECT user_id, n,
+         CASE WHEN n >= 2 THEN
+           flatten(list_transform(range(1, n::INT), i ->
+             list_transform(range(i + 1, n::INT + 1), j -> l[j].v - l[i].v)))
+         END AS diffs
+  FROM sized
+), cd AS (
+  SELECT user_id, n,
+         CASE WHEN n >= 2 THEN CAST(len(list_filter(diffs, x -> x > 0)) AS BIGINT) END AS c,
+         CASE WHEN n >= 2 THEN CAST(len(list_filter(diffs, x -> x < 0)) AS BIGINT) END AS d
+  FROM dd
+)
+SELECT user_id, n,
+       coalesce(c, 0) AS concordant,
+       coalesce(d, 0) AS discordant,
+       coalesce(c - d, 0) AS s_stat,
+       CASE WHEN n >= 2 THEN CAST(c - d AS DOUBLE) / CAST(n * (n - 1) / 2 AS DOUBLE)
+       END AS tau
+FROM cd
+"""
+
+
+@query("trend_mann_kendall", oracle=MANN_KENDALL_ORACLE)
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend statistics per user over the cents
+    event series — all pairwise sign counts computed IN-ROW over the
+    time-ordered array (one key Exchange, no self-join; bounded-series
+    contract like holt/lttb), all-integer until the single tau division
+    (operators/robust_trend.py). The nonparametric companion to
+    groupwise_ols_trend."""
+    from arrow_spark.operators.robust_trend import mann_kendall
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mann_kendall(ev, ["user_id"], "s", "cents")
+
+
+THEIL_SEN_ORACLE = f"""
+WITH {_TREND_BASE},
+sl AS (
+  SELECT user_id, n,
+         CASE WHEN n >= 2 THEN
+           list_sort(list_filter(
+             flatten(list_transform(range(1, n::INT), i ->
+               list_transform(range(i + 1, n::INT + 1), j ->
+                 CASE WHEN l[j].t = l[i].t THEN NULL
+                      ELSE CAST(l[j].v - l[i].v AS DOUBLE)
+                           / CAST(l[j].t - l[i].t AS DOUBLE) END))),
+             x -> x IS NOT NULL))
+         END AS sl
+  FROM sized
+), m AS (
+  SELECT user_id, n, sl, CAST(coalesce(len(sl), 0) AS BIGINT) AS m FROM sl
+)
+SELECT user_id, n, m AS n_slopes,
+       CASE WHEN m > 0 THEN
+         CASE WHEN m % 2 = 1 THEN sl[CAST((m + 1) / 2 AS INT)]
+              ELSE (sl[CAST(m / 2 AS INT)] + sl[CAST(m / 2 + 1 AS INT)]) / 2
+         END
+       END AS slope
+FROM m
+"""
+
+
+@query("trend_theil_sen", oracle=THEIL_SEN_ORACLE)
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per user (median of all pairwise slopes,
+    29% breakdown vs OLS's 0) — pair slopes and the median pick happen
+    IN-ROW over the time-ordered array; each slope is one IEEE division
+    of exact integers and the even-count median is the fixed-order
+    (a+b)/2, so the estimator is hash-exact
+    (operators/robust_trend.py)."""
+    from arrow_spark.operators.robust_trend import theil_sen
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return theil_sen(ev, ["user_id"], "s", "cents")
