@@ -142,4 +142,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "eval_lang_id_report",
     "trend_mann_kendall",
     "trend_theil_sen",
+    "analytics_gini_spend",
+    "quality_benford_check",
 )

@@ -2027,3 +2027,102 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_col="user_id", conv_id="cid", conv_time="ct", value_col="cents",
         touch_time="tt", channel_col="channel", window_seconds=86400,
     )
+
+
+GINI_ORACLE = """
+WITH spend AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+), ranked AS (
+  SELECT nation, x,
+         row_number() OVER (PARTITION BY nation ORDER BY x) AS r
+  FROM spend
+), agg AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS total,
+         sum(2 * r * x) AS rx2
+  FROM ranked GROUP BY nation
+)
+SELECT nation, n, total,
+       CASE WHEN n >= 2 AND total > 0 THEN
+         CAST(rx2 - (n + 1) * total AS DOUBLE) / CAST(n * total AS DOUBLE)
+       END AS gini
+FROM agg
+"""
+
+
+@query("analytics_gini_spend", oracle=GINI_ORACLE)
+def analytics_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-nation Gini coefficient of customer spend — inequality of a
+    numeric distribution, the complement of the categorical
+    concentration monitors (Simpson, TV drift). Rank-form Gini: the
+    coefficient sum is tie-invariant so no cross-engine tie-break is
+    needed; decimal integer sums + ONE division ⇒ hash-exact
+    (operators/inequality.py::gini). The rank window runs over the
+    already-aggregated holders table (one row per customer)."""
+    from arrow_spark.operators.inequality import gini
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return gini(spend, ["nation"], "x")
+
+
+BENFORD_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+), cells AS (
+  SELECT grp, digit, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), totals AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+), pm AS (
+  SELECT cells.grp, cells.c, totals.n,
+         CASE cells.digit
+           WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+           WHEN 4 THEN 96910  WHEN 5 THEN 79181  WHEN 6 THEN 66947
+           WHEN 7 THEN 57992  WHEN 8 THEN 51153  WHEN 9 THEN 45757
+         END AS p
+  FROM cells JOIN totals ON cells.grp = totals.grp
+), agg AS (
+  SELECT grp, n,
+         sum(abs(c * 1000000 - p * n)) AS present_num,
+         CAST(sum(p) AS BIGINT) AS p_present
+  FROM pm GROUP BY grp, n
+)
+SELECT grp AS l_returnflag, n,
+       CAST(present_num + (1000000 - p_present) * n AS DOUBLE)
+         / CAST(2 * n * 1000000 AS DOUBLE) AS benford_tv
+FROM agg
+"""
+
+
+@query("quality_benford_check", oracle=BENFORD_ORACLE)
+def quality_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-digit Benford conformity of extended-price cents per
+    return flag — the bulk-numeric fraud/unit-mangling smoke test.
+    First digits come from the integer's DECIMAL STRING (no log10 —
+    engine-specific last-ulp behavior); the TV numerator is all-integer
+    with absent digits recovered from the constant mass table
+    (operators/inequality.py::benford_deviation), hash-exact with one
+    division."""
+    from arrow_spark.operators.inequality import benford_deviation
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return benford_deviation(l, ["l_returnflag"], "cents")
