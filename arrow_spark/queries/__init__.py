@@ -144,4 +144,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "trend_theil_sen",
     "analytics_gini_spend",
     "quality_benford_check",
+    "stream_drift_monitor",
 )

@@ -396,3 +396,46 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     out = windowed_topk(e, "ts", "1 hour", "event_type", k=3)
     return out.select("event_type", "n", "window_start", "window_end", "rank")
+
+
+DRIFT_MONITOR_ORACLE = """
+WITH ref AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS r FROM events GROUP BY 1
+), nr AS (
+  SELECT CAST(sum(r) AS BIGINT) AS nr FROM ref
+), cells AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), wtot AS (
+  SELECT window_start, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY 1
+), terms AS (
+  SELECT cells.window_start, wtot.ng, nr.nr,
+         sum(abs(c * nr.nr - coalesce(ref.r, 0) * wtot.ng)) AS present_num,
+         CAST(sum(coalesce(ref.r, 0)) AS BIGINT) AS r_present
+  FROM cells
+  LEFT JOIN ref ON cells.event_type = ref.event_type
+  JOIN wtot ON cells.window_start = wtot.window_start, nr
+  GROUP BY cells.window_start, wtot.ng, nr.nr
+)
+SELECT window_start, ng AS n_events,
+       CAST(present_num + (nr - r_present) * ng AS DOUBLE)
+         / CAST(2 * ng * nr AS DOUBLE) AS tv
+FROM terms
+"""
+
+
+@query("stream_drift_monitor", oracle=DRIFT_MONITOR_ORACLE)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly event-type mix vs the full-corpus distribution as TV
+    distance — the streaming drift monitor's batch twin (the stream
+    runs the identical windowed-count aggregation with watermark state;
+    foreachBatch reduces each micro-batch with mix_tv_from_counts —
+    tests/test_streaming.py runs the live variant). All-integer TV
+    numerator with algebraic absent-key mass ⇒ hash-exact
+    (streaming/drift.py)."""
+    from arrow_spark.streaming.drift import windowed_drift
+
+    e = table(spark, sf_dir, "events")
+    ref = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    return windowed_drift(e, "ts", "1 hour", "event_type", ref)

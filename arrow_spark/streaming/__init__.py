@@ -13,3 +13,7 @@ from arrow_spark.streaming.sink import (  # noqa: F401
     read_committed,
     write_epoch,
 )
+from arrow_spark.streaming.drift import (  # noqa: F401
+    mix_tv_from_counts,
+    windowed_drift,
+)

@@ -374,3 +374,48 @@ def test_stream_windowed_topk_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert sink == expected
+
+
+def test_stream_drift_monitor_equals_batch(spark, sf_dir, tmp_path):
+    """windowed mix counts reduced to per-window TV in foreachBatch —
+    the streaming drift monitor — must land on the batch plan's answer
+    once the availableNow stream drains (reference = the static full
+    distribution, broadcast into every micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from arrow_spark.streaming import (
+        mix_tv_from_counts,
+        stream_from_directory,
+        windowed_drift,
+    )
+
+    events = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_drift_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+    ref = static.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+
+    batch = windowed_drift(static, "ts", "1 hour", "event_type", ref)
+    expected = {r.window_start: (r.n_events, r.tv) for r in batch.collect()}
+
+    sink: dict = {}
+
+    def reduce_into_sink(bdf, epoch_id):
+        for r in mix_tv_from_counts(bdf, ref, "event_type").collect():
+            sink[r.window_start] = (r.n_events, r.tv)
+
+    stream = stream_from_directory(spark, src_dir, static.schema)
+    counts = windowed_drift(
+        stream, "ts", "1 hour", "event_type", ref, watermark="2 hours"
+    )
+    q = (
+        counts.writeStream.foreachBatch(reduce_into_sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sink == expected  # exact equality incl. the TV doubles
