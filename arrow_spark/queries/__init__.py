@@ -145,4 +145,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "analytics_gini_spend",
     "quality_benford_check",
     "stream_drift_monitor",
+    "analytics_association_rules",
 )

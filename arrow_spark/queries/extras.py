@@ -2126,3 +2126,41 @@ def quality_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     return benford_deviation(l, ["l_returnflag"], "cents")
+
+
+ASSOC_RULES_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), totals AS (
+  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM baskets
+), items AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM baskets GROUP BY 1
+), pairs AS (
+  SELECT a.i AS item_x, c.i AS item_y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM baskets a JOIN baskets c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_x, item_y, nx.n_i AS n_x, ny.n_i AS n_y, n_xy,
+       CAST(n_xy AS DOUBLE) / CAST(totals.n AS DOUBLE) AS support,
+       CAST(n_xy AS DOUBLE) / CAST(nx.n_i AS DOUBLE) AS confidence_xy,
+       CAST(n_xy AS DOUBLE) / CAST(ny.n_i AS DOUBLE) AS confidence_yx,
+       CAST(totals.n * n_xy AS DOUBLE)
+         / CAST(nx.n_i * ny.n_i AS DOUBLE) AS lift
+FROM pairs
+JOIN items nx ON pairs.item_x = nx.i
+JOIN items ny ON pairs.item_y = ny.i, totals
+"""
+
+
+@query("analytics_association_rules", oracle=ASSOC_RULES_ORACLE)
+def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """market-basket pair mining over order baskets: support /
+    confidence / lift for parts co-purchased in ≥2 orders — ONE
+    within-basket self-join (cost bounded by basket size, never a table
+    cross), broadcast item dimension, single-division statistics
+    (lift = n·c_xy/(c_x·c_y), one division not three) ⇒ hash-exact
+    (operators/association.py)."""
+    from arrow_spark.operators.association import association_rules
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(l, "l_orderkey", "l_partkey", min_pair_count=2)
