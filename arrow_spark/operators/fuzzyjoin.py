@@ -129,3 +129,71 @@ def fuzzy_join(
         .where(F.col("jaccard") >= threshold)
         .drop("__lt__", "__rt__", "__lb__")
     )
+
+
+def fuzzy_join_edit_distance(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    probe_text: str,
+    corpus_id: str,
+    corpus_text: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Edit-distance join: (probe_id, corpus_id, dist) for all pairs
+    with levenshtein ≤ ``max_dist`` — via LOSSLESS q-gram count
+    filtering (Gravano et al., "Approximate string joins in a
+    database", VLDB 2001).
+
+    Candidate rule: strings within edit distance d share at least
+        max(|x|, |y|) − q + 1 − q·d
+    positional-free q-grams (each edit destroys ≤ q grams). Candidates
+    come from ONE gram equi-join + a per-pair gram count filtered
+    against that bound; exact levenshtein verifies survivors. When the
+    bound is ≤ 0 the filter admits everything sharing one gram — keep
+    d small relative to string length (the algorithm's documented
+    regime), or the prefilter degenerates (still correct, just
+    unselective).
+
+    Scale: gram join cost ∝ Σ matched gram postings (zipf-bounded with
+    a stopgram cap upstream if needed); the expensive O(|x|·|y|) DP
+    runs only on count-qualified candidates. No cross join anywhere;
+    the oracle twin runs the UNBLOCKED all-pairs distance so the hash
+    match proves the bound loses nothing."""
+    p = probe.select(
+        F.col(probe_id).alias("pid"), F.col(probe_text).alias("ptxt")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(corpus_text).alias("ctxt")
+    )
+
+    def grams(col):
+        # ALL positional q-grams, duplicates kept: the count bound is a
+        # multiset statement, and the equi-join count Σ m_p(g)·m_c(g)
+        # over-approximates the multiset intersection — conservative,
+        # so the filter stays LOSSLESS even for strings with repeated
+        # grams (a distinct-set join could undercount and drop a true
+        # pair)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (q - 1), F.lit(1))),
+            lambda i: col.substr(i, F.lit(q)),
+        )
+
+    pg = p.select("pid", "ptxt", F.explode(grams(F.col("ptxt"))).alias("g"))
+    cg = c.select("cid", "ctxt", F.explode(grams(F.col("ctxt"))).alias("g"))
+    shared = pg.join(cg, "g").groupBy("pid", "ptxt", "cid", "ctxt").agg(
+        F.count(F.lit(1)).cast("long").alias("common")
+    )
+    bound = (
+        F.greatest(F.length("ptxt"), F.length("ctxt"))
+        - F.lit(q - 1)
+        - F.lit(q * max_dist)
+    )
+    cand = shared.where(F.col("common") >= F.greatest(bound, F.lit(1)))
+    dist = F.levenshtein(F.col("ptxt"), F.col("ctxt"))
+    return (
+        cand.withColumn("dist", dist.cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("pid", "cid", "dist")
+    )

@@ -146,4 +146,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "quality_benford_check",
     "stream_drift_monitor",
     "analytics_association_rules",
+    "fuzzy_join_edit_distance",
 )

@@ -886,3 +886,45 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         table(spark, sf_dir, "documents"), threshold=0.5, block_cols=("lang",)
     )
+
+
+EDIT_JOIN_ORACLE = """
+WITH probes AS (
+  SELECT p_partkey AS pid,
+         substr(p_name, 1, 3) || '#' || substr(p_name, 5) AS ptxt
+  FROM part WHERE p_partkey % 50 = 0
+)
+SELECT probes.pid, p.p_partkey AS cid,
+       CAST(levenshtein(probes.ptxt, p.p_name) AS BIGINT) AS dist
+FROM probes, part p
+WHERE levenshtein(probes.ptxt, p.p_name) <= 2
+"""
+
+
+@query("fuzzy_join_edit_distance", oracle=EDIT_JOIN_ORACLE)
+def fuzzy_join_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edit-distance ≤2 matching of corrupted part names (one character
+    substituted) against the part table — LOSSLESS q-gram count
+    prefiltering (Gravano 2001: d edits destroy ≤ q·d grams, so true
+    pairs share ≥ maxlen−q+1−q·d grams) feeds exact levenshtein only on
+    count-qualified candidates (operators/fuzzyjoin.py::
+    fuzzy_join_edit_distance). Oracle = the UNBLOCKED all-pairs
+    distance join — the hash match proves the bound loses nothing.
+    Both engines' levenshtein kernels agree integer-for-integer."""
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    part = table(spark, sf_dir, "part")
+    probes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("pid"),
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("#"),
+            F.expr("substring(p_name, 5)"),
+        ).alias("ptxt"),
+    )
+    corpus = part.select("p_partkey", "p_name")
+    out = fuzzy_join_edit_distance(
+        probes, corpus, "pid", "ptxt", "p_partkey", "p_name",
+        max_dist=2, q=3,
+    )
+    return out.select(F.col("pid"), F.col("cid"), F.col("dist"))

@@ -100,3 +100,62 @@ def test_lsh_recall_floor_vs_exact(spark):
     approx_pairs = {(x["lid"], x["rid"]) for x in approx.collect()}
     assert approx_pairs <= exact_pairs  # verify step admits no false pair
     assert len(approx_pairs) >= 0.6 * len(exact_pairs)
+
+
+def test_edit_distance_join_basic(spark):
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    probe = spark.createDataFrame(
+        [(1, "kitten"), (2, "flawless")], "pid long, t string"
+    )
+    corpus = spark.createDataFrame(
+        [(10, "kitten"), (11, "mitten"), (12, "sitting"), (13, "flawless")],
+        "cid long, t string",
+    )
+    out = fuzzy_join_edit_distance(
+        probe, corpus, "pid", "t", "cid", "t", max_dist=1, q=3
+    )
+    got = {(r["pid"], r["cid"]): r["dist"] for r in out.collect()}
+    # kitten->kitten d=0, kitten->mitten d=1; sitting is d=3 (excluded)
+    assert got == {(1, 10): 0, (1, 11): 1, (2, 13): 0}
+
+
+def test_edit_distance_lossless_with_repeated_grams(spark):
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    # repeated q-grams ("ababab") — a distinct-gram join would
+    # undercount shared grams; the multiset join must keep this pair
+    probe = spark.createDataFrame([(1, "ababababab")], "pid long, t string")
+    corpus = spark.createDataFrame([(9, "abababaXab")], "cid long, t string")
+    out = fuzzy_join_edit_distance(
+        probe, corpus, "pid", "t", "cid", "t", max_dist=1, q=3
+    ).collect()
+    assert [(r["pid"], r["cid"], r["dist"]) for r in out] == [(1, 9, 1)]
+
+
+def test_edit_distance_short_strings_degenerate_bound(spark):
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    # strings shorter than q·d+q−1: bound ≤ 0, filter admits anything
+    # sharing a gram; the verify step still gives the exact answer
+    probe = spark.createDataFrame([(1, "abcd")], "pid long, t string")
+    corpus = spark.createDataFrame(
+        [(5, "abcX"), (6, "abXX")], "cid long, t string"
+    )
+    out = fuzzy_join_edit_distance(
+        probe, corpus, "pid", "t", "cid", "t", max_dist=1, q=3
+    )
+    got = {(r["pid"], r["cid"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 5): 1}
+
+
+def test_edit_distance_no_cross_join_plan(spark):
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    probe = spark.createDataFrame([(1, "abcdef")], "pid long, t string")
+    corpus = spark.createDataFrame([(5, "abcdeg")], "cid long, t string")
+    plan = (
+        fuzzy_join_edit_distance(probe, corpus, "pid", "t", "cid", "t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
