@@ -74,3 +74,73 @@ def cohort_retention(
             "retention",
         )
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    id_col: str,
+    r_col: str,
+    f_col: str,
+    m_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: quintile scores for Recency (smaller
+    = better), Frequency and Monetary (larger = better), plus the
+    concatenated segment label — the classic lifecycle segmentation.
+
+    Scoring is ntile over three windows PARTITIONED BY METRIC (the
+    quantile_transform unpivot trick: R/F/M parallelize as separate
+    window partitions, not one global sort). Ties break by id, so
+    tiles are deterministic and the whole segmentation is hash-exact
+    (ntile's remainder-to-first-tiles rule is SQL-standard on both
+    engines). Each partition still holds all ids — at corpus scale
+    swap the exact rank for the binned GK path
+    (operators/quantile_transform.py::quantile_transform_binned), the
+    same exact/approx contract that operator ships with.
+
+    Returns (id, r, f, m, r_score, f_score, m_score, segment) with
+    scores in 1..n_tiles, n_tiles = best.
+    """
+    from pyspark.sql import Window as W
+
+    metrics = [
+        ("r", F.col(r_col).cast("long")),
+        ("f", F.col(f_col).cast("long")),
+        ("m", F.col(m_col).cast("long")),
+    ]
+    long = None
+    for name, val in metrics:
+        part = df.select(
+            F.col(id_col).alias("id"),
+            F.lit(name).alias("metric"),
+            val.alias("value"),
+        )
+        long = part if long is None else long.unionAll(part)
+    # one window per metric partition; direction differs per metric, so
+    # order by a sign-adjusted key: recency wants small values scored
+    # high -> negate it (last tile = smallest days-since)
+    signed = F.when(
+        F.col("metric") == "r", -F.col("value")
+    ).otherwise(F.col("value"))
+    w = W.partitionBy("metric").orderBy(signed.asc(), F.col("id").asc())
+    scored = long.withColumn("score", F.ntile(n_tiles).over(w))
+    pivoted = (
+        scored.groupBy("id")
+        .pivot("metric", ["r", "f", "m"])
+        .agg(
+            F.first("value").alias("v"), F.first("score").alias("s")
+        )
+    )
+    return pivoted.select(
+        F.col("id").alias(id_col),
+        F.col("r_v").alias("r"),
+        F.col("f_v").alias("f"),
+        F.col("m_v").alias("m"),
+        F.col("r_s").alias("r_score"),
+        F.col("f_s").alias("f_score"),
+        F.col("m_s").alias("m_score"),
+        F.concat(
+            F.lit("R"), F.col("r_s"), F.lit("F"), F.col("f_s"),
+            F.lit("M"), F.col("m_s"),
+        ).alias("segment"),
+    )

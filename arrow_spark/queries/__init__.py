@@ -147,4 +147,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "stream_drift_monitor",
     "analytics_association_rules",
     "fuzzy_join_edit_distance",
+    "analytics_rfm_segments",
 )

@@ -2164,3 +2164,68 @@ def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return association_rules(l, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS c_id,
+         CAST(floor((1735689600 - floor(epoch(max(o_orderdate)))) / 86400)
+              AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS f_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM orders GROUP BY 1
+), long AS (
+  SELECT c_id AS id, 'r' AS metric, r_days AS value FROM cust
+  UNION ALL SELECT c_id, 'f', f_orders FROM cust
+  UNION ALL SELECT c_id, 'm', m_cents FROM cust
+), scored AS (
+  SELECT id, metric, value,
+         ntile(5) OVER (PARTITION BY metric
+                        ORDER BY CASE WHEN metric = 'r' THEN -value
+                                      ELSE value END ASC, id ASC) AS score
+  FROM long
+), piv AS (
+  SELECT id,
+         max(CASE WHEN metric = 'r' THEN value END) AS r,
+         max(CASE WHEN metric = 'f' THEN value END) AS f,
+         max(CASE WHEN metric = 'm' THEN value END) AS m,
+         max(CASE WHEN metric = 'r' THEN score END) AS r_score,
+         max(CASE WHEN metric = 'f' THEN score END) AS f_score,
+         max(CASE WHEN metric = 'm' THEN score END) AS m_score
+  FROM scored GROUP BY id
+)
+SELECT id AS c_id, r, f, m,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       'R' || r_score::VARCHAR || 'F' || f_score::VARCHAR
+           || 'M' || m_score::VARCHAR AS segment
+FROM piv
+"""
+
+
+@query("analytics_rfm_segments", oracle=RFM_ORACLE)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM lifecycle segmentation of customers from their orders —
+    quintile scores over three METRIC-PARTITIONED ntile windows (the
+    quantile_transform unpivot trick; id tie-breaks make tiles
+    deterministic and SQL-standard remainder rules match cross-engine
+    ⇒ hash-exact), concatenated into the classic segment label
+    (operators/cohorts.py::rfm_scores). Swap the exact rank for the
+    binned GK path at corpus scale — same contract as
+    quantile_transform's exact/binned pair."""
+    from arrow_spark.operators.cohorts import rfm_scores
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("c_id")).agg(
+        F.floor(
+            (F.lit(1735689600) - F.floor(F.unix_timestamp(F.max("o_orderdate"))))
+            / 86400
+        )
+        .cast("long")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("long").alias("f_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+    )
+    return rfm_scores(cust, "c_id", "r_days", "f_orders", "m_cents")

@@ -74,3 +74,33 @@ def test_kaplan_meier_no_censoring_equals_empirical_survival(spark):
     n = len(durations)
     for t in sorted(set(durations)):
         assert out[t] == sum(1 for d in durations if d > t) / n
+
+
+def test_rfm_scores_hand_truth(spark):
+    from arrow_spark.operators.cohorts import rfm_scores
+
+    # 5 customers, clean quintiles; recency: SMALLER days = better
+    rows = [
+        (1, 1, 50, 500),   # most recent, most frequent, biggest spender
+        (2, 10, 40, 400),
+        (3, 20, 30, 300),
+        (4, 30, 20, 200),
+        (5, 40, 10, 100),
+    ]
+    df = spark.createDataFrame(rows, "id long, r long, f long, m long")
+    got = {r["id"]: r for r in rfm_scores(df, "id", "r", "f", "m").collect()}
+    assert got[1]["segment"] == "R5F5M5"
+    assert got[5]["segment"] == "R1F1M1"
+    assert got[3]["r_score"] == 3 and got[3]["f_score"] == 3
+    assert got[1]["r"] == 1 and got[1]["m"] == 500
+
+
+def test_rfm_tile_remainder_deterministic(spark):
+    from arrow_spark.operators.cohorts import rfm_scores
+
+    # 7 ids over 5 tiles: remainder goes to the FIRST tiles (SQL rule);
+    # ties in value resolve by id
+    rows = [(i, 1, 1, 1) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "id long, r long, f long, m long")
+    got = {r["id"]: r["f_score"] for r in rfm_scores(df, "id", "r", "f", "m").collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 4, 7: 5}
