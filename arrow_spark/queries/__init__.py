@@ -148,4 +148,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "analytics_association_rules",
     "fuzzy_join_edit_distance",
     "analytics_rfm_segments",
+    "text_readability",
 )

@@ -345,3 +345,58 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.floor(F.col("compression_ratio") * 1e6 + F.lit(0.5)).alias("ratio_micros"),
     )
+
+
+READABILITY_ORACLE = """
+WITH counts AS (
+  SELECT doc_id,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1)
+              AS BIGINT) AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sentences,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS syllables
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, words, sentences, syllables,
+       floor((206.835
+              - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+              - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS flesch
+FROM counts
+"""
+
+
+@query("text_readability", oracle=READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regex counts (words,
+    sentence terminators, vowel-group syllable proxy — the standard
+    cheap approximation) — a pure codegen projection, map-only, no
+    shuffle; the score is two divisions + a fixed-order linear combo,
+    micro-snapped, so it replays hash-exact. The readability member of
+    the text-quality gate family (length/punct/stopword ratios,
+    compression ratio, LM perplexity)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    low = F.lower(F.col("text"))
+    words = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit("([a-z]+)"))), F.lit(1)
+    ).cast("long")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("([.!?]+)"))),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit("([aeiouy]+)"))), F.lit(1)
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+        (F.floor(flesch * 1e6 + F.lit(0.5)) / 1e6).alias("flesch"),
+    )
