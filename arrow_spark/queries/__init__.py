@@ -149,4 +149,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "fuzzy_join_edit_distance",
     "analytics_rfm_segments",
     "text_readability",
+    "spatial_radius_join",
 )

@@ -2229,3 +2229,57 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m_cents"),
     )
     return rfm_scores(cust, "c_id", "r_days", "f_orders", "m_cents")
+
+
+RADIUS_JOIN_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5('1:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('2:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS y
+  FROM customer WHERE c_custkey % 10 = 0
+), supp AS (
+  SELECT s_suppkey AS id,
+         ('0x' || substr(md5('1:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('2:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS y
+  FROM supplier
+)
+SELECT c.id AS lid, s.id AS rid,
+       CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS BIGINT)
+         AS dist2
+FROM cust c, supp s
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+      <= 100000::BIGINT * 100000
+"""
+
+
+@query("spatial_radius_join", oracle=RADIUS_JOIN_ORACLE)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers within 100 km of suppliers on a synthetic 1000 km
+    plane (coordinates = portable-hash meters, so the oracle replays
+    them exactly) — grid-cell bucketing with a 9-cell probe explode +
+    ALL-INTEGER dx²+dy² ≤ r² verification: the spatial sibling of
+    banded LSH, with a geometric (not probabilistic) losslessness
+    guarantee (operators/spatial.py). Oracle = the UNBLOCKED all-pairs
+    distance join — the hash match proves the grid drops nothing. No
+    sqrt, no trig, nothing engine-specific anywhere."""
+    from arrow_spark.functions.portable_hash import portable_hash64
+    from arrow_spark.operators.spatial import radius_join
+
+    def pts(df, key):
+        sid = F.col(key).cast("string")
+        return df.select(
+            F.col(key).alias("id"),
+            (portable_hash64(sid, 1) % 1_000_000).alias("x"),
+            (portable_hash64(sid, 2) % 1_000_000).alias("y"),
+        )
+
+    cust = pts(
+        table(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0),
+        "c_custkey",
+    )
+    supp = pts(table(spark, sf_dir, "supplier"), "s_suppkey")
+    return radius_join(cust, supp, "id", "id", radius=100_000)
