@@ -95,3 +95,83 @@ def radius_join(
         .where(dist2 <= F.lit(r * r).cast("long"))
         .select("lid", "rid", dist2.alias("dist2"))
     )
+
+
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: int = 1000,
+    min_pts: int = 4,
+    max_iter: int = 25,
+) -> DataFrame:
+    """DBSCAN density clustering (Ester et al. 1996) COMPOSED from two
+    already-verified primitives: the grid-blocked ``radius_join`` for
+    ε-neighborhoods and min-label ``connected_components`` for the
+    core-graph closure — density clustering at scale with no new
+    distributed machinery.
+
+    Semantics (the deterministic variant): a point with ≥ min_pts
+    neighbors within ε (itself included) is CORE; core points within ε
+    connect into one cluster (labelled by the smallest core id —
+    deterministic, unlike visit-order implementations); a non-core
+    point within ε of ≥1 core is BORDER, assigned its SMALLEST
+    neighboring core's cluster (visit-order DBSCAN assigns the first
+    discoverer — smallest-label is the order-free contract); everything
+    else is NOISE (cluster NULL).
+
+    Returns (id, role, cluster). All-integer distances + min-label
+    closure ⇒ hash-exact against a recursive-CTE oracle.
+
+    Scale: one radius self-join (grid-blocked, lossless), one count,
+    the CC loop over CORE-core edges only (dense regions are
+    near-cliques — tiny diameter), one border assignment join.
+    """
+    from arrow_spark.llm.dedup import connected_components
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    pairs = radius_join(pts, pts, "id", "id", x_col="x", y_col="y", radius=eps)
+    deg = pairs.groupBy("lid").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    core = deg.where(F.col("sz") >= min_pts).select(F.col("lid").alias("id"))
+    core_edges = (
+        pairs.where(F.col("lid") < F.col("rid"))
+        .join(F.broadcast(core.withColumnRenamed("id", "lid")), "lid", "left_semi")
+        .join(F.broadcast(core.withColumnRenamed("id", "rid")), "rid", "left_semi")
+    )
+    cc = connected_components(core_edges, "lid", "rid", max_iter=max_iter)
+    core_lbl = core.join(
+        cc.withColumnRenamed("v", "id"), "id", "left"
+    ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("cluster"))
+    border_lbl = (
+        pairs.join(F.broadcast(core.withColumnRenamed("id", "lid")), "lid", "left_anti")
+        .join(
+            core_lbl.withColumnRenamed("id", "rid").withColumnRenamed(
+                "cluster", "rcluster"
+            ),
+            "rid",
+        )
+        .groupBy(F.col("lid").alias("id"))
+        .agg(F.min("rcluster").alias("cluster"))
+    )
+    out = (
+        pts.select("id")
+        .join(core_lbl.withColumnRenamed("cluster", "core_cluster"), "id", "left")
+        .join(border_lbl.withColumnRenamed("cluster", "border_cluster"), "id", "left")
+    )
+    role = (
+        F.when(F.col("core_cluster").isNotNull(), "core")
+        .when(F.col("border_cluster").isNotNull(), "border")
+        .otherwise("noise")
+    )
+    return out.select(
+        "id",
+        role.alias("role"),
+        F.coalesce(F.col("core_cluster"), F.col("border_cluster")).alias(
+            "cluster"
+        ),
+    )

@@ -150,4 +150,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "analytics_rfm_segments",
     "text_readability",
     "spatial_radius_join",
+    "spatial_dbscan",
 )

@@ -2283,3 +2283,78 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = pts(table(spark, sf_dir, "supplier"), "s_suppkey")
     return radius_join(cust, supp, "id", "id", radius=100_000)
+
+
+DBSCAN_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5('1:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('2:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS y
+  FROM customer WHERE c_custkey % 10 = 0
+), pairs AS (
+  SELECT a.id AS lid, b.id AS rid
+  FROM pts a, pts b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 60000::BIGINT * 60000
+), core AS (
+  SELECT lid AS id FROM pairs GROUP BY lid HAVING count(*) >= 3
+), ce AS (
+  SELECT lid AS a, rid AS b FROM pairs
+  WHERE lid < rid AND lid IN (SELECT id FROM core)
+                  AND rid IN (SELECT id FROM core)
+  UNION
+  SELECT rid, lid FROM pairs
+  WHERE lid < rid AND lid IN (SELECT id FROM core)
+                  AND rid IN (SELECT id FROM core)
+), reach(v, r) AS (
+  SELECT a, b FROM ce
+  UNION
+  SELECT reach.v, ce.b FROM reach JOIN ce ON reach.r = ce.a
+), comp AS (
+  SELECT v, least(min(r), v) AS c FROM reach GROUP BY v
+), core_lbl AS (
+  SELECT core.id, coalesce(comp.c, core.id) AS cluster
+  FROM core LEFT JOIN comp ON core.id = comp.v
+), border_lbl AS (
+  SELECT pairs.lid AS id, min(core_lbl.cluster) AS cluster
+  FROM pairs JOIN core_lbl ON pairs.rid = core_lbl.id
+  WHERE pairs.lid NOT IN (SELECT id FROM core)
+  GROUP BY pairs.lid
+)
+SELECT pts.id,
+       CASE WHEN core_lbl.id IS NOT NULL THEN 'core'
+            WHEN border_lbl.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(core_lbl.cluster, border_lbl.cluster) AS cluster
+FROM pts
+LEFT JOIN core_lbl ON pts.id = core_lbl.id
+LEFT JOIN border_lbl ON pts.id = border_lbl.id
+"""
+
+
+@query("spatial_dbscan", oracle=DBSCAN_ORACLE)
+def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic DBSCAN over the portable-hash customer plane
+    (ε = 60 km, min_pts = 3): ε-neighborhoods from the grid-blocked
+    radius self-join, core-graph closure from min-label connected
+    components, border points assigned their smallest neighboring
+    core's cluster — density clustering COMPOSED from two verified
+    primitives (operators/spatial.py::dbscan); all-integer distances +
+    min-label closure make the whole clustering hash-exact vs the
+    recursive-CTE oracle."""
+    from arrow_spark.functions.portable_hash import portable_hash64
+    from arrow_spark.operators.spatial import dbscan
+
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    sid = F.col("c_custkey").cast("string")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (portable_hash64(sid, 1) % 1_000_000).alias("x"),
+        (portable_hash64(sid, 2) % 1_000_000).alias("y"),
+    )
+    # max_iter bounds the closure at the giant component's hop diameter
+    # (≈ plane diagonal / eps ≈ 24 at sf0.1 — the loop exits early once
+    # labels stop changing, so small scales don't pay for the headroom)
+    return dbscan(pts, "id", eps=60_000, min_pts=3, max_iter=64)

@@ -56,3 +56,51 @@ def test_radius_join_no_cartesian_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def _dbscan(spark, pts, eps, min_pts):
+    from arrow_spark.operators.spatial import dbscan
+
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    return {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan(df, "id", eps=eps, min_pts=min_pts).collect()
+    }
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    blob1 = [(1, 0, 0), (2, 10, 0), (3, 0, 10)]
+    blob2 = [(11, 1000, 1000), (12, 1010, 1000), (13, 1000, 1010)]
+    noise = [(99, 500, 500)]
+    got = _dbscan(spark, blob1 + blob2 + noise, eps=20, min_pts=3)
+    assert {got[i] for i in (1, 2, 3)} == {("core", 1)}
+    assert {got[i] for i in (11, 12, 13)} == {("core", 11)}
+    assert got[99] == ("noise", None)
+
+
+def test_dbscan_border_point(spark):
+    # 1,2,3 are mutually close (cores at min_pts=3: each sees 3 incl.
+    # self); 4 is within eps of core 3 only (sees 2 -> not core)
+    pts = [(1, 0, 0), (2, 5, 0), (3, 10, 0), (4, 25, 0)]
+    got = _dbscan(spark, pts, eps=15, min_pts=3)
+    assert got[1] == ("core", 1) and got[3] == ("core", 1)
+    assert got[4] == ("border", 1)
+
+
+def test_dbscan_chain_merges_through_cores(spark):
+    # a chain at spacing 10, eps 12: interior points see 3 (prev, self,
+    # next) -> core; ENDPOINTS see only 2 -> border. The transitive
+    # closure must fuse all interior cores into one cluster (label =
+    # smallest core id = 2) and attach the endpoints as borders.
+    pts = [(i, 10 * i, 0) for i in range(1, 8)]
+    got = _dbscan(spark, pts, eps=12, min_pts=3)
+    clusters = {c for role, c in got.values() if role == "core"}
+    assert clusters == {2}
+    assert got[1] == ("border", 2) and got[7] == ("border", 2)
+
+
+def test_dbscan_singleton_core_cluster_is_own_id(spark):
+    # min_pts=1: every point is core; isolated point = its own cluster
+    pts = [(5, 0, 0), (9, 10_000, 10_000)]
+    got = _dbscan(spark, pts, eps=10, min_pts=1)
+    assert got[5] == ("core", 5) and got[9] == ("core", 9)
