@@ -59,3 +59,62 @@ def incremental_join_refresh(
         .unionByName(part_new_b.select(*cols))
         .unionByName(part_new_ab.select(*cols))
     )
+
+
+def incremental_agg_refresh(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    mult_col: str = "m",
+    count_col: str = "n",
+) -> DataFrame:
+    """Incrementally maintain a grouped count/sum aggregate under
+    INSERTIONS AND RETRACTIONS — the aggregate half of the IVM pair
+    (incremental_join_refresh is the join half).
+
+    ``old`` is the materialized state (keys…, n, <sum_cols>…); ``delta``
+    is raw rows carrying a multiplicity column (+1 insert, −1 retract).
+    New state:
+
+        n'   = n + Σ m           (per group)
+        sum' = sum + Σ m·v
+
+    and groups whose count reaches 0 DROP OUT (a fully-retracted group
+    must vanish, not linger as a zero row). Cost ∝ |delta| + |touched
+    groups|: the delta aggregates map-side to touched-group cells, the
+    merge is a full-outer join on the group key against state that is
+    itself group-sized. The old state is never rescanned at row grain.
+
+    Scope (the classic IVM result): count/sum/avg are self-maintainable
+    under retractions; MIN/MAX ARE NOT (a retracted maximum needs the
+    base table) — maintain those with the rollup operators or recompute.
+
+    Exactness: integer counts and integer (snap-first) sums — the merge
+    is pure integer addition, so refresh ≡ recompute is hash-provable.
+    """
+    ks = list(keys)
+    m = F.col(mult_col).cast("long")
+    dagg = delta.groupBy(*ks).agg(
+        F.sum(m).alias("__dn__"),
+        *[
+            F.sum(m * F.col(c).cast("long")).alias(f"__d_{c}__")
+            for c in sum_cols
+        ],
+    )
+    merged = old.join(dagg, ks, "full_outer")
+    new_n = F.coalesce(F.col(count_col), F.lit(0).cast("long")) + F.coalesce(
+        F.col("__dn__"), F.lit(0).cast("long")
+    )
+    out_cols = [
+        *[F.col(k) for k in ks],
+        new_n.alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0).cast("long"))
+                + F.coalesce(F.col(f"__d_{c}__"), F.lit(0).cast("long"))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    ]
+    return merged.select(*out_cols).where(F.col(count_col) > 0)

@@ -151,4 +151,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "text_readability",
     "spatial_radius_join",
     "spatial_dbscan",
+    "incremental_agg_refresh",
 )

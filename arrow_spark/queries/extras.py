@@ -2358,3 +2358,47 @@ def spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (≈ plane diagonal / eps ≈ 24 at sf0.1 — the loop exits early once
     # labels stop changing, so small scales don't pay for the headroom)
     return dbscan(pts, "id", eps=60_000, min_pts=3, max_iter=64)
+
+
+AGG_IVM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE (o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0) OR o_orderkey % 7 = 0
+GROUP BY 1
+"""
+
+
+@query("incremental_agg_refresh", oracle=AGG_IVM_ORACLE)
+def incremental_agg_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate IVM under insertions AND retractions: the materialized
+    per-priority (n, cents) state is refreshed from a delta of +1/−1
+    multiplicity rows — delta aggregates map-side to touched-group
+    cells, one group-keyed full-outer merge, zero-count groups drop
+    out; the old base is never rescanned (operators/ivm.py::
+    incremental_agg_refresh — the aggregate half of the IVM pair). The
+    oracle RECOMPUTES from scratch: the hash match proves refresh ≡
+    recompute, retractions included."""
+    from arrow_spark.operators.ivm import incremental_agg_refresh
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.where(F.col("o_orderkey") % 7 != 0)
+    old = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    retract = base.where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderpriority", "cents", F.lit(-1).alias("m")
+    )
+    insert = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderpriority", "cents", F.lit(1).alias("m")
+    )
+    delta = retract.unionAll(insert)
+    return incremental_agg_refresh(
+        old, delta, ["o_orderpriority"], ["cents"]
+    )

@@ -105,3 +105,54 @@ def test_welch_ttest_missing_baseline_raises(spark):
     df = spark.createDataFrame([("b", 1), ("b", 2)], "g string, x long")
     with pytest.raises(ValueError, match="baseline"):
         welch_ttest(df, "g", "x", baseline="zzz")
+
+
+def test_agg_ivm_refresh_equals_recompute(spark):
+    from arrow_spark.operators.ivm import incremental_agg_refresh
+    from pyspark.sql import functions as F
+
+    rows = [("a", 10), ("a", 20), ("b", 5), ("b", 7), ("c", 99)]
+    base = spark.createDataFrame(rows, "k string, v long")
+    old = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("v"),
+    )
+    # retract ("a", 20); insert ("b", 100) and a brand-new group ("d", 1)
+    delta = spark.createDataFrame(
+        [("a", 20, -1), ("b", 100, 1), ("d", 1, 1)], "k string, v long, m long"
+    )
+    got = {
+        r["k"]: (r["n"], r["v"])
+        for r in incremental_agg_refresh(old, delta, ["k"], ["v"]).collect()
+    }
+    assert got == {"a": (1, 10), "b": (3, 112), "c": (1, 99), "d": (1, 1)}
+
+
+def test_agg_ivm_fully_retracted_group_vanishes(spark):
+    from arrow_spark.operators.ivm import incremental_agg_refresh
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([("a", 10)], "k string, v long")
+    old = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("v"),
+    )
+    delta = spark.createDataFrame([("a", 10, -1)], "k string, v long, m long")
+    assert incremental_agg_refresh(old, delta, ["k"], ["v"]).count() == 0
+
+
+def test_agg_ivm_empty_delta_identity(spark):
+    from arrow_spark.operators.ivm import incremental_agg_refresh
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([("a", 10), ("b", 3)], "k string, v long")
+    old = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("v"),
+    )
+    delta = spark.createDataFrame([], "k string, v long, m long")
+    got = {
+        r["k"]: (r["n"], r["v"])
+        for r in incremental_agg_refresh(old, delta, ["k"], ["v"]).collect()
+    }
+    assert got == {"a": (1, 10), "b": (1, 3)}
