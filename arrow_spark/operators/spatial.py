@@ -175,3 +175,36 @@ def dbscan(
             "cluster"
         ),
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    k: int = 5,
+    radius_cap: int = 1000,
+) -> DataFrame:
+    """Bounded k-nearest-neighbor join: for each left point, the k
+    nearest right points WITHIN ``radius_cap`` — (lid, rid, dist2,
+    rank). The cap is the contract every production spatial index
+    exposes ("nearest stores within 50 km"), and what keeps the
+    operator one-pass: candidates come from the lossless grid blocking
+    of ``radius_join``, ranking is one lid-keyed window with a
+    deterministic (dist2, rid) tie-break — no data-dependent ring
+    expansion, no driver loop. A left point with fewer than k
+    neighbors inside the cap returns what exists (count the output to
+    detect truncation). All-integer distances ⇒ hash-exact."""
+    from pyspark.sql import Window as W
+
+    cand = radius_join(
+        left, right, left_id, right_id, x_col=x_col, y_col=y_col,
+        radius=radius_cap,
+    )
+    w = W.partitionBy("lid").orderBy(F.col("dist2").asc(), F.col("rid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

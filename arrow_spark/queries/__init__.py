@@ -152,4 +152,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "spatial_radius_join",
     "spatial_dbscan",
     "incremental_agg_refresh",
+    "spatial_knn_join",
 )

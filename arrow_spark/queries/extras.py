@@ -2402,3 +2402,62 @@ def incremental_agg_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_agg_refresh(
         old, delta, ["o_orderpriority"], ["cents"]
     )
+
+
+KNN_JOIN_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5('1:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('2:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS y
+  FROM customer WHERE c_custkey % 10 = 0
+), supp AS (
+  SELECT s_suppkey AS id,
+         ('0x' || substr(md5('1:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS x,
+         ('0x' || substr(md5('2:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS y
+  FROM supplier
+), cand AS (
+  SELECT c.id AS lid, s.id AS rid,
+         CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS BIGINT)
+           AS dist2
+  FROM cust c, supp s
+  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        <= 200000::BIGINT * 200000
+), ranked AS (
+  SELECT lid, rid, dist2,
+         CAST(row_number() OVER (PARTITION BY lid
+                                 ORDER BY dist2 ASC, rid ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT lid, rid, dist2, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@query("spatial_knn_join", oracle=KNN_JOIN_ORACLE)
+def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 nearest suppliers within 200 km of each sampled customer —
+    grid-blocked candidates + one lid-keyed rank window with a
+    deterministic (dist2, rid) tie-break (operators/spatial.py::
+    knn_join; the bounded-kNN contract every production spatial index
+    exposes — no data-dependent ring expansion). Oracle = UNBLOCKED
+    all-pairs ranking; all-integer distances ⇒ hash-exact."""
+    from arrow_spark.functions.portable_hash import portable_hash64
+    from arrow_spark.operators.spatial import knn_join
+
+    def pts(df, key):
+        sid = F.col(key).cast("string")
+        return df.select(
+            F.col(key).alias("id"),
+            (portable_hash64(sid, 1) % 1_000_000).alias("x"),
+            (portable_hash64(sid, 2) % 1_000_000).alias("y"),
+        )
+
+    cust = pts(
+        table(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0),
+        "c_custkey",
+    )
+    supp = pts(table(spark, sf_dir, "supplier"), "s_suppkey")
+    return knn_join(cust, supp, "id", "id", k=3, radius_cap=200_000)

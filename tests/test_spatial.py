@@ -104,3 +104,36 @@ def test_dbscan_singleton_core_cluster_is_own_id(spark):
     pts = [(5, 0, 0), (9, 10_000, 10_000)]
     got = _dbscan(spark, pts, eps=10, min_pts=1)
     assert got[5] == ("core", 5) and got[9] == ("core", 9)
+
+
+def test_knn_join_ranks_and_cap(spark):
+    from arrow_spark.operators.spatial import knn_join
+
+    l = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    r = spark.createDataFrame(
+        [(10, 1, 0), (11, 2, 0), (12, 3, 0), (13, 500, 0)],
+        "id long, x long, y long",
+    )
+    out = knn_join(l, r, "id", "id", k=2, radius_cap=100)
+    got = [(p["rid"], p["rank"], p["dist2"]) for p in sorted(out.collect(), key=lambda p: p["rank"])]
+    assert got == [(10, 1, 1), (11, 2, 4)]  # 12 cut by k, 13 by cap
+
+
+def test_knn_join_tie_breaks_by_rid(spark):
+    from arrow_spark.operators.spatial import knn_join
+
+    l = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    r = spark.createDataFrame(
+        [(20, 0, 5), (10, 5, 0)], "id long, x long, y long"
+    )
+    out = knn_join(l, r, "id", "id", k=1, radius_cap=100).collect()
+    assert [(p["rid"], p["rank"]) for p in out] == [(10, 1)]
+
+
+def test_knn_join_fewer_than_k_returns_what_exists(spark):
+    from arrow_spark.operators.spatial import knn_join
+
+    l = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    r = spark.createDataFrame([(10, 1, 1)], "id long, x long, y long")
+    out = knn_join(l, r, "id", "id", k=5, radius_cap=100).collect()
+    assert len(out) == 1
