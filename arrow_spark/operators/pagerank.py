@@ -116,3 +116,83 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+) -> DataFrame:
+    """Personalized PageRank: the teleport vector concentrates on a
+    SOURCE SET instead of the uniform vector — the recommendation /
+    similarity-seed primitive ("rank everything by proximity to these
+    seeds"). ``sources`` is a 1-column (n) frame of seed nodes.
+
+    Differences from the global walk, all three localized to the seeds:
+    start mass = uniform over S; restart mass (1−d) goes to S only;
+    dangling mass returns to S only. Everything else — the 2-shuffle
+    contribution round, per-iteration 1e-9 snapping (which is what
+    makes the unrolled-CTE oracle bit-exact), localCheckpoint lineage
+    cuts — is the pagerank machinery unchanged. Seeds are broadcast
+    (seed sets are query-sized, not graph-sized).
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s = sources.select(F.col(sources.columns[0]).alias("n")).distinct()
+    scnt = s.agg(F.count(F.lit(1)).alias("sc"))
+    flagged = nodes.join(
+        F.broadcast(s.withColumn("__in_s__", F.lit(1))), "n", "left"
+    ).select("n", F.coalesce(F.col("__in_s__"), F.lit(0)).alias("in_s"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    out_nodes = e.select("src").distinct()
+
+    ranks = flagged.crossJoin(F.broadcast(scnt)).select(
+        "n",
+        "in_s",
+        (F.col("in_s").cast("double") / F.col("sc")).alias("r"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max(1, n_iters)):
+        contrib = (
+            e.join(ranks, e.src == ranks.n)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("cs"))
+        )
+        dang = (
+            ranks.join(out_nodes, ranks.n == out_nodes.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("d"))
+        )
+        ranks = (
+            flagged.crossJoin(F.broadcast(scnt))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, flagged.n == contrib.dst, "left")
+            .select(
+                "n",
+                "in_s",
+                _snap9(
+                    (1 - F.lit(damping))
+                    * F.col("in_s").cast("double") / F.col("sc")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("cs"), F.lit(0.0))
+                        + F.col("d") * F.col("in_s").cast("double") / F.col("sc")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))

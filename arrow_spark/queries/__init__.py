@@ -153,4 +153,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "spatial_dbscan",
     "incremental_agg_refresh",
     "spatial_knn_join",
+    "graph_personalized_pagerank",
 )

@@ -436,3 +436,89 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lo", "hi")
     )
     return k_truss(und, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+
+
+_PPR_ITERS = 3
+
+_PPR_BASE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+),
+trans AS (
+  SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS pk
+  FROM ev
+),
+edges AS (
+  SELECT pk AS src, k AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM trans WHERE pk IS NOT NULL GROUP BY pk, k
+),
+nodes AS (
+  SELECT DISTINCT src AS n FROM edges
+  UNION SELECT DISTINCT dst AS n FROM edges
+),
+flag AS (
+  SELECT n, CASE WHEN n % 17 = 0 THEN 1 ELSE 0 END AS in_s FROM nodes
+),
+sc AS (SELECT CAST(sum(in_s) AS DOUBLE) AS sc FROM flag),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT n, in_s, in_s / sc.sc AS r FROM flag, sc)"""
+
+_PPR_ITER = """,
+r{i} AS (
+  SELECT flag.n, flag.in_s,
+         floor(((1 - 0.85) * flag.in_s / sc.sc
+                + 0.85 * (coalesce(contrib.s, 0)
+                          + dang.d * flag.in_s / sc.sc)) * 1e9 + 0.5)
+           / 1e9 AS r
+  FROM flag
+  CROSS JOIN sc
+  CROSS JOIN (SELECT coalesce(sum(r), 0) AS d FROM r{p}
+              WHERE n NOT IN (SELECT src FROM edges)) dang
+  LEFT JOIN (
+    SELECT e.dst, sum(r{p}.r * e.w / o.ow) AS s
+    FROM edges e
+    JOIN r{p} ON e.src = r{p}.n
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) contrib ON contrib.dst = flag.n
+)"""
+
+PPR_ORACLE = (
+    _PPR_BASE
+    + "".join(_PPR_ITER.format(i=i, p=i - 1) for i in range(1, _PPR_ITERS + 1))
+    + f"\nSELECT n AS node, r AS rank FROM r{_PPR_ITERS}"
+)
+
+
+@query("graph_personalized_pagerank", oracle=PPR_ORACLE)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """personalized PageRank seeded at the k%17==0 click nodes — the
+    teleport AND dangling mass return to the seed set only, ranking the
+    graph by proximity to the seeds (the recommendation primitive);
+    same 2-shuffle rounds, 1e-9 per-iteration snapping, and
+    localCheckpoint cuts as the global walk (operators/pagerank.py::
+    personalized_pagerank), so the 3-round unrolled-CTE oracle is
+    bit-exact."""
+    from pyspark.sql import Window as W
+
+    from arrow_spark.operators.pagerank import (
+        personalized_pagerank,
+        transition_edges,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = transition_edges(
+        ev, node_col="k", partition_col="user_id", order_col="event_id"
+    )
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("n") % 17 == 0)
+    return personalized_pagerank(edges, seeds, n_iters=_PPR_ITERS)
