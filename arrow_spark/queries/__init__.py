@@ -154,4 +154,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "incremental_agg_refresh",
     "spatial_knn_join",
     "graph_personalized_pagerank",
+    "stream_interval_join_full",
 )

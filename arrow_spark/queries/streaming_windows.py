@@ -439,3 +439,46 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     ref = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("r"))
     return windowed_drift(e, "ts", "1 hour", "event_type", ref)
+
+
+INTERVAL_JOIN_FULL_ORACLE = """
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       c.event_id  AS click_id,
+       c.ts        AS click_ts,
+       p.event_id  AS purchase_id,
+       p.ts        AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+"""
+
+
+@query("stream_interval_join_full", oracle=INTERVAL_JOIN_FULL_ORACLE)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both unmatched clicks
+    AND orphan purchases (no preceding same-user click within 4 h)
+    surface with nulls, the key coalesced from whichever side matched;
+    completes the interval-join mode matrix (inner / left / full).
+    Streaming form: watermarks on both sides + the bounded time
+    condition let Spark expire state and emit the null rows at
+    watermark close; this batch run is exact and oracle-checked."""
+    from arrow_spark.streaming import interval_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return interval_join(
+        clicks, purchases, "click_ts", "purchase_ts",
+        on=["user_id"], lower="0 seconds", upper="4 hours", how="full_outer",
+    )

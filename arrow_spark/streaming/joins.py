@@ -47,16 +47,37 @@ def interval_join(
         left = left.withWatermark(left_ts, left_watermark)
     if right_watermark is not None:
         right = right.withWatermark(right_ts, right_watermark)
+    outer = how in ("full", "outer", "full_outer", "fullouter")
+    if outer:
+        # distinct key names sidestep self-join attribute ambiguity AND
+        # let right-only rows surface the key from their own side
+        for k in on:
+            right = right.withColumnRenamed(k, f"__rk_{k}__")
     cond: Column = F.lit(True)
     for k in on:
-        cond = cond & (left[k] == right[k])
+        rk = right[f"__rk_{k}__"] if outer else right[k]
+        cond = cond & (left[k] == rk)
     lo = left[left_ts] + F.expr(f"INTERVAL {lower}")
     hi = left[left_ts] + F.expr(f"INTERVAL {upper}")
     cond = cond & (right[right_ts] >= lo) & (right[right_ts] <= hi)
     joined = left.join(right, cond, how)
-    keep = [left[c] for c in left.columns] + [
-        right[c] for c in right.columns if c not in on
-    ]
+    if outer:
+        keep = (
+            [
+                F.coalesce(left[k], right[f"__rk_{k}__"]).alias(k)
+                for k in on
+            ]
+            + [left[c] for c in left.columns if c not in on]
+            + [
+                right[c]
+                for c in right.columns
+                if not c.startswith("__rk_")
+            ]
+        )
+    else:
+        keep = [left[c] for c in left.columns] + [
+            right[c] for c in right.columns if c not in on
+        ]
     return joined.select(*keep)
 
 

@@ -419,3 +419,68 @@ def test_stream_drift_monitor_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert sink == expected  # exact equality incl. the TV doubles
+
+
+def test_stream_interval_join_full_outer_equals_batch_when_closed(
+    spark, sf_dir, tmp_path
+):
+    """FULL OUTER stream-stream interval join: matched rows must equal
+    the batch join exactly; both null shapes (abandoned clicks AND
+    orphan purchases) may be held near end-of-input by the final
+    watermark, so each stream null set must be a subset of its batch
+    counterpart."""
+    from arrow_spark.streaming import interval_join, stream_from_directory
+
+    events = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_ijf_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    static = spark.read.parquet(src_dir)
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+        )
+        return clicks, purchases
+
+    bc, bp = split(static)
+    batch = interval_join(
+        bc, bp, "click_ts", "purchase_ts", on=["user_id"], upper="4 hours",
+        how="full_outer",
+    ).collect()
+    batch_matched = {
+        (r.click_id, r.purchase_id) for r in batch
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    batch_click_nulls = {r.click_id for r in batch if r.purchase_id is None}
+    batch_orphans = {r.purchase_id for r in batch if r.click_id is None}
+    assert batch_matched and batch_click_nulls and batch_orphans
+    # every orphan row must still carry its key (the coalesce contract)
+    assert all(r.user_id is not None for r in batch)
+
+    sc, sp = split(stream_from_directory(spark, src_dir, static.schema))
+    out = interval_join(
+        sc, sp, "click_ts", "purchase_ts", on=["user_id"], upper="4 hours",
+        how="full_outer", left_watermark="1 hour", right_watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ijf_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ijf_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ijf_test").collect()
+    got_matched = {
+        (r.click_id, r.purchase_id) for r in rows
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    got_click_nulls = {r.click_id for r in rows if r.purchase_id is None}
+    got_orphans = {r.purchase_id for r in rows if r.click_id is None}
+    assert got_matched == batch_matched
+    assert got_click_nulls <= batch_click_nulls
+    assert got_orphans <= batch_orphans
