@@ -196,3 +196,87 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999): authority(n) =
+    Σ hub(m) over in-edges, hub(n) = Σ auth(m) over out-edges, L1-
+    normalized each half-step — the link-analysis complement to
+    PageRank (which measures a single random-walk centrality; HITS
+    separates "points at good pages" from "is pointed at").
+
+    Same relational iteration discipline as pagerank: each half-step is
+    one edge⋈scores shuffle + a group-sum, every score snaps to 1e-9
+    before the next step (what makes the unrolled-CTE oracle replay
+    bit-exact), localCheckpoint truncates lineage per round. The L1
+    norm is a 1-row broadcast aggregate. Nodes outside the update's
+    support (no in-edges / no out-edges) hold score 0 — they stay in
+    the output, zero-valued, like pagerank's dangling handling.
+
+    Returns (node, authority, hub).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
+    scores = nodes.crossJoin(F.broadcast(cnt)).select(
+        "n",
+        (F.lit(1.0) / F.col("c")).alias("a"),
+        (F.lit(1.0) / F.col("c")).alias("h"),
+    ).localCheckpoint(eager=True)
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("__t__"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "n",
+            *[c for c in ("a", "h") if c != col],
+            F.when(
+                F.col("__t__") > 0, _snap9(F.col(col) / F.col("__t__"))
+            ).otherwise(F.lit(0.0)).alias(col),
+        ).select("n", "a", "h")
+
+    for _ in range(max(1, n_iters)):
+        a_new = (
+            e.join(scores, e.src == scores.n)
+            .groupBy("dst")
+            .agg(_snap9(F.sum("h")).alias("a_raw"))
+        )
+        scores = (
+            nodes.join(a_new, nodes.n == a_new.dst, "left")
+            .join(scores.select("n", "h"), "n")
+            .select(
+                "n",
+                F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a"),
+                "h",
+            )
+        )
+        scores = _norm(scores, "a").localCheckpoint(eager=True)
+        h_new = (
+            e.join(scores.select(F.col("n").alias("dn"), "a"), e.dst == F.col("dn"))
+            .groupBy("src")
+            .agg(_snap9(F.sum("a")).alias("h_raw"))
+        )
+        scores = (
+            nodes.join(h_new, nodes.n == h_new.src, "left")
+            .join(scores.select("n", "a"), "n")
+            .select(
+                "n",
+                "a",
+                F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h"),
+            )
+        )
+        scores = _norm(scores, "h").localCheckpoint(eager=True)
+    return scores.select(
+        F.col("n").alias("node"),
+        F.col("a").alias("authority"),
+        F.col("h").alias("hub"),
+    )

@@ -155,4 +155,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "spatial_knn_join",
     "graph_personalized_pagerank",
     "stream_interval_join_full",
+    "graph_hits",
 )

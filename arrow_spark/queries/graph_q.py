@@ -522,3 +522,92 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.where(F.col("n") % 17 == 0)
     return personalized_pagerank(edges, seeds, n_iters=_PPR_ITERS)
+
+
+_HITS_ITERS = 2
+
+_HITS_BASE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+),
+trans AS (
+  SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS pk
+  FROM ev
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT pk AS src, k AS dst FROM trans WHERE pk IS NOT NULL
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS n FROM edges
+  UNION SELECT DISTINCT dst AS n FROM edges
+),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+s0 AS MATERIALIZED (SELECT n, 1.0 / cnt.c AS a, 1.0 / cnt.c AS h FROM nodes, cnt)"""
+
+_HITS_ITER = """,
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS n, floor(sum(s.h) * 1e9 + 0.5) / 1e9 AS ar
+  FROM edges e JOIN s{p} s ON e.src = s.n GROUP BY e.dst
+),
+af{i} AS MATERIALIZED (
+  SELECT nodes.n, coalesce(ar{i}.ar, 0) AS ar, s{p}.h
+  FROM nodes LEFT JOIN ar{i} ON nodes.n = ar{i}.n
+  JOIN s{p} ON nodes.n = s{p}.n
+),
+an{i} AS MATERIALIZED (
+  SELECT n,
+         CASE WHEN t.t > 0 THEN floor(ar / t.t * 1e9 + 0.5) / 1e9
+              ELSE 0 END AS a,
+         h
+  FROM af{i}, (SELECT sum(ar) AS t FROM af{i}) t
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS n, floor(sum(an.a) * 1e9 + 0.5) / 1e9 AS hr
+  FROM edges e JOIN an{i} an ON e.dst = an.n GROUP BY e.src
+),
+hf{i} AS MATERIALIZED (
+  SELECT nodes.n, an{i}.a, coalesce(hr{i}.hr, 0) AS hr
+  FROM nodes LEFT JOIN hr{i} ON nodes.n = hr{i}.n
+  JOIN an{i} ON nodes.n = an{i}.n
+),
+s{i} AS MATERIALIZED (
+  SELECT n, a,
+         CASE WHEN t.t > 0 THEN floor(hr / t.t * 1e9 + 0.5) / 1e9
+              ELSE 0 END AS h
+  FROM hf{i}, (SELECT sum(hr) AS t FROM hf{i}) t
+)"""
+
+HITS_ORACLE = (
+    _HITS_BASE
+    + "".join(_HITS_ITER.format(i=i, p=i - 1) for i in range(1, _HITS_ITERS + 1))
+    + f"\nSELECT n AS node, a AS authority, h AS hub FROM s{_HITS_ITERS}"
+)
+
+
+@query("graph_hits", oracle=HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the click-transition graph, 2
+    synchronous L1-normalized rounds — each half-step one edge⋈scores
+    shuffle + group-sum with 1e-9 snapping before the next (the
+    pagerank iteration discipline, applied to the mutually-recursive
+    pair), so the unrolled half-step CTE oracle replays bit-exact
+    (operators/pagerank.py::hits). Completes link analysis beside the
+    global and personalized walks."""
+    from pyspark.sql import Window as W
+
+    from arrow_spark.operators.pagerank import hits
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    trans = ev.select(
+        F.col("k"),
+        F.lag("k").over(W.partitionBy("user_id").orderBy("event_id")).alias("pk"),
+    )
+    edges = trans.where(F.col("pk").isNotNull()).select(
+        F.col("pk").alias("src"), F.col("k").alias("dst")
+    )
+    return hits(edges, n_iters=_HITS_ITERS)

@@ -130,3 +130,40 @@ def test_ppr_mass_sums_to_one(spark):
         r["rank"] for r in personalized_pagerank(edges, seeds, n_iters=5).collect()
     ]
     assert abs(sum(ranks) - 1.0) < 1e-6  # dangling-to-seed conservation
+
+
+def test_hits_star_graph_truths(spark):
+    from arrow_spark.operators.pagerank import hits
+
+    # star: hub 0 points at 1,2,3 — node 0 is the only hub, leaves are
+    # the only authorities
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in hits(edges, n_iters=4).collect()}
+    assert got[0]["hub"] == 1.0 and got[0]["authority"] == 0.0
+    for leaf in (1, 2, 3):
+        assert got[leaf]["hub"] == 0.0
+        assert abs(got[leaf]["authority"] - 1 / 3) < 1e-9
+
+
+def test_hits_l1_normalized(spark):
+    from arrow_spark.operators.pagerank import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    rows = hits(edges, n_iters=3).collect()
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-6
+
+
+def test_hits_authority_prefers_indegree(spark):
+    from arrow_spark.operators.pagerank import hits
+
+    # 3 is pointed at by everyone; 4 by one node
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (5, 3), (1, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in hits(edges, n_iters=3).collect()}
+    assert got[3]["authority"] > got[4]["authority"]
