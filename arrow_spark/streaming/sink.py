@@ -81,3 +81,22 @@ def read_committed(spark: SparkSession, base_path: str) -> DataFrame:
         raise FileNotFoundError(f"no committed epochs under {base_path}")
     paths = [f"{base_path}/epoch={e}" for e in epochs]
     return spark.read.option("basePath", base_path).parquet(*paths).drop("epoch")
+
+
+def read_as_of(
+    spark: SparkSession, base_path: str, epoch_id: int
+) -> DataFrame:
+    """TIME TRAVEL over the epoch-committed sink: the table exactly as
+    it stood after ``epoch_id`` committed — only committed epochs ≤ the
+    requested one are read, later writes are invisible (the lakehouse
+    snapshot-read contract, expressed with nothing but the directory
+    protocol: the commit markers ARE the snapshot log). Raises if no
+    epoch ≤ ``epoch_id`` is committed — asking for history that never
+    existed is an error, not an empty frame."""
+    epochs = [e for e in committed_epochs(spark, base_path) if e <= epoch_id]
+    if not epochs:
+        raise FileNotFoundError(
+            f"no committed epoch <= {epoch_id} under {base_path}"
+        )
+    paths = [f"{base_path}/epoch={e}" for e in epochs]
+    return spark.read.option("basePath", base_path).parquet(*paths).drop("epoch")

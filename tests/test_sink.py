@@ -57,3 +57,40 @@ def test_stream_foreach_batch_exactly_once(spark, sf_dir, tmp_path):
     got = read_committed(spark, base)
     assert got.count() == static.count()
     assert got.agg(F.sum("event_id")).collect() == static.agg(F.sum("event_id")).collect()
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    from arrow_spark.streaming.sink import read_as_of, write_epoch
+
+    base = str(tmp_path / "tt_sink")
+    for epoch, vals in ((0, [1, 2]), (1, [3]), (2, [4, 5])):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        write_epoch(df, base, epoch)
+    as_of_0 = sorted(r["v"] for r in read_as_of(spark, base, 0).collect())
+    as_of_1 = sorted(r["v"] for r in read_as_of(spark, base, 1).collect())
+    as_of_9 = sorted(r["v"] for r in read_as_of(spark, base, 9).collect())
+    assert as_of_0 == [1, 2]
+    assert as_of_1 == [1, 2, 3]
+    assert as_of_9 == [1, 2, 3, 4, 5]
+
+
+def test_read_as_of_ignores_uncommitted_and_prehistory(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from arrow_spark.streaming.sink import read_as_of, write_epoch
+
+    base = str(tmp_path / "tt_sink2")
+    write_epoch(spark.createDataFrame([(1,)], "v long"), base, 5)
+    # a crashed (marker-less) later epoch must stay invisible
+    os.makedirs(f"{base}/epoch=6", exist_ok=True)
+    spark.createDataFrame([(99,)], "v long").write.mode("overwrite").parquet(
+        f"{base}/epoch=6"
+    )
+    crashed = f"{base}/epoch=6/_COMMITTED"
+    assert not os.path.exists(crashed)
+    got = [r["v"] for r in read_as_of(spark, base, 7).collect()]
+    assert got == [1]
+    with pytest.raises(FileNotFoundError):
+        read_as_of(spark, base, 4)  # before the first commit
