@@ -40,3 +40,69 @@ def sessionize(
         session_col,
         F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    session_col: str,
+    order_col: str,
+    node_col: str,
+    path_len: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k navigation paths: the most frequent length-``path_len``
+    node sequences across sessions — the product-analytics "top click
+    paths" report, and on a token stream the same algebra is n-gram
+    sequence mining.
+
+    Shape: ONE session-keyed collect (ordered in-row by the order
+    column — no window), sliding windows of ``path_len`` assembled
+    IN-ROW (transform over start indices: a length-L session emits
+    L−n+1 paths without a join or self-lag chain), one count shuffle
+    over path strings, and a global rank over the DISTINCT-PATH table
+    (Zipf-compressed — and Spark's WindowGroupLimit prunes to k rows
+    per map task below the final exchange, so the single-partition
+    rank never sees the full table). Ties break to the smaller path
+    string — deterministic. Per-session work is bounded by session
+    length; the count shuffle carries distinct paths, never events.
+
+    Returns (rank, path, n_sessions_weighted) where the count weighs
+    every occurrence (a session repeating a loop counts each pass —
+    the loop IS the signal)."""
+    from pyspark.sql import Window as W
+
+    n = path_len
+    pair = F.struct(F.col(order_col).alias("o"), F.col(node_col).alias("v"))
+    per_session = events.groupBy(session_col).agg(
+        F.array_sort(F.collect_list(pair)).alias("seq")
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard short sessions with an
+    # explicit empty array instead
+    starts = F.when(
+        F.size("seq") >= n, F.sequence(F.lit(1), F.size("seq") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    paths = per_session.select(
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    ">",
+                    *[
+                        F.element_at("seq", (i + j).cast("int"))["v"].cast(
+                            "string"
+                        )
+                        for j in range(n)
+                    ],
+                ),
+            )
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    w = W.orderBy(F.col("n_paths").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "path", "n_paths")
+    )

@@ -156,4 +156,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_personalized_pagerank",
     "stream_interval_join_full",
     "graph_hits",
+    "sessions_top_paths",
 )

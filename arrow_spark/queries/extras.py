@@ -2461,3 +2461,44 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = pts(table(spark, sf_dir, "supplier"), "s_suppkey")
     return knn_join(cust, supp, "id", "id", k=3, radius_cap=200_000)
+
+
+TOP_PATHS_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         list(CAST(json_extract(props, '$.k') AS INT)
+              ORDER BY event_id) AS seq
+  FROM events GROUP BY user_id
+), paths AS (
+  SELECT unnest(list_transform(range(1, greatest(len(seq) - 2, 0) + 1),
+           i -> CAST(seq[i] AS VARCHAR) || '>'
+                || CAST(seq[i + 1] AS VARCHAR) || '>'
+                || CAST(seq[i + 2] AS VARCHAR))) AS path
+  FROM seqs WHERE len(seq) >= 3
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_paths FROM paths GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_paths DESC, path ASC) AS INT)
+         AS rank,
+       path, n_paths
+FROM counts
+ORDER BY rank LIMIT 20
+"""
+
+
+@query("sessions_top_paths", oracle=TOP_PATHS_ORACLE)
+def sessions_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-20 length-3 click paths across user sessions — in-row
+    sliding-window path assembly over the ordered per-user sequence
+    (L−2 paths per session without a join or lag chain), one count
+    shuffle over distinct paths, deterministic global rank with
+    WindowGroupLimit pruning (operators/sessions.py::top_paths). The
+    'top navigation paths' product-analytics report, hash-exact."""
+    from arrow_spark.operators.sessions import top_paths
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return top_paths(ev, "user_id", "event_id", "k", path_len=3, k=20)

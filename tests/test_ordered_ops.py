@@ -93,3 +93,41 @@ def test_dictionary_round_trip(spark):
     assert {(r.i, r.v) for r in back.collect()} == {
         (i, v) for i, v in zip(range(6), ["b", "a", "b", "c", "a", "b"])
     }
+
+
+def test_top_paths_hand_truth(spark):
+    from arrow_spark.operators.sessions import top_paths
+
+    # session 1: a b a b a -> paths a>b>a (x2), b>a>b; session 2: a b a
+    rows = (
+        [(1, i, v) for i, v in enumerate(["a", "b", "a", "b", "a"])]
+        + [(2, i, v) for i, v in enumerate(["a", "b", "a"])]
+    )
+    df = spark.createDataFrame(rows, "s long, o long, v string")
+    got = {
+        r["path"]: (r["rank"], r["n_paths"])
+        for r in top_paths(df, "s", "o", "v", path_len=3, k=10).collect()
+    }
+    assert got["a>b>a"] == (1, 3)
+    assert got["b>a>b"] == (2, 1)
+
+
+def test_top_paths_short_sessions_emit_nothing(spark):
+    from arrow_spark.operators.sessions import top_paths
+
+    df = spark.createDataFrame([(1, 0, "a"), (1, 1, "b")], "s long, o long, v string")
+    assert top_paths(df, "s", "o", "v", path_len=3).count() == 0
+
+
+def test_top_paths_tie_breaks_lexicographic(spark):
+    from arrow_spark.operators.sessions import top_paths
+
+    rows = [(1, i, v) for i, v in enumerate(["z", "y", "x"])] + [
+        (2, i, v) for i, v in enumerate(["a", "b", "c"])
+    ]
+    df = spark.createDataFrame(rows, "s long, o long, v string")
+    got = [
+        (r["rank"], r["path"])
+        for r in top_paths(df, "s", "o", "v", path_len=3, k=2).collect()
+    ]
+    assert got == [(1, "a>b>c"), (2, "z>y>x")]
