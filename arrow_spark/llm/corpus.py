@@ -775,3 +775,65 @@ def tv_drift(
             / (d(F.lit(2)) * d(F.col("ng")) * d(F.col("n"))).cast("double")
         ).alias("tv_distance"),
     )
+
+
+def negative_samples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each document, up to ``k`` pseudo-random OTHER-group documents —
+    (id, slot, neg_id, neg_group). The training-data op behind
+    contrastive embedding objectives and hard-negative mining seeds.
+
+    Candidates are drawn by the PORTABLE hash (md5, bit-identical in
+    DuckDB) modulo the corpus size, so the sample is reproducible,
+    shardable, and value-hash verifiable — no RNG state anywhere. The
+    contract assumes DENSE ids 0..N−1 (the packed-corpus layout;
+    re-index upstream otherwise — stratified_split's rank machinery
+    does exactly that). Self-hits and same-``group_col`` collisions are
+    FILTERED, so a document may receive fewer than k negatives (count
+    per id downstream if exactness matters — resampling-to-exactly-k
+    is a rejection loop, deliberately out of scope for a one-pass op).
+
+    Shape: a k-way in-row explode, ONE equi-join on the candidate id
+    to fetch the negative's group (dense ids make it a plain key join —
+    broadcastable when the id→group map is dim-sized), one filter. Cost
+    ∝ N·k at any scale.
+    """
+    from arrow_spark.functions.portable_hash import portable_hash64
+
+    ids = docs.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    )
+    total = ids.agg(F.count(F.lit(1)).alias("n_total"))
+    cand = (
+        ids.crossJoin(F.broadcast(total))
+        .withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(
+            "neg_id",
+            portable_hash64(
+                F.concat(
+                    F.col("id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                ),
+                seed,
+            )
+            % F.col("n_total"),
+        )
+    )
+    neg = ids.select(
+        F.col("id").alias("neg_id"), F.col("grp").alias("neg_group")
+    )
+    return (
+        cand.join(neg, "neg_id")
+        .where(
+            (F.col("neg_id") != F.col("id"))
+            & (F.col("neg_group") != F.col("grp"))
+        )
+        .select("id", "slot", "neg_id", "neg_group")
+    )

@@ -157,4 +157,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "stream_interval_join_full",
     "graph_hits",
     "sessions_top_paths",
+    "corpus_negative_samples",
 )

@@ -810,3 +810,36 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word")
     )
     return heavy_hitters(words, "word", k=30)
+
+
+NEG_SAMPLES_ORACLE = """
+WITH ids AS (
+  SELECT doc_id AS id, source AS grp FROM documents
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ids
+), cand AS (
+  SELECT ids.id, ids.grp, s.slot,
+         ('0x' || substr(md5('0:' || CAST(ids.id AS VARCHAR) || ':'
+                              || CAST(s.slot AS VARCHAR)), 1, 15))::BIGINT
+           % total.n AS neg_id
+  FROM ids CROSS JOIN (SELECT unnest(range(0, 4)) AS slot) s, total
+)
+SELECT cand.id, CAST(cand.slot AS INT) AS slot, cand.neg_id,
+       neg.grp AS neg_group
+FROM cand JOIN ids neg ON cand.neg_id = neg.id
+WHERE cand.neg_id <> cand.id AND neg.grp <> cand.grp
+"""
+
+
+@query("corpus_negative_samples", oracle=NEG_SAMPLES_ORACLE)
+def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contrastive-training negative sampling: up to 4 other-source
+    negatives per document drawn by the portable hash mod corpus size —
+    reproducible, shardable, value-hash verifiable, no RNG state
+    (llm/corpus.py::negative_samples); one k-way explode + one dense-id
+    equi-join + a self/same-group filter."""
+    from arrow_spark.llm.corpus import negative_samples
+
+    return negative_samples(
+        table(spark, sf_dir, "documents"), "doc_id", "source", k=4
+    )

@@ -180,3 +180,44 @@ def test_tv_drift_absent_key_mass_counted(spark):
 
     rows = {r["source"]: r for r in tv_drift(docs).collect()}
     assert abs(rows["a"]["tv_distance"] - 1 / 3) < 1e-15
+
+
+def test_negative_samples_contracts(spark):
+    from arrow_spark.llm.corpus import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3), "t") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = negative_samples(docs, "doc_id", "source", k=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+        assert r["neg_id"] != r["id"]
+    rows = {(r["id"], r["slot"]): r["neg_id"] for r in out}
+    # ≤ k per id, deterministic across runs
+    assert all(len(v) <= 4 for v in by_id.values())
+    again = {
+        (r["id"], r["slot"]): r["neg_id"]
+        for r in negative_samples(docs, "doc_id", "source", k=4).collect()
+    }
+    assert rows == again
+    # same-group negatives are excluded
+    grp = {i: "s" + str(i % 3) for i in range(30)}
+    for r in out:
+        assert grp[r["neg_id"]] != grp[r["id"]]
+        assert r["neg_group"] == grp[r["neg_id"]]
+
+
+def test_negative_samples_different_seed_differs(spark):
+    from arrow_spark.llm.corpus import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), "t") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    a = {(r["id"], r["slot"]): r["neg_id"]
+         for r in negative_samples(docs, k=4, seed=0).collect()}
+    b = {(r["id"], r["slot"]): r["neg_id"]
+         for r in negative_samples(docs, k=4, seed=1).collect()}
+    assert a != b
