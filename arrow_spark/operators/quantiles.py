@@ -1,0 +1,121 @@
+"""Exact distributed order statistics: the k-th smallest value without
+a global sort.
+
+``approx_percentile`` (GK) is Spark's scale answer for quantiles, and
+this repo ships it in the profiler and the binned quantile transform —
+but audits, SLO contracts, and billing cuts need the EXACT percentile.
+The naive exact form is a full sort (one reducer holds the order); this
+operator instead runs the distributed order-statistics locate:
+
+1. ONE aggregation: n, min, max.
+2. ONE map-side-combined count per equi-width value bucket — the only
+   row-scale shuffle, carrying ≤ n_buckets cells.
+3. cumulative offsets over the TINY bucket frame locate, for each
+   requested rank k, the single bucket containing it.
+4. rows of ONLY the located buckets (a broadcast semi-join — expected
+   n/n_buckets rows each) get an in-bucket value rank; offset + rank
+   == k reads off the answer.
+
+Determinism: ranks are integer (k = ⌈q·n⌉ via integer ceil on
+per-mille quantiles — no float quantile definitions to diverge);
+ordering is by value alone, which leaves row numbering within ties
+nondeterministic but the k-th smallest VALUE exact and unique — the
+contract order statistics actually carry. Bucket boundaries use double
+arithmetic on (min, max), identical cross-engine.
+
+Skew note: a bucket holding far more than n/n_buckets rows (massive
+value ties) still sorts only that bucket; the pathological all-equal
+column degenerates to one bucket = the naive sort, but then the answer
+is that single value anyway and the sort is trivial. Recursing the
+locate into the hot bucket is the standard escalation; one level
+suffices for real value distributions.
+
+Reference anchor: the reference ships exact quantile/rank kernels for
+in-memory arrays (cpp/src/arrow/compute/kernels/aggregate_quantile.cc)
+— single-node only; this is the distributed form of the same contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["exact_quantiles"]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    q_mille: Sequence[int],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact per-mille quantiles of an integer column:
+    (q_mille, rank, value) with rank = ⌈q·n/1000⌉ (nearest-rank,
+    1-based) and value = the rank-th smallest. NULLs are excluded;
+    empty input yields no rows."""
+    v = F.col(value_col).cast("long")
+    base = df.where(v.isNotNull()).select(v.alias("v"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(
+        float(n_buckets)
+    )
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")).cast("double") / width).cast(
+                "int"
+            ),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = base.crossJoin(F.broadcast(stats)).withColumn("b", bucket)
+    counts = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(cum), F.lit(0).cast("long"))
+    )
+    targets = (
+        stats.crossJoin(
+            F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(int(q),) for q in q_mille], "q_mille int"
+                )
+            )
+        )
+        .select(
+            "q_mille",
+            F.expr("CAST((n * q_mille + 999) DIV 1000 AS BIGINT)").alias(
+                "rank"
+            ),
+        )
+        .where(F.col("rank") >= 1)
+    )
+    located = targets.join(
+        F.broadcast(offsets),
+        (F.col("off") < F.col("rank"))
+        & (F.col("rank") <= F.col("off") + F.col("cnt")),
+    ).select("q_mille", "rank", "b", "off")
+    hot = located.select("b").distinct()
+    in_bucket_rank = F.row_number().over(
+        W.partitionBy("b").orderBy("v")
+    )
+    ranked = (
+        bucketed.join(F.broadcast(hot), "b", "left_semi")
+        .select("b", "v")
+        .withColumn("r", in_bucket_rank)
+    )
+    return (
+        located.join(
+            ranked,
+            (located["b"] == ranked["b"])
+            & (F.col("rank") == F.col("off") + F.col("r")),
+        )
+        .select("q_mille", "rank", F.col("v").alias("value"))
+    )

@@ -158,4 +158,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_hits",
     "sessions_top_paths",
     "corpus_negative_samples",
+    "exact_quantiles_distributed",
 )

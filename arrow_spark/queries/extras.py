@@ -2502,3 +2502,38 @@ def sessions_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
     return top_paths(ev, "user_id", "event_id", "k", path_len=3, k=20)
+
+
+EXACT_QUANTILES_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM base
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM base
+), targets AS (
+  SELECT q_mille, (n.n * q_mille + 999) // 1000 AS rank
+  FROM (SELECT unnest([250, 500, 750, 900, 990]) AS q_mille), n
+)
+SELECT CAST(t.q_mille AS INT) AS q_mille, CAST(t.rank AS BIGINT) AS rank,
+       r.v AS value
+FROM targets t JOIN ranked r ON r.rn = t.rank
+"""
+
+
+@query("exact_quantiles_distributed", oracle=EXACT_QUANTILES_ORACLE)
+def exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p90/p99 of extended-price cents WITHOUT a
+    global sort — the distributed order-statistics locate
+    (operators/quantiles.py::exact_quantiles): one stats scan, one
+    ≤256-cell bucket-count shuffle, cumulative offsets over the tiny
+    bucket frame pick the single bucket holding each rank, and only
+    those buckets get an in-bucket rank (expected n/256 rows each).
+    Oracle = the naive full-sort row_number — different algebra, so the
+    hash match proves the locate finds the identical order statistics."""
+    from arrow_spark.operators.quantiles import exact_quantiles
+
+    l = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return exact_quantiles(l, "cents", [250, 500, 750, 900, 990])

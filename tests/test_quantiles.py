@@ -1,0 +1,65 @@
+"""exact_quantiles: brute-force equality, ties, degenerate columns."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from arrow_spark.operators.quantiles import exact_quantiles
+
+
+def _run(spark, vals, qs, n_buckets=16):
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = exact_quantiles(df, "x", qs, n_buckets=n_buckets)
+    return {r["q_mille"]: (r["rank"], r["value"]) for r in out.collect()}
+
+
+def _brute(vals, q):
+    s = sorted(vals)
+    k = math.ceil(q * len(s) / 1000)
+    return (k, s[k - 1])
+
+
+def test_exact_quantiles_matches_brute_force(spark):
+    rng = random.Random(5)
+    vals = [rng.randint(-1000, 1000) for _ in range(997)]
+    got = _run(spark, vals, [10, 250, 500, 750, 990, 1000])
+    for q in (10, 250, 500, 750, 990, 1000):
+        assert got[q] == _brute(vals, q), q
+
+
+def test_exact_quantiles_heavy_ties(spark):
+    vals = [5] * 400 + [9] * 100
+    got = _run(spark, vals, [500, 900])
+    assert got[500] == (250, 5)
+    assert got[900] == (450, 9)
+
+
+def test_exact_quantiles_all_equal_degenerate(spark):
+    got = _run(spark, [7] * 50, [500])
+    assert got[500] == (25, 7)
+
+
+def test_exact_quantiles_single_row(spark):
+    got = _run(spark, [42], [1, 500, 1000])
+    assert got == {1: (1, 42), 500: (1, 42), 1000: (1, 42)}
+
+
+def test_exact_quantiles_skewed_bucket(spark):
+    # one huge outlier forces nearly all rows into bucket 0: the locate
+    # must still find exact answers inside the hot bucket
+    vals = list(range(100)) + [10_000_000]
+    got = _run(spark, vals, [500], n_buckets=8)
+    assert got[500] == _brute(vals, 500)
+
+
+def test_exact_quantiles_plan_no_global_sort(spark):
+    df = spark.createDataFrame([(v,) for v in range(100)], "x long")
+    plan = (
+        exact_quantiles(df, "x", [500], n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # in-bucket rank windows exist; a single-partition GLOBAL sort of
+    # the base data (Exchange SinglePartition feeding a Sort over the
+    # full input) must not
+    assert "CartesianProduct" not in plan
