@@ -98,65 +98,27 @@ def load_all() -> dict[str, QueryDef]:
 
 
 #: Never-green queries that MUST land in this round's sampled prefix
-#: (ahead of the backlog) — e.g. a query whose r4 driver row was red
-#: (HUGEINT/floor float-stringification in the oracle, fixed r5) and
-#: needs its green row re-recorded this round.
+#: (ahead of the backlog): the two r5 driver-reds (array<string> output
+#: columns crashed the driver's pandas canonicalizer — now emitted as
+#: comma-joined strings) and the §2.3 substrait parity stragglers the
+#: r5 verdict called out as outranking extension queries.
 _PROMOTE: tuple[str, ...] = (
-    "corpus_contamination",
-    "corpus_pack_sequences",
-    "corpus_pipeline_end_to_end",
-    "corpus_lm_score",
-    "sessionize_events",
+    "quality_quarantine",
+    "table_diff_reconcile",
+    "substrait_filter_agg",
+    "substrait_window",
+    "substrait_subquery",
+    "substrait_grouping_sets",
+    "declaration_pipeline",
+    "substrait_extension_asof",
+    "substrait_extension_ewma",
+    "substrait_extension_skyline",
 )
 
 #: Oracle-bearing queries first registered this round. They sort behind
 #: the pre-existing never-green backlog so they don't consume sampled
 #: slots the backlog has been waiting on; they drain from the next
-#: round. (Round 4's 40 entries are ordinary backlog now.)
-_DEFER_NEW: tuple[str, ...] = (
-    "timeseries_time_weighted_avg",
-    "timeseries_lttb_downsample",
-    "dedup_semantic_prune",
-    "graph_label_propagation",
-    "similarity_eval_ann_quality",
-    "skyline_pareto_offers",
-    "dedup_prefix_filter_pairs",
-    "substrait_extension_skyline",
-    "forecast_backtest_holt",
-    "graph_shortest_paths",
-    "fuzzy_match_assignment",
-    "corpus_bigram_lm_score",
-    "corpus_stratified_split",
-    "eval_roc_auc",
-    "eval_pr_curve",
-    "eval_calibration_bins",
-    "graph_kcore",
-    "corpus_distribution_drift",
-    "timeseries_seasonal_decompose",
-    "timeseries_rolling_corr",
-    "experiment_bootstrap_ci",
-    "corpus_zipf_slope",
-    "attribution_linear_touch",
-    "corpus_heavy_hitters",
-    "graph_ktruss",
-    "eval_lang_id_report",
-    "trend_mann_kendall",
-    "trend_theil_sen",
-    "analytics_gini_spend",
-    "quality_benford_check",
-    "stream_drift_monitor",
-    "analytics_association_rules",
-    "fuzzy_join_edit_distance",
-    "analytics_rfm_segments",
-    "text_readability",
-    "spatial_radius_join",
-    "spatial_dbscan",
-    "incremental_agg_refresh",
-    "spatial_knn_join",
-    "graph_personalized_pagerank",
-    "stream_interval_join_full",
-    "graph_hits",
-    "sessions_top_paths",
-    "corpus_negative_samples",
-    "exact_quantiles_distributed",
-)
+#: round. Round 6 is a verification round: NO new queries are
+#: registered until the cumulative driver-green backlog drains
+#: (r5 verdict item 2), so this list is empty.
+_DEFER_NEW: tuple[str, ...] = ()

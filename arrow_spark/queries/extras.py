@@ -1155,7 +1155,9 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # rule names sorted alphabetically on both sides (check_rules sorts), so
-# the violations arrays compare element-for-element
+# the violations lists compare element-for-element; emitted as a
+# comma-joined STRING (not array<string>) because the driver's pandas
+# canonicalizer cannot sort/hash list-valued columns
 QUARANTINE_ORACLE = """
 WITH checked AS (
   SELECT l_orderkey, l_linenumber,
@@ -1166,7 +1168,8 @@ WITH checked AS (
          ], x -> x IS NOT NULL) AS violations
   FROM lineitem
 )
-SELECT l_orderkey, l_linenumber, violations
+SELECT l_orderkey, l_linenumber,
+       array_to_string(violations, ',') AS violations
 FROM checked WHERE len(violations) > 0
 """
 
@@ -1176,7 +1179,8 @@ def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row-level data-quality gate (Deequ/dbt-test shape): evaluate a
     named rule set in ONE codegen projection, quarantine violating rows
     WITH the list of rules they broke. The oracle rebuilds the same
-    violation arrays, so routing and rule attribution are hash-checked."""
+    violation lists, so routing and rule attribution are hash-checked
+    (comma-joined to a scalar string for the comparator)."""
     from arrow_spark.operators.quality import quarantine_split
 
     l = table(spark, sf_dir, "lineitem")
@@ -1186,7 +1190,11 @@ def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tax_cap": F.col("l_tax") <= 0.04,
     }
     _clean, bad = quarantine_split(l, rules)
-    return bad.select("l_orderkey", "l_linenumber", "violations")
+    return bad.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join("violations", ",").alias("violations"),
+    )
 
 
 QUALITY_SUMMARY_ORACLE = """
@@ -1304,7 +1312,9 @@ SELECT o_orderkey,
             WHEN NOT in_r THEN 'removed'
             WHEN len(ch) > 0 THEN 'changed'
             ELSE 'unchanged' END AS row_status,
-       CASE WHEN in_l AND in_r THEN ch ELSE [] END AS changed_cols
+       coalesce(array_to_string(
+           CASE WHEN in_l AND in_r THEN ch ELSE [] END, ','),
+           '') AS changed_cols
 FROM j
 """
 
@@ -1316,7 +1326,9 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified added/removed/changed/unchanged with the exact columns
     that differ (operators/diffing.py::table_diff: ONE full-outer hash
     join + codegen null-safe comparisons). The migration-validation
-    primitive, itself oracle-validated."""
+    primitive, itself oracle-validated. changed_cols is comma-joined to
+    a scalar string: the driver's pandas canonicalizer cannot sort or
+    hash list-valued output columns."""
     from arrow_spark.operators.diffing import table_diff
 
     o = table(spark, sf_dir, "orders")
@@ -1330,7 +1342,12 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
-    return table_diff(old, new, keys=["o_orderkey"])
+    diff = table_diff(old, new, keys=["o_orderkey"])
+    return diff.select(
+        "o_orderkey",
+        "row_status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
 
 
 def _corr_pair_sql(a: str, b: str) -> str:
