@@ -59,12 +59,15 @@ def top_paths(
     column — no window), sliding windows of ``path_len`` assembled
     IN-ROW (transform over start indices: a length-L session emits
     L−n+1 paths without a join or self-lag chain), one count shuffle
-    over path strings, and a global rank over the DISTINCT-PATH table
-    (Zipf-compressed — and Spark's WindowGroupLimit prunes to k rows
-    per map task below the final exchange, so the single-partition
-    rank never sees the full table). Ties break to the smaller path
-    string — deterministic. Per-session work is bounded by session
-    length; the count shuffle carries distinct paths, never events.
+    over path strings, and a TakeOrderedAndProject k-row cut over the
+    DISTINCT-PATH table — every map task keeps its local top-k and
+    only k rows per task reach the driver-side merge, so no stage ever
+    materializes the full path vocabulary in one partition (at 100 TB
+    the path vocabulary is itself huge; a global row_number window
+    would serialize it into one task). The rank column is derived on
+    the k-row result. Ties break to the smaller path string —
+    deterministic. Per-session work is bounded by session length; the
+    count shuffle carries distinct paths, never events.
 
     Returns (rank, path, n_sessions_weighted) where the count weighs
     every occurrence (a session repeating a loop counts each pass —
@@ -100,9 +103,10 @@ def top_paths(
     counts = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("n_paths")
     )
+    # orderBy().limit(k) -> TakeOrderedAndProject: per-partition top-k,
+    # k-row merge. rank is a window over the ALREADY k-row frame.
+    top = counts.orderBy(F.col("n_paths").desc(), F.col("path").asc()).limit(k)
     w = W.orderBy(F.col("n_paths").desc(), F.col("path").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "path", "n_paths")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "path", "n_paths"
     )
