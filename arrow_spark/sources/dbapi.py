@@ -11,9 +11,13 @@ engine through a socket.
   → rows (arrow → python tuples);
 - DML: CommandStatementUpdate over DoPut (rowcount = the server's
   DoPutUpdateResult.record_count; -1 = unknown, Spark reports none);
-- paramstyle 'qmark': ``?`` placeholders are inlined client-side with
-  SQL-literal escaping (the loopback server's prepared statements take
-  no parameter stream — same capability note as flight_sql.py).
+- paramstyle 'qmark': parameterized QUERIES run over the real
+  prepared-statement protocol — CreatePreparedStatement action, Bind
+  via DoPut (positional parameter record batch), execute, Close — the
+  same wire flow the reference JDBC/ADBC drivers use (client.h
+  PreparedStatement::Bind). Parameterized DML streams its parameters
+  inside the CommandPreparedStatementUpdate DoPut, one execution per
+  parameter row (executemany batches rows into a single DoPut).
 
 Transactions are accepted and ignored (``commit()`` no-op,
 ``rollback()`` raises NotSupportedError): the server executes every
@@ -22,8 +26,6 @@ SqlInfo FLIGHT_SQL_SERVER_TRANSACTION = NONE.
 """
 
 from __future__ import annotations
-
-import datetime as _dt
 
 from arrow_spark.plans.substrait_builder import f_str
 from arrow_spark.sources.flight import _call_options, _flight
@@ -77,30 +79,10 @@ class NotSupportedError(DatabaseError):
 _QUERY_HEADS = {"SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE", "EXPLAIN"}
 
 
-def _quote(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    if isinstance(v, (_dt.datetime,)):
-        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
-    if isinstance(v, _dt.date):
-        return f"DATE '{v.isoformat()}'"
-    if isinstance(v, bytes):
-        return "X'" + v.hex() + "'"
-    s = str(v).replace("'", "''")
-    return f"'{s}'"
-
-
-def _inline_params(sql: str, params) -> str:
-    """Replace ``?`` placeholders outside string literals/comments with
-    escaped SQL literals."""
-    if params is None:
-        return sql
-    out, i, pi, n = [], 0, 0, len(sql)
-    params = list(params)
+def _count_placeholders(sql: str) -> int:
+    """Count ``?`` markers outside string literals (a ? inside '...'
+    is data, not a placeholder — mirrors the server-side parser)."""
+    count, i, n = 0, 0, len(sql)
     while i < n:
         ch = sql[i]
         if ch == "'":
@@ -112,20 +94,21 @@ def _inline_params(sql: str, params) -> str:
                 if sql[j] == "'":
                     break
                 j += 1
-            out.append(sql[i : j + 1])
             i = j + 1
         elif ch == "?":
-            if pi >= len(params):
-                raise ProgrammingError("more placeholders than parameters")
-            out.append(_quote(params[pi]))
-            pi += 1
+            count += 1
             i += 1
         else:
-            out.append(ch)
             i += 1
-    if pi != len(params):
+    return count
+
+
+def _check_param_count(sql: str, params: list) -> None:
+    want = _count_placeholders(sql)
+    if want > len(params):
+        raise ProgrammingError("more placeholders than parameters")
+    if want < len(params):
         raise ProgrammingError("more parameters than placeholders")
-    return "".join(out)
 
 
 def connect(location: str, token: str | None = None) -> "Connection":
@@ -179,13 +162,21 @@ class Cursor:
     def execute(self, operation: str, parameters=None) -> "Cursor":
         if self._conn._closed:
             raise InterfaceError("connection is closed")
-        sql = _inline_params(operation, parameters)
-        head = (sql.lstrip().split(None, 1) or [""])[0].upper()
+        head = (operation.lstrip().split(None, 1) or [""])[0].upper()
         try:
-            if head in _QUERY_HEADS:
-                self._execute_query(sql)
+            if parameters is not None:
+                params = list(parameters)
+                _check_param_count(operation, params)
+                # real prepared-statement protocol: Create → Bind
+                # (DoPut param batch) → execute → Close
+                if head in _QUERY_HEADS:
+                    self._execute_query_prepared(operation, params)
+                else:
+                    self._execute_update_prepared(operation, [params])
+            elif head in _QUERY_HEADS:
+                self._execute_query(operation)
             else:
-                self._execute_update(sql)
+                self._execute_update(operation)
         except (InterfaceError, DatabaseError):
             raise
         except Exception as exc:  # flight errors → DatabaseError (PEP 249)
@@ -193,18 +184,29 @@ class Cursor:
         return self
 
     def executemany(self, operation: str, seq_of_parameters) -> "Cursor":
-        for p in seq_of_parameters:
+        head = (operation.lstrip().split(None, 1) or [""])[0].upper()
+        seq = [list(p) for p in seq_of_parameters]
+        for p in seq:
+            _check_param_count(operation, p)
+        if head not in _QUERY_HEADS and seq:
+            # batch DML: ONE prepared statement, ONE DoPut carrying a
+            # multi-row parameter batch — one execution per row
+            try:
+                self._execute_update_prepared(operation, seq)
+            except (InterfaceError, DatabaseError):
+                raise
+            except Exception as exc:
+                raise OperationalError(str(exc)) from exc
+            return self
+        for p in seq:
             self.execute(operation, p)
         return self
 
-    def _execute_query(self, sql: str) -> None:
+    def _load_info(self, info) -> None:
         import pyarrow as pa
 
         client = self._conn._client
         opts = _call_options(self._conn._token)
-        info = client.get_flight_info(
-            _cmd_descriptor("CommandStatementQuery", f_str(1, sql)), options=opts
-        )
         tables = []
         for ep in info.endpoints:
             tables.append(client.do_get(ep.ticket, options=opts).read_all())
@@ -216,6 +218,121 @@ class Cursor:
         self._rows = [tuple(r.values()) for r in tbl.to_pylist()]
         self._pos = 0
         self.rowcount = len(self._rows)
+
+    def _execute_query(self, sql: str) -> None:
+        client = self._conn._client
+        opts = _call_options(self._conn._token)
+        info = client.get_flight_info(
+            _cmd_descriptor("CommandStatementQuery", f_str(1, sql)), options=opts
+        )
+        self._load_info(info)
+
+    def _execute_query_prepared(self, sql: str, params: list) -> None:
+        """Create → Bind (DoPut positional param batch) → execute →
+        Close: the reference JDBC/ADBC parameterized-query wire flow."""
+        from arrow_spark.plans.substrait_builder import f_msg
+        from arrow_spark.sources.flight_sql import (
+            _any_unwrap,
+            _any_wrap,
+            _param_batch,
+        )
+
+        client = self._conn._client
+        opts = _call_options(self._conn._token)
+        results = list(
+            client.do_action(
+                (
+                    "CreatePreparedStatement",
+                    _any_wrap("ActionCreatePreparedStatementRequest", f_str(1, sql)),
+                ),
+                options=opts,
+            )
+        )
+        _name, res = _any_unwrap(results[0].body.to_pybytes())
+        handle = (res.raw(1) or b"").decode()
+        try:
+            batch = _param_batch(params)
+            desc = _cmd_descriptor(
+                "CommandPreparedStatementQuery", f_msg(1, handle.encode())
+            )
+            writer, meta_reader = client.do_put(desc, batch.schema, options=opts)
+            writer.write_batch(batch)
+            writer.done_writing()
+            meta_reader.read()
+            writer.close()
+            self._load_info(client.get_flight_info(desc, options=opts))
+        finally:
+            client.do_action(
+                (
+                    "ClosePreparedStatement",
+                    _any_wrap(
+                        "ActionClosePreparedStatementRequest",
+                        f_msg(1, handle.encode()),
+                    ),
+                ),
+                options=opts,
+            )
+
+    def _execute_update_prepared(self, sql: str, param_rows: list) -> None:
+        """Prepared DML: ONE DoPut whose stream carries every parameter
+        row; the server executes once per row (ExecuteUpdate batch
+        semantics)."""
+        import pyarrow as pa
+
+        from arrow_spark.plans.substrait import _Msg
+        from arrow_spark.plans.substrait_builder import f_msg
+        from arrow_spark.sources.flight_sql import _any_unwrap, _any_wrap
+
+        client = self._conn._client
+        opts = _call_options(self._conn._token)
+        results = list(
+            client.do_action(
+                (
+                    "CreatePreparedStatement",
+                    _any_wrap("ActionCreatePreparedStatementRequest", f_str(1, sql)),
+                ),
+                options=opts,
+            )
+        )
+        _name, res = _any_unwrap(results[0].body.to_pybytes())
+        handle = (res.raw(1) or b"").decode()
+        try:
+            # ONE multi-row batch, column-wise type inference (a None
+            # in one row must not flip that row's column to null type)
+            batch = None
+            if param_rows:
+                ncols = len(param_rows[0])
+                batch = pa.record_batch(
+                    [pa.array([r[i] for r in param_rows]) for i in range(ncols)],
+                    names=[f"parameter_{i + 1}" for i in range(ncols)],
+                )
+            writer, meta_reader = client.do_put(
+                _cmd_descriptor(
+                    "CommandPreparedStatementUpdate", f_msg(1, handle.encode())
+                ),
+                batch.schema if batch is not None else pa.schema([]),
+                options=opts,
+            )
+            if batch is not None:
+                writer.write_batch(batch)
+            writer.done_writing()
+            buf = meta_reader.read()
+            writer.close()
+            counts = _Msg(buf.to_pybytes()).ints(1) if buf is not None else []
+            self.rowcount = counts[0] if counts else -1
+            self.description = None
+            self._rows = None
+        finally:
+            client.do_action(
+                (
+                    "ClosePreparedStatement",
+                    _any_wrap(
+                        "ActionClosePreparedStatementRequest",
+                        f_msg(1, handle.encode()),
+                    ),
+                ),
+                options=opts,
+            )
 
     def _execute_update(self, sql: str) -> None:
         import pyarrow as pa

@@ -22,8 +22,13 @@ tests. Supported subset:
   (incl. include_schema's IPC-serialized schema column) → catalog
   metadata in the spec's column layout.
 - CreatePreparedStatement / ClosePreparedStatement actions +
-  CommandPreparedStatementQuery (parameterless statements; parameter
-  binding via DoPut is out of scope and raises).
+  CommandPreparedStatementQuery, INCLUDING parameter binding: the
+  client Binds by DoPut-streaming a record batch of positional values
+  against the CommandPreparedStatementQuery descriptor (client.h
+  PreparedStatement::Bind); the server stores the last row per handle
+  and executes the statement's ``?`` markers with spark.sql args.
+  Prepared updates stream their parameters in the ExecuteUpdate DoPut
+  itself, one execution per parameter row.
 - CommandStatementUpdate / CommandPreparedStatementUpdate via DoPut:
   the DML runs on the SparkSession and the server answers with a raw
   DoPutUpdateResult{record_count} in the app_metadata stream (spec
@@ -144,6 +149,10 @@ def start_flight_sql_server(
             super().__init__(location, middleware=middleware)
             self._results: dict[str, pa.Table] = {}
             self._prepared: dict[str, str] = {}
+            # handle -> positional parameter values bound via DoPut
+            # (CommandPreparedStatementQuery stream; last row wins,
+            # matching the reference client's Bind-then-Execute flow)
+            self._bound: dict[str, list] = {}
             self._seq = itertools.count()
             self._lock = threading.Lock()
 
@@ -323,7 +332,15 @@ def start_flight_sql_server(
                 handle = (cmd.raw(1) or b"").decode()
                 if handle not in self._prepared:
                     raise flight.FlightServerError(f"unknown prepared statement {handle!r}")
-                return self._info_for(descriptor, spark.sql(self._prepared[handle]).toArrow())
+                args = self._bound.get(handle)
+                # positional '?' markers bind via spark.sql args
+                # (client.h Bind → DoPut stream stored in _bound)
+                df = (
+                    spark.sql(self._prepared[handle], args=args)
+                    if args
+                    else spark.sql(self._prepared[handle])
+                )
+                return self._info_for(descriptor, df.toArrow())
             if name == "CommandGetCatalogs":
                 return self._info_for(descriptor, self._catalogs_table())
             if name == "CommandGetDbSchemas":
@@ -361,10 +378,39 @@ def start_flight_sql_server(
             tbl = self._results[handle]
             return flight.RecordBatchStream(tbl.slice(int(lo), int(hi) - int(lo)))
 
+        def _read_param_rows(self, reader) -> list[list]:
+            """Drain the DoPut parameter stream into positional-value
+            rows (column order = parameter order, one row per
+            execution — the reference client's Bind semantics)."""
+            try:
+                tbl = reader.read_all()
+            except Exception:
+                return []
+            if tbl.num_rows == 0:
+                return []
+            cols = [c.to_pylist() for c in tbl.columns]
+            return [[c[i] for c in cols] for i in range(tbl.num_rows)]
+
         def do_put(self, context, descriptor, reader, writer):
             name, cmd = _any_unwrap(descriptor.command or b"")
+            if name == "CommandPreparedStatementQuery":
+                # parameter binding (client.h: Prepared
+                # Statement::Bind → DoPut with the param stream; the
+                # next CommandPreparedStatementQuery execution uses
+                # the binding). Last row wins for queries.
+                handle = (cmd.raw(1) or b"").decode()
+                if handle not in self._prepared:
+                    raise flight.FlightServerError(
+                        f"unknown prepared statement {handle!r}"
+                    )
+                rows = self._read_param_rows(reader)
+                if rows:
+                    with self._lock:
+                        self._bound[handle] = rows[-1]
+                return
             if name == "CommandStatementUpdate":
                 query = cmd.s(1)
+                param_rows = self._read_param_rows(reader)
             elif name == "CommandPreparedStatementUpdate":
                 handle = (cmd.raw(1) or b"").decode()
                 if handle not in self._prepared:
@@ -372,13 +418,18 @@ def start_flight_sql_server(
                         f"unknown prepared statement {handle!r}"
                     )
                 query = self._prepared[handle]
+                param_rows = self._read_param_rows(reader)
             else:
-                # parameter binding for prepared queries also arrives via
-                # DoPut — out of scope
                 raise NotImplementedError(f"flight sql DoPut {name!r} not supported")
-            spark.sql(query).collect()
+            if param_rows:
+                # one execution per bound row (ExecuteUpdate batch
+                # semantics: each param-stream row is one execution)
+                for row in param_rows:
+                    spark.sql(query, args=row).collect()
+            else:
+                spark.sql(query).collect()
             # raw DoPutUpdateResult{record_count=1} in app_metadata (spec:
-            # NOT Any-wrapped); Spark DML doesn't report affected rows →
+            # NOT Any-wrapped); Spark DML doesn't surface affected rows →
             # -1 = "unknown" per the proto comment.
             writer.write(pa.py_buffer(_varint_u64(1 << 3) + _varint_u64(-1)))
 
@@ -394,9 +445,16 @@ def start_flight_sql_server(
                 # an empty dataset_schema (allowed by the spec).
                 head = (query.lstrip().split(None, 1) or [""])[0].upper()
                 if head in {"SELECT", "WITH", "VALUES", "TABLE", "FROM", "SHOW", "DESCRIBE", "EXPLAIN"}:
-                    schema_blob = (
-                        spark.sql(query).limit(0).toArrow().schema.serialize().to_pybytes()
-                    )
+                    try:
+                        schema_blob = (
+                            spark.sql(query).limit(0).toArrow().schema.serialize().to_pybytes()
+                        )
+                    except Exception:
+                        # '?' parameter markers fail analysis unbound
+                        # (UNBOUND_SQL_PARAMETER); the spec allows an
+                        # empty dataset_schema — the real schema is in
+                        # the FlightInfo after Bind+Execute.
+                        schema_blob = pa.schema([]).serialize().to_pybytes()
                 else:
                     schema_blob = pa.schema([]).serialize().to_pybytes()
                 result = _any_wrap(
@@ -407,7 +465,9 @@ def start_flight_sql_server(
             if action.type == "ClosePreparedStatement":
                 _name, req = _any_unwrap(action.body.to_pybytes())
                 with self._lock:
-                    self._prepared.pop((req.raw(1) or b"").decode(), None)
+                    h = (req.raw(1) or b"").decode()
+                    self._prepared.pop(h, None)
+                    self._bound.pop(h, None)
                 return []
             raise NotImplementedError(f"action {action.type!r}")
 
@@ -510,10 +570,51 @@ def flight_sql_prepare(
     return (res.raw(1) or b"").decode(), res.raw(2) or b""
 
 
+def _param_batch(params: list):
+    """One-row Arrow batch carrying positional parameters as columns
+    parameter_1..n (types inferred per value — the layout the reference
+    JDBC/ADBC drivers stream on Bind)."""
+    import pyarrow as pa
+
+    return pa.record_batch(
+        [pa.array([v]) for v in params],
+        names=[f"parameter_{i + 1}" for i in range(len(params))],
+    )
+
+
+def flight_sql_bind_prepared(
+    location: str, handle: str, params: list, token: str | None = None
+) -> None:
+    """PreparedStatement::Bind (client.h): DoPut with descriptor
+    CommandPreparedStatementQuery{prepared_statement_handle=1} streaming
+    the positional parameter record batch; the next execution of the
+    handle runs with these values bound to its ``?`` markers."""
+    flight = _flight()
+
+    batch = _param_batch(list(params))
+    client = flight.connect(location)
+    writer, meta_reader = client.do_put(
+        _cmd_descriptor("CommandPreparedStatementQuery", f_msg(1, handle.encode())),
+        batch.schema,
+        options=_call_options(token),
+    )
+    writer.write_batch(batch)
+    writer.done_writing()
+    meta_reader.read()  # drain (server sends no metadata for Bind)
+    writer.close()
+
+
 def flight_sql_execute_prepared(
-    spark: SparkSession, location: str, handle: str, token: str | None = None
+    spark: SparkSession,
+    location: str,
+    handle: str,
+    token: str | None = None,
+    params: list | None = None,
 ) -> DataFrame:
-    """CommandPreparedStatementQuery{prepared_statement_handle=1}."""
+    """CommandPreparedStatementQuery{prepared_statement_handle=1};
+    ``params`` Binds first (DoPut), then executes."""
+    if params is not None:
+        flight_sql_bind_prepared(location, handle, params, token)
     return _run_command(
         spark, location, "CommandPreparedStatementQuery", f_msg(1, handle.encode()), token
     )
@@ -554,19 +655,26 @@ def flight_sql_execute_update(
 
 
 def flight_sql_execute_prepared_update(
-    location: str, handle: str, token: str | None = None
+    location: str,
+    handle: str,
+    token: str | None = None,
+    params: list | None = None,
 ) -> int:
     """CommandPreparedStatementUpdate{prepared_statement_handle=1} via
-    DoPut → record_count."""
+    DoPut → record_count. ``params`` stream in the same DoPut call (the
+    reference ExecuteUpdate flow); each parameter row is one execution."""
     flight = _flight()
     import pyarrow as pa
 
     client = flight.connect(location)
+    batch = _param_batch(list(params)) if params is not None else None
     writer, meta_reader = client.do_put(
         _cmd_descriptor("CommandPreparedStatementUpdate", f_msg(1, handle.encode())),
-        pa.schema([]),
+        batch.schema if batch is not None else pa.schema([]),
         options=_call_options(token),
     )
+    if batch is not None:
+        writer.write_batch(batch)
     writer.done_writing()
     buf = meta_reader.read()
     writer.close()

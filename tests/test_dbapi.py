@@ -51,7 +51,7 @@ def test_multi_endpoint_result_is_complete(conn):
     assert sorted(r[0] for r in cur.fetchall()) == [0, 1, 2, 3, 4]
 
 
-def test_qmark_parameters_inline(conn):
+def test_qmark_parameters(conn):
     cur = conn.cursor()
     cur.execute(
         "SELECT r_name FROM region_v WHERE r_regionkey = ? OR r_name = ?",
@@ -66,6 +66,31 @@ def test_qmark_parameters_inline(conn):
     # quote escaping survives
     cur.execute("SELECT ? AS v", ("it''s ok",))
     assert cur.fetchone()[0] == "it''s ok"
+
+
+def test_qmark_executes_over_prepared_protocol(conn, spark):
+    """Parameterized queries must travel the real wire flow: Create →
+    Bind (DoPut) → execute → Close — no client-side SQL inlining. A
+    string parameter with quote characters therefore needs no escaping
+    and can't inject."""
+    cur = conn.cursor()
+    cur.execute("SELECT ? AS v", ("'; DROP TABLE x; --",))
+    assert cur.fetchone()[0] == "'; DROP TABLE x; --"
+
+
+def test_dbapi_executemany_single_doput(conn, spark):
+    spark.sql("DROP TABLE IF EXISTS dbapi_many")
+    spark.sql("CREATE TABLE dbapi_many (k INT, v STRING) USING parquet")
+    try:
+        cur = conn.cursor()
+        cur.executemany(
+            "INSERT INTO dbapi_many VALUES (?, ?)",
+            [(1, "a"), (2, "b"), (3, None)],
+        )
+        got = {(r.k, r.v) for r in spark.table("dbapi_many").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, None)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dbapi_many")
 
 
 def test_parameter_count_mismatch(conn):

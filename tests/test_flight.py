@@ -361,6 +361,69 @@ def test_flight_sql_statement_update_and_prepared_update(spark, sql_server):
         spark.sql("DROP TABLE IF EXISTS fs_upd")
 
 
+def test_flight_sql_parameter_binding(spark, sql_server):
+    """client.h PreparedStatement::Bind: DoPut a positional parameter
+    batch against the CommandPreparedStatementQuery descriptor; the
+    next execution binds the values to the statement's ? markers. A
+    re-Bind replaces the previous values (last row wins)."""
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_bind_prepared,
+        flight_sql_close_prepared,
+        flight_sql_execute_prepared,
+        flight_sql_prepare,
+    )
+
+    _, loc = sql_server
+    handle, schema_blob = flight_sql_prepare(
+        loc, "SELECT r_name FROM region_v WHERE r_regionkey = ? ORDER BY r_name"
+    )
+    # schema probe of a parameterized statement is legitimately empty
+    # (markers are unbound at prepare time)
+    assert isinstance(schema_blob, bytes)
+
+    flight_sql_bind_prepared(loc, handle, [1])
+    want1 = [r.r_name for r in spark.sql(
+        "SELECT r_name FROM region_v WHERE r_regionkey = 1").collect()]
+    got1 = [r.r_name for r in flight_sql_execute_prepared(spark, loc, handle).collect()]
+    assert got1 == want1 and len(got1) == 1
+
+    # re-Bind replaces the binding
+    got2 = [
+        r.r_name
+        for r in flight_sql_execute_prepared(
+            spark, loc, handle, params=[3]
+        ).collect()
+    ]
+    want2 = [r.r_name for r in spark.sql(
+        "SELECT r_name FROM region_v WHERE r_regionkey = 3").collect()]
+    assert got2 == want2 and got2 != got1
+    flight_sql_close_prepared(loc, handle)
+
+
+def test_flight_sql_prepared_update_with_params(spark, sql_server):
+    """ExecuteUpdate streams its parameters in the DoPut itself; each
+    parameter row is one execution."""
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_close_prepared,
+        flight_sql_execute_prepared_update,
+        flight_sql_prepare,
+    )
+
+    _, loc = sql_server
+    spark.sql("DROP TABLE IF EXISTS fs_bind_upd")
+    spark.sql("CREATE TABLE fs_bind_upd (k INT, v STRING) USING parquet")
+    try:
+        handle, _schema = flight_sql_prepare(
+            loc, "INSERT INTO fs_bind_upd VALUES (?, ?)"
+        )
+        flight_sql_execute_prepared_update(loc, handle, params=[7, "seven"])
+        got = {(r.k, r.v) for r in spark.table("fs_bind_upd").collect()}
+        assert got == {(7, "seven")}
+        flight_sql_close_prepared(loc, handle)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fs_bind_upd")
+
+
 def test_flight_sql_table_types(spark, sql_server):
     from arrow_spark.sources.flight_sql import flight_sql_get_table_types
 
