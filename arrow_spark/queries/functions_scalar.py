@@ -22,7 +22,7 @@ SELECT
   round(l_extendedprice + l_tax, 6)                 AS add_v,
   round(l_extendedprice - l_discount, 6)            AS sub_v,
   round(l_quantity * l_discount, 6)                 AS mul_v,
-  round(l_extendedprice / nullif(l_quantity, 0), 6) AS div_v,
+  l_extendedprice / nullif(l_quantity, 0)           AS div_v,
   round(-l_quantity, 6)                             AS neg_v,
   abs(l_quantity - 25)                              AS abs_v,
   CAST(sign(l_discount - 0.05) AS INT)              AS sign_v,
@@ -56,7 +56,13 @@ def scalar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ep + tx, 6).alias("add_v"),
         F.round(ep - dc, 6).alias("sub_v"),
         F.round(qt * dc, 6).alias("mul_v"),
-        F.round(ep / F.nullif(qt, F.lit(0)), 6).alias("div_v"),
+        # UNROUNDED: IEEE double division is correctly rounded, so the
+        # quotient is bit-identical on both engines; round(·, 6) is NOT
+        # safe here — cents/integer quotients land near 1e-6 midpoints,
+        # where Spark's exact-BigDecimal HALF_UP and DuckDB's
+        # float-multiply rounding disagree (caught by the sf0.1 sweep:
+        # 1034.499688 vs 1034.499687)
+        (ep / F.nullif(qt, F.lit(0))).alias("div_v"),
         F.round(-qt, 6).alias("neg_v"),
         F.abs(qt - 25).alias("abs_v"),
         F.signum(dc - 0.05).cast("int").alias("sign_v"),

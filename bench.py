@@ -177,6 +177,28 @@ HEADLINE = [
     "timeseries_time_weighted_avg",
     "timeseries_lttb_downsample",
     "graph_label_propagation",
+    # round-6 wave (no new queries this round — these close the r5
+    # verdict's bench-coverage gap: every operator family added in
+    # waves 3-6 gets a measured representative, reference model the
+    # per-family *_benchmark.cc files):
+    # graph (broadcast-semi-join peeling / support-filtered triangles /
+    # two-sided power iteration / teleport-vector pagerank), evaluation
+    # (one-shuffle ROC + PR sweeps), spatial 9-cell grid blocking
+    # (radius / kNN / DBSCAN core-expansion), exact order-statistics
+    # quantiles (bucket-locate), q-gram-filtered edit-distance join,
+    # and incremental agg view refresh (delta-only maintenance).
+    "graph_kcore",
+    "graph_ktruss",
+    "graph_hits",
+    "graph_personalized_pagerank",
+    "eval_roc_auc",
+    "eval_pr_curve",
+    "spatial_radius_join",
+    "spatial_knn_join",
+    "spatial_dbscan",
+    "exact_quantiles_distributed",
+    "fuzzy_join_edit_distance",
+    "incremental_agg_refresh",
 ]
 
 # The driver records only the LAST ~2000 characters of stdout, so the
