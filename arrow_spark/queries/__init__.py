@@ -72,19 +72,23 @@ def load_all() -> dict[str, QueryDef]:
 
     1. never driver-green AND oracle-bearing — a sampled run can turn
        these hash-green, the strongest kind of row;
-    2. never driver-green, rows-only — a sampled run records the weaker
-       rows-only check;
-    3. already driver-green in a past round — re-verification only.
+    2. already driver-green in a past round — re-verification only;
+    3. rows-only queries (no oracle) — last: a sampled run can never
+       hash-match them by design, and each has a driver-green
+       hash-exact twin (``similarity_ivf_exact_replay``,
+       ``similarity_pq_exact_replay``, ``sketch_hll_rel``, or in-query
+       error-bound asserts) that already carries its verification, so
+       a slot spent here is strictly weaker than re-verification.
     """
     for mod in _MODULES:
         importlib.import_module(f"arrow_spark.queries.{mod}")
     verified = _driver_verified()
 
     def rank(name: str, qd: QueryDef) -> tuple[int, int]:
-        if name in verified:
+        if qd.oracle is None:
+            block = 5  # rows-only by design: never consume a sampled slot
+        elif name in verified:
             block = 4
-        elif qd.oracle is None:
-            block = 3
         elif name in _DEFER_NEW:
             block = 2  # new this round: behind the older unverified backlog
         elif name in _PROMOTE:
