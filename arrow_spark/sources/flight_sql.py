@@ -42,6 +42,22 @@ tests. Supported subset:
 - CommandGetPrimaryKeys / GetExportedKeys / GetImportedKeys → the
   spec column layouts, always empty: the Spark catalog carries no
   key constraints (documented capability gap, not an error).
+- CommandStatementSubstraitPlan (server.h:53 StatementSubstraitPlan,
+  :286 GetFlightInfoSubstraitPlan) + CreatePreparedSubstraitPlan
+  action (server.h:223): the Any-wrapped command carries a
+  SubstraitPlan{plan=1, version=2}; the server routes the serialized
+  plan bytes through the engine's own substrait consumer
+  (plans/substrait.py run_substrait) with the live catalog as the
+  named-table provider, so ADBC clients can ship plans instead of SQL.
+  Write-op plans (WriteRel) travel over DoPut and answer with
+  DoPutUpdateResult, exactly like CommandStatementUpdate.
+- BeginTransaction / EndTransaction / BeginSavepoint / EndSavepoint
+  actions (server.h:169-183): Spark executes statements atomically
+  with per-statement visibility, so Begin hands out a real validated
+  handle, COMMIT/RELEASE succeed as no-ops (the work is already
+  durable), and ROLLBACK raises a documented unsupported error rather
+  than silently pretending. GetSqlInfo keeps reporting transaction
+  level NONE — handles exist for client compatibility, not isolation.
 
 Queries execute driver-side against registered views and are served as
 materialized Arrow results — result sets, not raw corpora, are the
@@ -118,6 +134,7 @@ def start_flight_sql_server(
     rows_per_endpoint: int = 65536,
     auth_token: str | None = None,
     catalog_name: str = "spark_catalog",
+    substrait_table_provider=None,
 ):
     """Serve the engine's SparkSession over Flight SQL (server.h parity
     for the statement + catalog + prepared-statement subset).
@@ -149,6 +166,17 @@ def start_flight_sql_server(
             super().__init__(location, middleware=middleware)
             self._results: dict[str, pa.Table] = {}
             self._prepared: dict[str, str] = {}
+            # handle -> serialized substrait.Plan bytes (prepared via
+            # the CreatePreparedSubstraitPlan action, server.h:223);
+            # executed through the same CommandPreparedStatementQuery
+            # flow as SQL prepared statements.
+            self._prepared_plans: dict[str, bytes] = {}
+            # live transaction / savepoint handles (server.h:169-183);
+            # membership is the only state — Spark statements are
+            # individually atomic and auto-visible, so COMMIT is a
+            # validated no-op and ROLLBACK is a documented error.
+            self._txns: set[str] = set()
+            self._savepoints: dict[str, str] = {}  # savepoint -> txn
             # handle -> positional parameter values bound via DoPut
             # (CommandPreparedStatementQuery stream; last row wins,
             # matching the reference client's Bind-then-Execute flow)
@@ -183,6 +211,38 @@ def start_flight_sql_server(
                     )
                 )
             return flight.FlightInfo(tbl.schema, descriptor, endpoints, tbl.num_rows, -1)
+
+        # -- substrait / transactions ---------------------------------
+        def _run_plan(self, plan_bytes: bytes) -> DataFrame:
+            """Route serialized substrait.Plan bytes through the
+            engine's own consumer against the live catalog — the
+            server-side half of GetFlightInfoSubstraitPlan
+            (server.h:286)."""
+            from arrow_spark.plans.substrait import default_table_writer, run_substrait
+
+            provider = substrait_table_provider or (
+                lambda names: spark.table(".".join(names))
+            )
+            return run_substrait(
+                spark, plan_bytes, provider, table_writer=default_table_writer(spark)
+            )
+
+        @staticmethod
+        def _plan_bytes(cmd: _Msg) -> bytes:
+            # SubstraitPlan { bytes plan = 1; string version = 2 } at
+            # field 1 of both CommandStatementSubstraitPlan and
+            # ActionCreatePreparedSubstraitPlanRequest.
+            sub = cmd.msg(1)
+            if sub is None or not sub.raw(1):
+                raise flight.FlightServerError("empty substrait plan")
+            return sub.raw(1)
+
+        def _check_txn(self, cmd: _Msg, field: int = 2) -> None:
+            txn = cmd.raw(field)
+            if txn and txn.decode() not in self._txns:
+                raise flight.FlightServerError(
+                    f"unknown transaction {txn.decode()!r}"
+                )
 
         # -- catalog tables -------------------------------------------
         def _catalogs_table(self) -> pa.Table:
@@ -327,9 +387,20 @@ def start_flight_sql_server(
         def get_flight_info(self, context, descriptor):
             name, cmd = _any_unwrap(descriptor.command or b"")
             if name == "CommandStatementQuery":
+                self._check_txn(cmd)  # CommandStatementQuery{transaction_id=2}
                 return self._info_for(descriptor, spark.sql(cmd.s(1)).toArrow())
+            if name == "CommandStatementSubstraitPlan":
+                self._check_txn(cmd)
+                return self._info_for(
+                    descriptor, self._run_plan(self._plan_bytes(cmd)).toArrow()
+                )
             if name == "CommandPreparedStatementQuery":
                 handle = (cmd.raw(1) or b"").decode()
+                if handle in self._prepared_plans:
+                    return self._info_for(
+                        descriptor,
+                        self._run_plan(self._prepared_plans[handle]).toArrow(),
+                    )
                 if handle not in self._prepared:
                     raise flight.FlightServerError(f"unknown prepared statement {handle!r}")
                 args = self._bound.get(handle)
@@ -408,7 +479,17 @@ def start_flight_sql_server(
                     with self._lock:
                         self._bound[handle] = rows[-1]
                 return
+            if name == "CommandStatementSubstraitPlan":
+                # write-op substrait plan over DoPut (the reference's
+                # DoPutCommandSubstraitPlan): the WriteRel inside the
+                # plan is the DML; answer with DoPutUpdateResult like
+                # CommandStatementUpdate below.
+                self._check_txn(cmd)
+                self._run_plan(self._plan_bytes(cmd))
+                writer.write(pa.py_buffer(_varint_u64(1 << 3) + _varint_u64(-1)))
+                return
             if name == "CommandStatementUpdate":
+                self._check_txn(cmd)
                 query = cmd.s(1)
                 param_rows = self._read_param_rows(reader)
             elif name == "CommandPreparedStatementUpdate":
@@ -462,12 +543,98 @@ def start_flight_sql_server(
                     f_msg(1, handle.encode()) + f_msg(2, schema_blob),
                 )
                 return [flight.Result(result)]
+            if action.type == "CreatePreparedSubstraitPlan":
+                # ActionCreatePreparedSubstraitPlanRequest{plan=1,
+                # transaction_id=2} (server.h:223). Same result message
+                # as SQL preparation; the dataset schema is probed by
+                # consuming the plan to a limit(0) frame.
+                _name, req = _any_unwrap(action.body.to_pybytes())
+                self._check_txn(req)
+                plan_bytes = self._plan_bytes(req)
+                with self._lock:
+                    handle = f"prep-{next(self._seq)}"
+                    self._prepared_plans[handle] = plan_bytes
+                try:
+                    schema_blob = (
+                        self._run_plan(plan_bytes)
+                        .limit(0)
+                        .toArrow()
+                        .schema.serialize()
+                        .to_pybytes()
+                    )
+                except Exception:
+                    schema_blob = pa.schema([]).serialize().to_pybytes()
+                result = _any_wrap(
+                    "ActionCreatePreparedStatementResult",
+                    f_msg(1, handle.encode()) + f_msg(2, schema_blob),
+                )
+                return [flight.Result(result)]
             if action.type == "ClosePreparedStatement":
                 _name, req = _any_unwrap(action.body.to_pybytes())
                 with self._lock:
                     h = (req.raw(1) or b"").decode()
                     self._prepared.pop(h, None)
+                    self._prepared_plans.pop(h, None)
                     self._bound.pop(h, None)
+                return []
+            if action.type == "BeginTransaction":
+                # ActionBeginTransactionRequest{} →
+                # ActionBeginTransactionResult{transaction_id=1}.
+                with self._lock:
+                    txn = f"txn-{next(self._seq)}"
+                    self._txns.add(txn)
+                body = _any_wrap(
+                    "ActionBeginTransactionResult", f_msg(1, txn.encode())
+                )
+                return [flight.Result(body)]
+            if action.type == "EndTransaction":
+                # ActionEndTransactionRequest{transaction_id=1,
+                # action=2}: 1=COMMIT, 2=ROLLBACK. Spark statements
+                # auto-commit, so COMMIT validates + discards the
+                # handle; ROLLBACK cannot be honored and says so.
+                _name, req = _any_unwrap(action.body.to_pybytes())
+                txn = (req.raw(1) or b"").decode()
+                if txn not in self._txns:
+                    raise flight.FlightServerError(f"unknown transaction {txn!r}")
+                if req.u64(2) == 2:
+                    raise flight.FlightServerError(
+                        "ROLLBACK unsupported: statements execute atomically "
+                        "with per-statement visibility (auto-commit)"
+                    )
+                with self._lock:
+                    self._txns.discard(txn)
+                    self._savepoints = {
+                        k: v for k, v in self._savepoints.items() if v != txn
+                    }
+                return []
+            if action.type == "BeginSavepoint":
+                # ActionBeginSavepointRequest{transaction_id=1, name=2}
+                # → ActionBeginSavepointResult{savepoint_id=1}.
+                _name, req = _any_unwrap(action.body.to_pybytes())
+                txn = (req.raw(1) or b"").decode()
+                if txn not in self._txns:
+                    raise flight.FlightServerError(f"unknown transaction {txn!r}")
+                with self._lock:
+                    sp = f"sp-{next(self._seq)}"
+                    self._savepoints[sp] = txn
+                body = _any_wrap(
+                    "ActionBeginSavepointResult", f_msg(1, sp.encode())
+                )
+                return [flight.Result(body)]
+            if action.type == "EndSavepoint":
+                # ActionEndSavepointRequest{savepoint_id=1, action=2}:
+                # 1=RELEASE (validated no-op), 2=ROLLBACK (unsupported).
+                _name, req = _any_unwrap(action.body.to_pybytes())
+                sp = (req.raw(1) or b"").decode()
+                if sp not in self._savepoints:
+                    raise flight.FlightServerError(f"unknown savepoint {sp!r}")
+                if req.u64(2) == 2:
+                    raise flight.FlightServerError(
+                        "ROLLBACK unsupported: statements execute atomically "
+                        "with per-statement visibility (auto-commit)"
+                    )
+                with self._lock:
+                    self._savepoints.pop(sp, None)
                 return []
             raise NotImplementedError(f"action {action.type!r}")
 
@@ -775,3 +942,149 @@ def flight_sql_get_imported_keys(
     return _keys_command(
         spark, location, "CommandGetImportedKeys", catalog, db_schema, table_name, token
     )
+
+
+# -- substrait execution (client.h ExecuteSubstrait / PrepareSubstrait) ------
+
+
+def _substrait_plan_field(plan_bytes: bytes, version: str = "0.44.0") -> bytes:
+    """SubstraitPlan{plan=1, version=2} at field 1 of the command."""
+    return f_msg(1, f_msg(1, bytes(plan_bytes)) + f_str(2, version))
+
+
+def flight_sql_execute_substrait(
+    spark: SparkSession,
+    location: str,
+    plan_bytes: bytes,
+    token: str | None = None,
+    transaction_id: str | None = None,
+) -> DataFrame:
+    """FlightSqlClient::ExecuteSubstrait (server.h:286
+    GetFlightInfoSubstraitPlan): CommandStatementSubstraitPlan carrying
+    the serialized substrait.Plan; the server consumes it with its own
+    substrait consumer against the live catalog and streams the result
+    exactly like a SQL statement."""
+    body = _substrait_plan_field(plan_bytes)
+    if transaction_id:
+        body += f_msg(2, transaction_id.encode())
+    return _run_command(spark, location, "CommandStatementSubstraitPlan", body, token)
+
+
+def flight_sql_execute_substrait_update(
+    location: str,
+    plan_bytes: bytes,
+    token: str | None = None,
+    transaction_id: str | None = None,
+) -> int:
+    """Write-op substrait plan (WriteRel inside) over DoPut →
+    DoPutUpdateResult.record_count (-1 = unknown, as for SQL DML)."""
+    flight = _flight()
+    import pyarrow as pa
+
+    body = _substrait_plan_field(plan_bytes)
+    if transaction_id:
+        body += f_msg(2, transaction_id.encode())
+    client = flight.connect(location)
+    writer, meta_reader = client.do_put(
+        _cmd_descriptor("CommandStatementSubstraitPlan", body),
+        pa.schema([]),
+        options=_call_options(token),
+    )
+    writer.done_writing()
+    buf = meta_reader.read()
+    writer.close()
+    if buf is None:
+        return -1
+    counts = _Msg(buf.to_pybytes()).ints(1)
+    return counts[0] if counts else -1
+
+
+def flight_sql_prepare_substrait(
+    location: str,
+    plan_bytes: bytes,
+    token: str | None = None,
+    transaction_id: str | None = None,
+) -> tuple[str, bytes]:
+    """CreatePreparedSubstraitPlan action (server.h:223). Returns
+    (handle, IPC-serialized dataset schema); execute the handle with
+    flight_sql_execute_prepared — the server routes plan-backed handles
+    through its substrait consumer."""
+    flight = _flight()
+    client = flight.connect(location)
+    body = _substrait_plan_field(plan_bytes)
+    if transaction_id:
+        body += f_msg(2, transaction_id.encode())
+    req = _any_wrap("ActionCreatePreparedSubstraitPlanRequest", body)
+    results = list(
+        client.do_action(
+            ("CreatePreparedSubstraitPlan", req), options=_call_options(token)
+        )
+    )
+    _name, res = _any_unwrap(results[0].body.to_pybytes())
+    return (res.raw(1) or b"").decode(), res.raw(2) or b""
+
+
+# -- transactions / savepoints (server.h:169-183) ----------------------------
+
+
+def flight_sql_begin_transaction(location: str, token: str | None = None) -> str:
+    """BeginTransaction action → transaction handle. The engine
+    auto-commits per statement; the handle exists for client
+    compatibility and is validated on every use."""
+    flight = _flight()
+    client = flight.connect(location)
+    results = list(
+        client.do_action(
+            ("BeginTransaction", _any_wrap("ActionBeginTransactionRequest", b"")),
+            options=_call_options(token),
+        )
+    )
+    _name, res = _any_unwrap(results[0].body.to_pybytes())
+    return (res.raw(1) or b"").decode()
+
+
+def flight_sql_end_transaction(
+    location: str, transaction_id: str, commit: bool = True, token: str | None = None
+) -> None:
+    """EndTransaction action: COMMIT (1) validates and discards the
+    handle; ROLLBACK (2) raises — statements are individually atomic
+    and already visible (documented capability, not silent success)."""
+    flight = _flight()
+    client = flight.connect(location)
+    body = _any_wrap(
+        "ActionEndTransactionRequest",
+        f_msg(1, transaction_id.encode()) + f_varint(2, 1 if commit else 2),
+    )
+    list(client.do_action(("EndTransaction", body), options=_call_options(token)))
+
+
+def flight_sql_begin_savepoint(
+    location: str, transaction_id: str, name: str = "", token: str | None = None
+) -> str:
+    """BeginSavepoint action → savepoint handle (validated against the
+    live transaction)."""
+    flight = _flight()
+    client = flight.connect(location)
+    body = _any_wrap(
+        "ActionBeginSavepointRequest",
+        f_msg(1, transaction_id.encode()) + (f_str(2, name) if name else b""),
+    )
+    results = list(
+        client.do_action(("BeginSavepoint", body), options=_call_options(token))
+    )
+    _name, res = _any_unwrap(results[0].body.to_pybytes())
+    return (res.raw(1) or b"").decode()
+
+
+def flight_sql_end_savepoint(
+    location: str, savepoint_id: str, release: bool = True, token: str | None = None
+) -> None:
+    """EndSavepoint action: RELEASE (1) is a validated no-op; ROLLBACK
+    (2) raises (see EndTransaction)."""
+    flight = _flight()
+    client = flight.connect(location)
+    body = _any_wrap(
+        "ActionEndSavepointRequest",
+        f_msg(1, savepoint_id.encode()) + f_varint(2, 1 if release else 2),
+    )
+    list(client.do_action(("EndSavepoint", body), options=_call_options(token)))

@@ -471,3 +471,131 @@ def test_flight_sql_key_metadata_empty_layouts(spark, sql_server):
         assert fk.columns[:4] == [
             "pk_catalog_name", "pk_db_schema_name", "pk_table_name", "pk_column_name",
         ]
+
+
+def _orders_substrait_plan() -> bytes:
+    """count/sum grouped by priority over the orders_v temp view —
+    NamedTable resolution happens server-side against the live catalog
+    (server.h:286 GetFlightInfoSubstraitPlan)."""
+    from arrow_spark.plans import substrait_builder as B
+
+    read = B.read_named(
+        ["orders_v"], ["o_orderpriority", "o_totalprice"], ["string", "fp64"]
+    )
+    agg = B.aggregate_rel(
+        read,
+        [B.field_ref(0)],
+        [
+            B.agg_fn(1, [], B.typ("i64")),
+            B.agg_fn(2, [B.field_ref(1)], B.typ("fp64")),
+        ],
+    )
+    return B.plan(
+        agg,
+        ["o_orderpriority", "n", "sum_price"],
+        functions={1: (B.URI_AGG, "count"), 2: (B.URI_ARITH, "sum")},
+    )
+
+
+def test_flight_sql_substrait_statement_execution(spark, sql_server):
+    """CommandStatementSubstraitPlan end to end: the serialized plan
+    goes over the wire, the server consumes it with the engine's own
+    substrait consumer, and the result matches the spark.sql path."""
+    from arrow_spark.sources.flight_sql import flight_sql_execute_substrait
+
+    _, loc = sql_server
+    got = flight_sql_execute_substrait(spark, loc, _orders_substrait_plan())
+    want = spark.sql(
+        """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS sum_price
+           FROM orders_v GROUP BY o_orderpriority"""
+    )
+    assert got.columns == ["o_orderpriority", "n", "sum_price"]
+    g = {r[0]: (r[1], round(r[2], 2)) for r in got.collect()}
+    w = {r[0]: (r[1], round(r[2], 2)) for r in want.collect()}
+    assert g == w
+
+
+def test_flight_sql_prepared_substrait_plan_lifecycle(spark, sql_server):
+    """CreatePreparedSubstraitPlan action (server.h:223): prepare →
+    dataset schema comes back → execute the handle through the shared
+    CommandPreparedStatementQuery flow → close invalidates it."""
+    import pyarrow as pa
+
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_close_prepared,
+        flight_sql_execute_prepared,
+        flight_sql_prepare_substrait,
+    )
+
+    _, loc = sql_server
+    handle, schema_blob = flight_sql_prepare_substrait(loc, _orders_substrait_plan())
+    assert handle
+    schema = pa.ipc.read_schema(pa.py_buffer(schema_blob))
+    assert schema.names == ["o_orderpriority", "n", "sum_price"]
+
+    got = flight_sql_execute_prepared(spark, loc, handle)
+    n_groups = spark.sql(
+        "SELECT DISTINCT o_orderpriority FROM orders_v"
+    ).count()
+    assert got.count() == n_groups
+
+    flight_sql_close_prepared(loc, handle)
+    with pytest.raises(Exception):
+        flight_sql_execute_prepared(spark, loc, handle).collect()
+
+
+def test_flight_sql_substrait_statement_in_transaction(spark, sql_server):
+    """A statement carrying a live transaction_id executes; a bogus
+    handle is rejected server-side."""
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_begin_transaction,
+        flight_sql_end_transaction,
+        flight_sql_execute_substrait,
+    )
+
+    _, loc = sql_server
+    txn = flight_sql_begin_transaction(loc)
+    got = flight_sql_execute_substrait(
+        spark, loc, _orders_substrait_plan(), transaction_id=txn
+    )
+    assert got.count() > 0
+    flight_sql_end_transaction(loc, txn, commit=True)
+
+    with pytest.raises(Exception):
+        flight_sql_execute_substrait(
+            spark, loc, _orders_substrait_plan(), transaction_id="txn-bogus"
+        ).collect()
+
+
+def test_flight_sql_transaction_and_savepoint_lifecycle(spark, sql_server):
+    """server.h:169-183 parity: Begin hands out validated handles;
+    COMMIT / RELEASE succeed (per-statement auto-commit makes them
+    no-ops); ROLLBACK raises a documented unsupported error; ended
+    handles are invalid."""
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_begin_savepoint,
+        flight_sql_begin_transaction,
+        flight_sql_end_savepoint,
+        flight_sql_end_transaction,
+    )
+
+    _, loc = sql_server
+    txn = flight_sql_begin_transaction(loc)
+    sp = flight_sql_begin_savepoint(loc, txn, "sp1")
+    assert txn and sp and txn != sp
+
+    # ROLLBACK of either handle is a documented error, not silent success
+    with pytest.raises(Exception, match="ROLLBACK unsupported"):
+        flight_sql_end_savepoint(loc, sp, release=False)
+    with pytest.raises(Exception, match="ROLLBACK unsupported"):
+        flight_sql_end_transaction(loc, txn, commit=False)
+
+    flight_sql_end_savepoint(loc, sp, release=True)
+    flight_sql_end_transaction(loc, txn, commit=True)
+
+    # the committed transaction's handle is gone
+    with pytest.raises(Exception, match="unknown transaction"):
+        flight_sql_end_transaction(loc, txn, commit=True)
+    # savepoints of an unknown transaction are rejected
+    with pytest.raises(Exception, match="unknown transaction"):
+        flight_sql_begin_savepoint(loc, "txn-bogus", "sp2")
