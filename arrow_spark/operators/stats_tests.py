@@ -1,0 +1,317 @@
+"""Classical hypothesis-test statistics as distributed relational ops:
+chi-square independence cells, mutual information, two-proportion
+z-test, two-sample Kolmogorov-Smirnov, Benjamini-Hochberg FDR, and the
+decile lift/gains table.
+
+Reference anchor: the reference ships single-array moment/variance
+kernels (cpp/src/arrow/compute/kernels/aggregate_variance.cc) and
+leaves test statistics to callers; at warehouse scale the test inputs
+(contingency cells, CDF steps, per-group moments) are themselves
+distributed aggregates, so the statistics are built here as relational
+compositions over group-by frames.
+
+Determinism discipline (the hash-exact contract every oracle-checked
+query in this repo follows): keep arithmetic in BIGINT as long as
+possible — counts, cross-products of counts, scaled ranks — and spend
+at most a FIXED tree of IEEE double ops (mult/div/sqrt are correctly
+rounded, hence bit-identical cross-engine) at the very end. Sums of
+doubles across rows are ORDER-dependent and never hash-stable, so no
+statistic here ever sums a float column; transcendental outputs (ln)
+are micro-rounded by the caller.
+
+Scale notes per op:
+- chi-square / MI: one (a,b) group-by shuffle; marginals are two more
+  group-bys broadcast back (cell count = |A|·|B|, tiny by nature).
+- two-proportion z: one group-by; the 2-row frame folds to one row.
+- KS: one per-value count shuffle, then the same bucket-offset prefix
+  trick exact_quantiles uses — NO global window; the only ordered
+  window runs inside a value bucket, offsets come from the ≤n_buckets
+  totals frame.
+- BH: one window over the hypothesis frame — m hypotheses is small by
+  construction (it is the number of TESTS, not rows).
+- decile lift: ntile over the scored-entity frame; at corpus scale
+  swap the ntile for bucketed approx-boundary assignment (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "chi_square_cells",
+    "mutual_information_cells",
+    "two_proportion_ztest",
+    "ks_two_sample",
+    "bh_adjust",
+    "decile_lift",
+]
+
+
+def chi_square_cells(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-cell chi-square contributions for the A×B contingency table:
+    (a, b, obs, row_tot, col_tot, expected, contrib) with
+    contrib = (obs·N − rt·ct)² / (N·rt·ct) — BIGINT cross-products, one
+    double square + one division, bit-exact cross-engine. The full χ²
+    is sum(contrib); it is left to the reader because a float sum over
+    cells is order-dependent (the cells themselves are the artifact)."""
+    a, b = F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    cells = df.select(a, b).groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    row_tot = cells.groupBy("a").agg(F.sum("obs").alias("row_tot"))
+    col_tot = cells.groupBy("b").agg(F.sum("obs").alias("col_tot"))
+    total = cells.agg(F.sum("obs").alias("n_total"))
+    d = F.col("obs") * F.col("n_total") - F.col("row_tot") * F.col("col_tot")
+    denom = F.col("n_total") * F.col("row_tot") * F.col("col_tot")
+    return (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "obs",
+            "row_tot",
+            "col_tot",
+            (
+                (F.col("row_tot") * F.col("col_tot")).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("expected"),
+            (
+                d.cast("double") * d.cast("double") / denom.cast("double")
+            ).alias("contrib"),
+        )
+    )
+
+
+def mutual_information_cells(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-cell mutual-information terms (natural log, nats):
+    term = (obs/N) · ln(obs·N / (rt·ct)), micro-rounded to 1e-6 (ln is
+    the one transcendental — 1-ulp libm skew cannot move a 6-decimal
+    rounding of a non-midpoint transcendental). MI = sum(term); cells
+    are the artifact for the same order-dependence reason as χ²."""
+    a, b = F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    cells = df.select(a, b).groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    row_tot = cells.groupBy("a").agg(F.sum("obs").alias("row_tot"))
+    col_tot = cells.groupBy("b").agg(F.sum("obs").alias("col_tot"))
+    total = cells.agg(F.sum("obs").alias("n_total"))
+    ratio = (F.col("obs") * F.col("n_total")).cast("double") / (
+        F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    term = (
+        F.col("obs").cast("double") / F.col("n_total").cast("double")
+    ) * F.log(ratio)
+    return (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "obs",
+            "row_tot",
+            "col_tot",
+            F.round(term, 6).alias("mi_term"),
+        )
+        )
+
+
+def two_proportion_ztest(
+    df: DataFrame, group_col: str, success_col: str
+) -> DataFrame:
+    """Pooled two-proportion z-test over a 0/1 group column and a 0/1
+    success column → one row (n0, x0, p0, n1, x1, p1, p_pool, z).
+    Counts are exact integers; p's and z are a fixed double tree
+    (divisions + one sqrt) — bit-exact cross-engine."""
+    g = df.select(
+        F.col(group_col).cast("long").alias("g"),
+        F.col(success_col).cast("long").alias("s"),
+    )
+    agg = g.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("x"),
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("x"))).alias("x1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    p0 = F.col("x0").cast("double") / n0d
+    p1 = F.col("x1").cast("double") / n1d
+    p_pool = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        (p_pool * (F.lit(1.0) - p_pool))
+        * ((F.lit(1.0) / n0d) + (F.lit(1.0) / n1d))
+    )
+    return wide.select(
+        "n0",
+        "x0",
+        p0.alias("p0"),
+        "n1",
+        "x1",
+        p1.alias("p1"),
+        p_pool.alias("p_pool"),
+        ((p0 - p1) / se).alias("z"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, group_col: str, n_buckets: int = 256
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of groups 0 and 1 → one row
+    (n0, n1, ks_num, ks_stat, ks_at_value).
+
+    D = max over CDF steps of |F0 − F1| is computed on the INTEGER
+    lattice: at each distinct value, diff = |c0·n1 − c1·n0| (cumulative
+    counts cross-scaled), ks_num = max(diff), ks_stat = ks_num/(n0·n1)
+    — one final division. ks_at_value is the smallest value attaining
+    the max (deterministic under ties).
+
+    No global window: distinct values bucket by equi-width range (the
+    exact_quantiles locate pattern); cumulative counts = in-bucket
+    window (ordered inside one bucket only) + broadcast bucket offsets
+    from the ≤n_buckets totals frame."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col).cast("long")
+    base = df.where(v.isNotNull()).select(v.alias("v"), g.alias("g"))
+    steps = base.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("d0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+    )
+    stats = steps.agg(
+        F.sum("d0").alias("n0"),
+        F.sum("d1").alias("n1"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = steps.crossJoin(F.broadcast(stats)).withColumn("b", bucket)
+    totals = bucketed.groupBy("b").agg(
+        F.sum("d0").alias("t0"), F.sum("d1").alias("t1")
+    )
+    prior = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b",
+        F.coalesce(F.sum("t0").over(prior), F.lit(0).cast("long")).alias("off0"),
+        F.coalesce(F.sum("t1").over(prior), F.lit(0).cast("long")).alias("off1"),
+    )
+    local = W.partitionBy("b").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .select(
+            "v",
+            "n0",
+            "n1",
+            (F.col("off0") + F.sum("d0").over(local)).alias("c0"),
+            (F.col("off1") + F.sum("d1").over(local)).alias("c1"),
+        )
+        .withColumn(
+            "diff", F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+        )
+    )
+    peak = cum.agg(F.max("diff").alias("ks_num"))
+    at = (
+        cum.select("v", "diff")
+        .join(F.broadcast(peak), F.col("diff") == F.col("ks_num"))
+        .agg(F.max("ks_num").alias("ks_num"), F.min("v").alias("ks_at_value"))
+    )
+    return (
+        stats.select("n0", "n1")
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n0",
+            "n1",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n0") * F.col("n1")).cast("double")
+            ).alias("ks_stat"),
+            "ks_at_value",
+        )
+    )
+
+
+def bh_adjust(df: DataFrame, p_col: str, key_col: str) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment: rank p ascending (key breaks
+    ties deterministically), raw_k = p_k·m/k, adjusted = reverse
+    running min of raw (monotone envelope), capped at 1. One window
+    over the hypothesis frame — m is the number of TESTS (small by
+    construction: one per group under test), not data rows."""
+    m = df.count()
+    asc = W.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    ranked = df.withColumn("p_rank", F.row_number().over(asc)).withColumn(
+        "raw",
+        F.col(p_col) * F.lit(float(m)) / F.col("p_rank").cast("double"),
+    )
+    desc = W.orderBy(F.col("p_rank").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return ranked.withColumn(
+        "p_adjusted", F.least(F.min("raw").over(desc), F.lit(1.0))
+    ).drop("raw")
+
+
+def decile_lift(
+    df: DataFrame, score_col: str, label_col: str, key_col: str, n_tiles: int = 10
+) -> DataFrame:
+    """Model lift/gains table: rank entities by score descending into
+    n_tiles equal-count tiles (key breaks ties deterministically) →
+    (tile, n, pos, rate, lift, cum_pos, cum_gain). rate/lift/gain come
+    from BIGINT counts via single divisions — hash-exact. ntile is a
+    global window over the SCORED-ENTITY frame; at corpus scale
+    replace with approx-boundary bucket assignment (the scored frame
+    here is one row per entity, aggregate-sized)."""
+    ranked = df.select(
+        F.col(score_col).alias("score"),
+        F.col(label_col).cast("long").alias("y"),
+        F.col(key_col).alias("k"),
+    ).withColumn(
+        "tile",
+        F.ntile(n_tiles).over(
+            W.orderBy(F.col("score").desc(), F.col("k").asc())
+        ),
+    )
+    agg = ranked.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = agg.agg(
+        F.sum("n").alias("tot_n"), F.sum("pos").alias("tot_pos")
+    )
+    cum = W.orderBy("tile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "tile",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "rate"
+            ),
+            (
+                (F.col("pos") * F.col("tot_n")).cast("double")
+                / (F.col("n") * F.col("tot_pos")).cast("double")
+            ).alias("lift"),
+            "tot_pos",
+        )
+        .withColumn("cum_pos", F.sum("pos").over(cum).cast("long"))
+        .withColumn(
+            "cum_gain",
+            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+        )
+        .drop("tot_pos")
+    )

@@ -38,6 +38,8 @@ _MODULES = (
     "substrait_q",
     "tokenize_q",
     "evaluation_q",
+    "stats_q",
+    "analytics_w7",
 )
 
 
@@ -121,8 +123,26 @@ _PROMOTE: tuple[str, ...] = (
 
 #: Oracle-bearing queries first registered this round. They sort behind
 #: the pre-existing never-green backlog so they don't consume sampled
-#: slots the backlog has been waiting on; they drain from the next
-#: round. Round 6 is a verification round: NO new queries are
-#: registered until the cumulative driver-green backlog drains
-#: (r5 verdict item 2), so this list is empty.
-_DEFER_NEW: tuple[str, ...] = ()
+#: slots the backlog has been waiting on (standing policy, COVERAGE.md
+#: round-7 section). Round 7 resumes registration below the 14-query
+#: backlog: r7's 50-slot sample covers backlog first, then these.
+_DEFER_NEW: tuple[str, ...] = (
+    "stats_chi_square_independence",
+    "stats_mutual_information",
+    "stats_two_proportion_ztest",
+    "stats_ks_two_sample",
+    "stats_fdr_bh_adjust",
+    "stats_decile_lift",
+    "analytics_pareto_cumshare",
+    "analytics_retention_new_returning",
+    "analytics_markov_transitions",
+    "analytics_attribution_time_decay",
+    "recommend_cooccurrence_topk",
+    "histogram2d_density",
+    "timeseries_acf",
+    "table_checksum_buckets",
+    "corpus_lang_balance_weights",
+    "graph_degree_assortativity",
+    "graph_jaccard_link_prediction",
+    "flight_sql_substrait",
+)

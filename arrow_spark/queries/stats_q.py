@@ -1,0 +1,331 @@
+"""Oracle-checked queries for the hypothesis-test operators
+(`operators/stats_tests.py`): chi-square / mutual-information cells,
+two-proportion z-test, two-sample KS, Benjamini-Hochberg FDR, and the
+decile lift table.
+
+Hash-exactness: every statistic follows the repo's integer-first
+discipline — BIGINT counts and cross-products all the way down, one
+fixed IEEE double tree (div/sqrt, both correctly rounded hence
+bit-identical cross-engine) at the end. The two transcendental-bearing
+queries (MI's ln, BH's logistic exp) micro-round those columns to 1e-6
+— a 1-ulp libm skew cannot move a 6-decimal rounding of a non-midpoint
+transcendental (the round-6 contract functions_scalar.py established).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_spark.catalog import table
+from arrow_spark.operators.stats_tests import (
+    bh_adjust,
+    chi_square_cells,
+    decile_lift,
+    ks_two_sample,
+    mutual_information_cells,
+    two_proportion_ztest,
+)
+from arrow_spark.queries.base import query
+
+_CHI_CELLS_CTE = """
+cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT a, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+"""
+
+CHI_SQUARE_ORACLE = (
+    "WITH "
+    + _CHI_CELLS_CTE
+    + """
+SELECT a, b, obs, row_tot, col_tot,
+       CAST(row_tot * col_tot AS DOUBLE) / CAST(n_total AS DOUBLE) AS expected,
+       CAST(obs * n_total - row_tot * col_tot AS DOUBLE)
+         * CAST(obs * n_total - row_tot * col_tot AS DOUBLE)
+         / CAST(n_total * row_tot * col_tot AS DOUBLE) AS contrib
+FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+"""
+)
+
+
+@query("stats_chi_square_independence", oracle=CHI_SQUARE_ORACLE)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for order priority × status
+    (reference ships only array moment kernels,
+    cpp/src/arrow/compute/kernels/aggregate_variance.cc — the
+    contingency marginals here are distributed group-bys). contrib =
+    (obs·N − rt·ct)²/(N·rt·ct): BIGINT cross-products, one double
+    square + division — hash-exact with no rounding at all."""
+    return chi_square_cells(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+MUTUAL_INFO_ORACLE = (
+    "WITH "
+    + _CHI_CELLS_CTE
+    + """
+SELECT a, b, obs, row_tot, col_tot,
+       round((CAST(obs AS DOUBLE) / CAST(n_total AS DOUBLE))
+             * ln(CAST(obs * n_total AS DOUBLE)
+                  / CAST(row_tot * col_tot AS DOUBLE)), 6) AS mi_term
+FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+"""
+)
+
+
+@query("stats_mutual_information", oracle=MUTUAL_INFO_ORACLE)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual-information terms (nats) for priority × status;
+    ln is the lone transcendental so mi_term is micro-rounded to 1e-6.
+    The cells are the artifact — a float sum across cells is
+    order-dependent and never hash-stable."""
+    return mutual_information_cells(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+TWO_PROP_ORACLE = """
+WITH base AS (
+  SELECT o_custkey % 2 AS g,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+  FROM orders
+),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS x
+  FROM base GROUP BY g
+),
+wide AS (
+  SELECT max(CASE WHEN g = 0 THEN n END) AS n0,
+         max(CASE WHEN g = 0 THEN x END) AS x0,
+         max(CASE WHEN g = 1 THEN n END) AS n1,
+         max(CASE WHEN g = 1 THEN x END) AS x1
+  FROM agg
+)
+SELECT n0, x0, CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+       n1, x1, CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_pool,
+       (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+               * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+              * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE)))) AS z
+FROM wide
+"""
+
+
+@query("stats_two_proportion_ztest", oracle=TWO_PROP_ORACLE)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test: group = o_custkey parity (a
+    deterministic A/B split), success = order fully shipped ('F').
+    Exact integer counts; p's and z are one fixed div/sqrt tree —
+    hash-exact."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_custkey") % 2).alias("g"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("s"),
+    )
+    return two_proportion_ztest(base, "g", "s")
+
+
+KS_ORACLE = """
+WITH vals AS (
+  SELECT o_totalprice AS v, o_orderkey % 2 AS g FROM orders
+),
+steps AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+  FROM vals GROUP BY v
+),
+tot AS (SELECT CAST(sum(d0) AS BIGINT) AS n0, CAST(sum(d1) AS BIGINT) AS n1 FROM steps),
+cum AS (
+  SELECT v,
+         CAST(sum(d0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+         CAST(sum(d1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
+  FROM steps
+),
+d AS (
+  SELECT v, abs(c0 * tot.n1 - c1 * tot.n0) AS diff FROM cum CROSS JOIN tot
+),
+mx AS (SELECT max(diff) AS ks_num FROM d)
+SELECT tot.n0 AS n0, tot.n1 AS n1, mx.ks_num AS ks_num,
+       CAST(mx.ks_num AS DOUBLE) / CAST(tot.n0 * tot.n1 AS DOUBLE) AS ks_stat,
+       (SELECT min(v) FROM d WHERE d.diff = mx.ks_num) AS ks_at_value
+FROM mx CROSS JOIN tot
+"""
+
+
+@query("stats_ks_two_sample", oracle=KS_ORACLE)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the total-price
+    distributions of the two o_orderkey parity halves. The engine side
+    has NO global window: CDF steps bucket by value range and cumulate
+    as in-bucket window + broadcast bucket offsets (the exact_quantiles
+    prefix pattern); the max |F0−F1| search runs on the integer lattice
+    c0·n1 − c1·n0 with one final division."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), (F.col("o_orderkey") % 2).alias("g")
+    )
+    return ks_two_sample(o, "v", "g")
+
+
+_BH_STATS_CTE = """
+c AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+gstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(cents) AS BIGINT) AS s_all,
+         CAST(sum(cents * cents) AS BIGINT) AS ssq_all
+  FROM c
+),
+pern AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM c GROUP BY c_nationkey
+),
+zt AS (
+  SELECT c_nationkey, n,
+         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+         / sqrt(((CAST(ssq_all AS DOUBLE) - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+                            / CAST(n_all AS DOUBLE))
+                 / (CAST(n_all AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)) AS z
+  FROM pern CROSS JOIN gstat
+),
+pv AS (
+  SELECT c_nationkey, n, z,
+         2.0 / (1.0 + exp(1.702 * abs(z))) AS p
+  FROM zt
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+ranked AS (
+  SELECT c_nationkey, n, z, p,
+         row_number() OVER (ORDER BY p ASC, c_nationkey ASC) AS p_rank
+  FROM pv
+)
+"""
+
+BH_ORACLE = (
+    "WITH "
+    + _BH_STATS_CTE
+    + """
+SELECT c_nationkey, n, round(z, 6) AS z6, round(p, 6) AS p6, p_rank,
+       round(least(min(p * CAST(m.m AS DOUBLE) / CAST(p_rank AS DOUBLE))
+                   OVER (ORDER BY p_rank DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   1.0), 6) AS p_adj6
+FROM ranked CROSS JOIN m
+"""
+)
+
+
+@query("stats_fdr_bh_adjust", oracle=BH_ORACLE)
+def stats_fdr_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over per-nation mean-acctbal z-tests.
+    p comes from the logistic approximation 2/(1+e^{1.702|z|}) of the
+    two-sided normal tail (exp is the lone transcendental → z/p/p_adj
+    micro-round to 1e-6). The BH window spans 25 hypotheses — the
+    number of TESTS, not rows; all data-scale work is the two
+    integer-moment group-bys feeding z."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    glob = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("cents").cast("long").alias("s_all"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ssq_all"),
+    )
+    pern = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    n_all_d = F.col("n_all").cast("double")
+    var_all = (
+        F.col("ssq_all").cast("double")
+        - (F.col("s_all").cast("double") * F.col("s_all").cast("double")) / n_all_d
+    ) / (n_all_d - F.lit(1.0))
+    z = (
+        F.col("s").cast("double") / F.col("n").cast("double")
+        - F.col("s_all").cast("double") / n_all_d
+    ) / F.sqrt(var_all / F.col("n").cast("double"))
+    pv = (
+        pern.crossJoin(F.broadcast(glob))
+        .select(
+            "c_nationkey",
+            "n",
+            z.alias("z"),
+        )
+        .withColumn("p", F.lit(2.0) / (F.lit(1.0) + F.exp(F.lit(1.702) * F.abs("z"))))
+    )
+    adj = bh_adjust(pv, "p", "c_nationkey")
+    return adj.select(
+        "c_nationkey",
+        "n",
+        F.round("z", 6).alias("z6"),
+        F.round("p", 6).alias("p6"),
+        "p_rank",
+        F.round("p_adjusted", 6).alias("p_adj6"),
+    )
+
+
+LIFT_ORACLE = """
+WITH y AS (
+  SELECT o_custkey, max(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS y
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT c.c_custkey,
+         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+         CAST(coalesce(y.y, 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN y ON c.c_custkey = y.o_custkey
+),
+tiled AS (
+  SELECT y, ntile(10) OVER (ORDER BY score DESC, c_custkey ASC) AS tile
+  FROM scored
+),
+agg AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM tiled GROUP BY tile
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(pos) AS BIGINT) AS tot_pos FROM agg)
+SELECT tile, n, pos,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       CAST(pos * tot_n AS DOUBLE) / CAST(n * tot_pos AS DOUBLE) AS lift,
+       CAST(sum(pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       CAST(sum(pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(tot_pos AS DOUBLE) AS cum_gain
+FROM agg CROSS JOIN tot
+"""
+
+
+@query("stats_decile_lift", oracle=LIFT_ORACLE)
+def stats_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains table: customers ranked by account balance (cents,
+    exact) into deciles; the outcome is "placed a >150k order". rate,
+    lift and cum_gain are single divisions over BIGINT counts —
+    hash-exact. ntile spans the scored-entity frame (one row per
+    customer — aggregate-sized relative to the fact table)."""
+    o = table(spark, sf_dir, "orders")
+    y = o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("y")
+    )
+    scored = (
+        table(spark, sf_dir, "customer")
+        .join(y, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("score"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    return decile_lift(scored, "score", "y", "c_custkey")
