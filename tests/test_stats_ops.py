@@ -1,0 +1,120 @@
+"""Hand-computed truths for operators/stats_tests.py and
+operators/graph_metrics.py — independent of the DuckDB oracle (which
+cross-checks the same algebra); these pin the STATISTICS themselves on
+textbook-sized inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from arrow_spark.operators.graph_metrics import (
+    degree_assortativity,
+    jaccard_link_prediction,
+)
+from arrow_spark.operators.stats_tests import (
+    bh_adjust,
+    chi_square_cells,
+    decile_lift,
+    ks_two_sample,
+    two_proportion_ztest,
+)
+
+
+def test_chi_square_2x2_hand_truth(spark):
+    # classic 2x2: obs [[10, 20], [20, 10]], N=60
+    rows = (
+        [("a1", "b1")] * 10 + [("a1", "b2")] * 20
+        + [("a2", "b1")] * 20 + [("a2", "b2")] * 10
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {(r["a"], r["b"]): r for r in chi_square_cells(df, "x", "y").collect()}
+    cell = out[("a1", "b1")]
+    assert cell["obs"] == 10 and cell["row_tot"] == 30 and cell["col_tot"] == 30
+    assert cell["expected"] == pytest.approx(15.0)
+    # contrib = (10-15)^2/15 = 25/15
+    assert cell["contrib"] == pytest.approx(25.0 / 15.0)
+    chi2 = sum(r["contrib"] for r in out.values())
+    assert chi2 == pytest.approx(4 * 25.0 / 15.0)
+
+
+def test_two_proportion_ztest_hand_truth(spark):
+    # group 0: 50 trials 30 successes; group 1: 50 trials 20 successes
+    rows = (
+        [(0, 1)] * 30 + [(0, 0)] * 20 + [(1, 1)] * 20 + [(1, 0)] * 30
+    )
+    df = spark.createDataFrame(rows, "g int, s int")
+    r = two_proportion_ztest(df, "g", "s").collect()[0]
+    assert (r["n0"], r["x0"], r["n1"], r["x1"]) == (50, 30, 50, 20)
+    p_pool = 0.5
+    se = math.sqrt(p_pool * 0.5 * (1 / 50 + 1 / 50))
+    assert r["z"] == pytest.approx((0.6 - 0.4) / se)
+
+
+def test_ks_two_sample_hand_truth(spark):
+    # sample 0: {1,2,3,4}; sample 1: {3,4,5,6} → D = 1/2 at value 2
+    rows = [(1.0, 0), (2.0, 0), (3.0, 0), (4.0, 0),
+            (3.0, 1), (4.0, 1), (5.0, 1), (6.0, 1)]
+    df = spark.createDataFrame(rows, "v double, g int")
+    r = ks_two_sample(df, "v", "g").collect()[0]
+    assert (r["n0"], r["n1"]) == (4, 4)
+    assert r["ks_stat"] == pytest.approx(0.5)
+    assert r["ks_at_value"] == 2.0  # smallest value attaining the max
+
+
+def test_bh_adjust_hand_truth(spark):
+    # p = (.01, .02, .03, .04): raw = (.04, .04, .04, .04) → all .04
+    df = spark.createDataFrame(
+        [("h1", 0.01), ("h2", 0.02), ("h3", 0.03), ("h4", 0.04)],
+        "h string, p double",
+    )
+    out = {r["h"]: r for r in bh_adjust(df, "p", "h").collect()}
+    for h in ("h1", "h2", "h3", "h4"):
+        assert out[h]["p_adjusted"] == pytest.approx(0.04)
+    # and a non-flat case: (.01, .40) → (.02, .40)
+    df2 = spark.createDataFrame([("a", 0.01), ("b", 0.40)], "h string, p double")
+    out2 = {r["h"]: r["p_adjusted"] for r in bh_adjust(df2, "p", "h").collect()}
+    assert out2["a"] == pytest.approx(0.02)
+    assert out2["b"] == pytest.approx(0.40)
+
+
+def test_decile_lift_mechanics(spark):
+    # 20 entities, scores 20..1; positives exactly the top 5 scores
+    rows = [(21 - i, 1 if 21 - i > 15 else 0, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "score long, y long, k long")
+    out = {r["tile"]: r for r in decile_lift(df, "score", "y", "k").collect()}
+    assert out[1]["pos"] == 2 and out[1]["n"] == 2
+    assert out[1]["lift"] == pytest.approx((2 * 20) / (2 * 5))  # = 4x
+    assert out[3]["pos"] == 1  # scores 16 lands in tile 3
+    assert out[10]["pos"] == 0
+    assert out[10]["cum_gain"] == pytest.approx(1.0)
+
+
+def test_degree_assortativity_star_graph(spark):
+    # star K_{1,3}: hub degree 3, leaves degree 1 → r = -1
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src int, dst int"
+    )
+    r = degree_assortativity(df).collect()[0]
+    assert r["n_edges"] == 3 and r["m_stubs"] == 6
+    assert r["assortativity"] == pytest.approx(-1.0)
+
+
+def test_degree_assortativity_regular_graph_null(spark):
+    # triangle: all degrees 2 → zero variance → NULL, not an error
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    r = degree_assortativity(df).collect()[0]
+    assert r["assortativity"] is None
+
+
+def test_jaccard_link_prediction_path_graph(spark):
+    # path 1-2-3-4: non-edges (1,3),(2,4) share 1 neighbor;
+    # (1,4) shares none. jaccard(1,3) = 1/(1+2-1) = 0.5
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    out = {(r["x"], r["y"]): r["jaccard"] for r in
+           jaccard_link_prediction(df, k=10).collect()}
+    assert out[(1, 3)] == pytest.approx(0.5)
+    assert out[(2, 4)] == pytest.approx(0.5)
+    assert (1, 4) not in out  # no common neighbor → no wedge candidate
