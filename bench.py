@@ -199,6 +199,19 @@ HEADLINE = [
     "exact_quantiles_distributed",
     "fuzzy_join_edit_distance",
     "incremental_agg_refresh",
+    # round-7 additions: one representative per new family — hypothesis
+    # tests (KS runs the bucketed-prefix CDF, the family's scale
+    # stressor), Pareto bucketed prefix cut, basket co-occurrence
+    # self-join, time-decay attribution interval join, bucketed audit
+    # checksum scan, graph link prediction wedge join, and substrait
+    # execution over the Flight SQL wire.
+    "stats_ks_two_sample",
+    "analytics_pareto_cumshare",
+    "recommend_cooccurrence_topk",
+    "analytics_attribution_time_decay",
+    "table_checksum_buckets",
+    "graph_jaccard_link_prediction",
+    "flight_sql_substrait",
 ]
 
 # The driver records only the LAST ~2000 characters of stdout, so the
