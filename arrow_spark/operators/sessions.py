@@ -31,9 +31,15 @@ def sessionize(
     exceeds ``gap_seconds`` (or at the user's first event)."""
     w = W.partitionBy(user_col).orderBy(ts_col, *tiebreak)
     prev = F.lag(ts_col).over(w)
+    numeric = dict(df.dtypes).get(ts_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    if numeric:
+        cur_s, prev_s = F.col(ts_col), prev
+    else:
+        cur_s, prev_s = F.unix_timestamp(F.col(ts_col)), F.unix_timestamp(prev)
     new_session = F.when(
-        prev.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds),
+        prev.isNull() | ((cur_s - prev_s) > gap_seconds),
         1,
     ).otherwise(0)
     return df.withColumn(

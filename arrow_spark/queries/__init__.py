@@ -145,4 +145,12 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_degree_assortativity",
     "graph_jaccard_link_prediction",
     "flight_sql_substrait",
+    "stats_cramers_v",
+    "stats_cohens_kappa",
+    "quality_woe_iv",
+    "graph_clustering_coefficient",
+    "events_intergap_histogram",
+    "funnel_time_to_convert",
+    "sessions_interval_spans",
+    "embedding_norm_profile",
 )

@@ -739,3 +739,285 @@ def flight_sql_substrait(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority", "n", F.round("raw_sum", 2).alias("sum_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient (3·triangles / wedges)
+
+CLUSTERING_COEFF_ORACLE = (
+    "WITH "
+    + _EDGES_CTE
+    + """,
+tris AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und ab JOIN und bc ON ab.v = bc.u
+  JOIN und ac ON ac.u = ab.u AND ac.v = bc.v
+),
+wed AS (
+  SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) AS wedges2 FROM deg
+)
+SELECT tris.n_triangles, CAST(wed.wedges2 // 2 AS BIGINT) AS n_wedges,
+       CASE WHEN wed.wedges2 = 0 THEN NULL
+            ELSE CAST(6 * tris.n_triangles AS DOUBLE) / CAST(wed.wedges2 AS DOUBLE)
+       END AS clustering_coeff
+FROM tris CROSS JOIN wed
+"""
+)
+
+
+@query("graph_clustering_coefficient", oracle=CLUSTERING_COEFF_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient C = 3·triangles/wedges of the
+    click-transition graph — composes the existing oriented-wedge
+    triangle counter (operators/triangles.py, Σ deg² join bound) with
+    the integer wedge count Σ deg(deg−1)/2; one final division (NULL
+    on a wedgeless graph)."""
+    from arrow_spark.operators.graph_metrics import undirected_edges
+    from arrow_spark.operators.triangles import count_triangles
+
+    edges = _click_edges(spark, sf_dir)
+    tris = count_triangles(edges, "src", "dst")
+    und = undirected_edges(edges, "src", "dst")
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long").alias("wedges2")
+    )
+    return (
+        tris.crossJoin(F.broadcast(wed))
+        .select(
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.expr("CAST(wedges2 DIV 2 AS BIGINT)").alias("n_wedges"),
+            F.when(F.col("wedges2") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                (F.lit(6) * F.col("n_triangles")).cast("double")
+                / F.col("wedges2").cast("double")
+            )
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram
+
+INTERGAP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id FROM events
+),
+gaps AS (
+  SELECT s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap
+  FROM ev
+),
+binned AS (
+  SELECT least(gap // 600, 12) AS bucket FROM gaps WHERE gap IS NOT NULL
+),
+cells AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM binned GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells)
+SELECT bucket, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
+FROM cells CROSS JOIN tot
+"""
+
+
+@query("events_intergap_histogram", oracle=INTERGAP_ORACLE)
+def events_intergap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps in 10-minute buckets
+    (capped at 2 h) — the arrival-process profile that sizes session
+    timeouts and watermark delays. User-partitioned lag window, integer
+    buckets, one division."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("s"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    gaps = ev.select((F.col("s") - F.lag("s").over(w)).alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    cells = (
+        gaps.select(F.least(F.expr("gap DIV 600"), F.lit(12)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert (exact latency quantiles)
+
+TIME_TO_CONVERT_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s0,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p0
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT p0 - s0 AS dur FROM u
+  WHERE s0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= s0
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+ranked AS (SELECT dur, row_number() OVER (ORDER BY dur) AS r FROM d),
+q AS (SELECT unnest([500, 900]) AS q_mille)
+SELECT q.q_mille, CAST((n.n * q.q_mille + 999) // 1000 AS BIGINT) AS rank,
+       (SELECT dur FROM ranked
+        WHERE r = CAST((n.n * q.q_mille + 999) // 1000 AS BIGINT)) AS value
+FROM q CROSS JOIN n
+"""
+
+
+@query("funnel_time_to_convert", oracle=TIME_TO_CONVERT_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of signup→first-purchase latency, composed from
+    the distributed order-statistics locate (operators/quantiles.py —
+    nearest-rank on integer seconds, no global sort): one per-user
+    group-by builds the duration frame, then the bucket-locate reads
+    off the ranks."""
+    from arrow_spark.operators.quantiles import exact_quantiles
+
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.floor(F.unix_timestamp("ts")).cast("long"),
+                )
+            ).alias("s0"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.unix_timestamp("ts")).cast("long"),
+                )
+            ).alias("p0"),
+        )
+    )
+    durs = u.where(
+        F.col("s0").isNotNull() & F.col("p0").isNotNull() & (F.col("p0") >= F.col("s0"))
+    ).select((F.col("p0") - F.col("s0")).alias("dur"))
+    return exact_quantiles(durs, "dur", [500, 900])
+
+
+# ---------------------------------------------------------------------------
+# Session interval spans (gaps-and-islands)
+
+SESSION_SPANS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, s, event_id,
+         CASE WHEN lag(s) OVER w IS NULL
+                   OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+labeled AS (
+  SELECT user_id, s,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(min(s) AS BIGINT) AS start_s, CAST(max(s) AS BIGINT) AS end_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(s) - min(s) AS BIGINT) AS span_s
+FROM labeled GROUP BY user_id, session_seq
+"""
+
+
+@query("sessions_interval_spans", oracle=SESSION_SPANS_ORACLE)
+def sessions_interval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each user's event stream into maximal
+    activity intervals (30-min tolerance) → one row per island with
+    bounds, size, span. Composes the sessionize operator
+    (operators/sessions.py — user-partitioned windows only) with a
+    (user, island) group-by; all integers."""
+    from arrow_spark.operators.sessions import sessionize
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("s"),
+        "event_id",
+    )
+    labeled = sessionize(ev, "user_id", "s", 1800, tiebreak=("event_id",))
+    return labeled.groupBy(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq")
+    ).agg(
+        F.min("s").cast("long").alias("start_s"),
+        F.max("s").cast("long").alias("end_s"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("s") - F.min("s")).cast("long").alias("span_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile (vector-column statistics)
+
+NORM_PROFILE_ORACLE = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT label,
+         CAST(floor(sqrt(CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 65),
+                 i -> CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT)
+                      * CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT))),
+             (a, b) -> a + b) AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS norm_micro
+  FROM e
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(norm_micro) AS BIGINT) AS min_norm_micro,
+       CAST(max(norm_micro) AS BIGINT) AS max_norm_micro,
+       CAST(sum(norm_micro) AS BIGINT) AS sum_norm_micro,
+       CAST(sum(norm_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_norm
+FROM norms GROUP BY label
+"""
+
+
+@query("embedding_norm_profile", oracle=NORM_PROFILE_ORACLE)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the vector
+    sanity check before any ANN build (degenerate/zero/outlier norms
+    break cosine pruning). Each vector's norm is computed on the
+    milli-snapped integer lattice (Σ milli² is BIGINT, in-row), the
+    sqrt micro-snaps, and group stats are integer; mean spends the one
+    final division. Map-only until the tiny per-label aggregate."""
+    emb = table(spark, sf_dir, "embeddings")
+    milli = lambda x: F.floor(x.cast("double") * 1000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    norm_sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: milli(x) * milli(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    norms = emb.select(
+        "label",
+        F.floor(F.sqrt(norm_sq.cast("double")) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("norm_micro"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("norm_micro").cast("long").alias("min_norm_micro"),
+        F.max("norm_micro").cast("long").alias("max_norm_micro"),
+        F.sum("norm_micro").cast("long").alias("sum_norm_micro"),
+        (
+            F.sum("norm_micro").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_norm"),
+    )

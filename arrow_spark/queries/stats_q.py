@@ -329,3 +329,181 @@ def stats_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return decile_lift(scored, "score", "y", "c_custkey")
+
+
+CRAMERS_V_ORACLE = (
+    "WITH "
+    + _CHI_CELLS_CTE
+    + """,
+snapped AS (
+  SELECT CAST(floor(
+           CAST(obs * n_total - row_tot * col_tot AS DOUBLE)
+             * CAST(obs * n_total - row_tot * col_tot AS DOUBLE)
+             / CAST(n_total * row_tot * col_tot AS DOUBLE) * 1000000 + 0.5
+         ) AS BIGINT) AS contrib_micro
+  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+),
+dims AS (
+  SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+         CAST(count(DISTINCT b) AS BIGINT) AS c
+  FROM cells
+)
+SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro, dims.r, dims.c,
+       sqrt((CAST(sum(contrib_micro) AS BIGINT) / 1000000.0)
+            / CAST(tot.n_total * least(dims.r - 1, dims.c - 1) AS DOUBLE)) AS cramers_v
+FROM snapped CROSS JOIN dims CROSS JOIN tot
+GROUP BY dims.r, dims.c, tot.n_total
+"""
+)
+
+
+@query("stats_cramers_v", oracle=CRAMERS_V_ORACLE)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for priority × status. The χ² total is a
+    float sum in textbooks — order-dependent, never hash-stable — so
+    each cell's contribution micro-snaps to 1e-6 BIGINT first and the
+    total is an INTEGER sum (the credit-snapping pattern); V spends one
+    division + sqrt at the end."""
+    cells = chi_square_cells(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+    snapped = cells.select(
+        F.floor(F.col("contrib") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "contrib_micro"
+        ),
+        "a",
+        "b",
+        "obs",
+    )
+    dims = cells.agg(
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+        F.sum("obs").cast("long").alias("n_total"),
+    )
+    agg = snapped.agg(F.sum("contrib_micro").cast("long").alias("chi2_micro"))
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "chi2_micro",
+        "r",
+        "c",
+        F.sqrt(
+            (F.col("chi2_micro") / F.lit(1000000.0))
+            / (F.col("n_total") * F.least(F.col("r") - 1, F.col("c") - 1)).cast(
+                "double"
+            )
+        ).alias("cramers_v"),
+    )
+
+
+KAPPA_ORACLE = """
+WITH rated AS (
+  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS r2
+  FROM orders
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(sum(r1) AS BIGINT) AS r1_pos,
+         CAST(sum(r2) AS BIGINT) AS r2_pos
+  FROM rated
+)
+SELECT n, agree, r1_pos, r2_pos,
+       CAST(agree * n - (r1_pos * r2_pos + (n - r1_pos) * (n - r2_pos)) AS DOUBLE)
+         / CAST(n * n - (r1_pos * r2_pos + (n - r1_pos) * (n - r2_pos)) AS DOUBLE)
+         AS kappa
+FROM counts
+"""
+
+
+@query("stats_cohens_kappa", oracle=KAPPA_ORACLE)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two rule classifiers over
+    orders (price>150k vs urgent-priority). κ = (p_o − p_e)/(1 − p_e)
+    clears its denominators to the ALL-INTEGER form
+    (agree·N − pe_num)/(N² − pe_num) — one division, hash-exact."""
+    rated = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("r1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("r2"),
+    )
+    counts = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum("r1").cast("long").alias("r1_pos"),
+        F.sum("r2").cast("long").alias("r2_pos"),
+    )
+    pe_num = F.col("r1_pos") * F.col("r2_pos") + (F.col("n") - F.col("r1_pos")) * (
+        F.col("n") - F.col("r2_pos")
+    )
+    return counts.select(
+        "n",
+        "agree",
+        "r1_pos",
+        "r2_pos",
+        (
+            (F.col("agree") * F.col("n") - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num).cast("double")
+        ).alias("kappa"),
+    )
+
+
+WOE_IV_ORACLE = """
+WITH rated AS (
+  SELECT o_orderpriority AS cat,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cells AS (
+  SELECT cat, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM rated GROUP BY cat
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p_tot, CAST(sum(neg) AS BIGINT) AS n_tot
+  FROM cells
+)
+SELECT cat, pos, neg,
+       round(ln(CAST(pos * n_tot AS DOUBLE) / CAST(neg * p_tot AS DOUBLE)), 6) AS woe6,
+       round((CAST(pos * n_tot - neg * p_tot AS DOUBLE) / CAST(p_tot * n_tot AS DOUBLE))
+             * ln(CAST(pos * n_tot AS DOUBLE) / CAST(neg * p_tot AS DOUBLE)), 6) AS iv_term6
+FROM cells CROSS JOIN tot
+"""
+
+
+@query("quality_woe_iv", oracle=WOE_IV_ORACLE)
+def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information-value terms per order-priority
+    category against the big-order outcome (the credit-scoring
+    predictor screen). woe = ln(pos·Nneg / (neg·Npos)) — integer
+    cross-products, one ln (micro-rounded); iv_term's distribution
+    difference is the exact rational (pos·Nneg − neg·Npos)/(Npos·Nneg).
+    Category cells are the artifact (IV = Σ iv_term left to the
+    reader — float sums are order-dependent)."""
+    rated = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    cells = rated.groupBy("cat").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    tot = cells.agg(
+        F.sum("pos").cast("long").alias("p_tot"),
+        F.sum("neg").cast("long").alias("n_tot"),
+    )
+    ratio = (F.col("pos") * F.col("n_tot")).cast("double") / (
+        F.col("neg") * F.col("p_tot")
+    ).cast("double")
+    dist_diff = (
+        F.col("pos") * F.col("n_tot") - F.col("neg") * F.col("p_tot")
+    ).cast("double") / (F.col("p_tot") * F.col("n_tot")).cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "pos",
+        "neg",
+        F.round(F.log(ratio), 6).alias("woe6"),
+        F.round(dist_diff * F.log(ratio), 6).alias("iv_term6"),
+    )

@@ -10,10 +10,10 @@ VERIFIED = _driver_verified()
 
 def _block(name: str) -> int:
     qd = QUERIES[name]
+    if qd.oracle is None:
+        return 5  # rows-only: demoted below re-verification (COVERAGE.md r7)
     if name in VERIFIED:
         return 4
-    if qd.oracle is None:
-        return 3
     if name in _DEFER_NEW:
         return 2
     if name in _PROMOTE:
