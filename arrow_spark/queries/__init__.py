@@ -40,6 +40,7 @@ _MODULES = (
     "evaluation_q",
     "stats_q",
     "analytics_w7",
+    "profiling_q",
 )
 
 
@@ -153,4 +154,10 @@ _DEFER_NEW: tuple[str, ...] = (
     "funnel_time_to_convert",
     "sessions_interval_spans",
     "embedding_norm_profile",
+    "quality_entropy_profile",
+    "analytics_cohort_ltv",
+    "stats_mad_robust",
+    "quality_outlier_iqr",
+    "stats_trimmed_mean",
+    "timeseries_seasonal_naive_mase",
 )

@@ -212,6 +212,10 @@ HEADLINE = [
     "table_checksum_buckets",
     "graph_jaccard_link_prediction",
     "flight_sql_substrait",
+    # round-7 wave 2: gaps-and-islands sessionization (window family)
+    # and the map-only vector-norm scan (embedding-column family).
+    "sessions_interval_spans",
+    "embedding_norm_profile",
 ]
 
 # The driver records only the LAST ~2000 characters of stdout, so the
