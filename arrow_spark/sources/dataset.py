@@ -55,6 +55,20 @@ def read_dataset(
     return reader.options(**options).format(fmt).load(path)
 
 
+#: FileSystemDatasetWriteOptions::existing_data_behavior
+#: (dataset/file_base.h ExistingDataBehavior) → the closest honest
+#: Spark semantics. Spark task filenames are always unique, so the
+#: reference's basename-collision nuance of kOverwriteOrIgnore cannot
+#: arise — "write alongside whatever is there" is `append`.
+#: kDeleteMatchingPartitions maps to dynamic partition overwrite:
+#: ONLY the partitions receiving new data are replaced.
+_EXISTING_DATA = {
+    "error": "errorifexists",
+    "overwrite_or_ignore": "append",
+    "delete_matching": "overwrite",
+}
+
+
 def write_dataset(
     df: DataFrame,
     path: str,
@@ -62,19 +76,42 @@ def write_dataset(
     partition_by: Sequence[str] = (),
     mode: str = "overwrite",
     max_rows_per_file: int | None = None,
+    existing_data_behavior: str | None = None,
     **options,
 ) -> None:
     """Partitioned dataset write (FileSystemDatasetWriteOptions,
     dataset/file_base.cc:482-486): Hive layout via partitionBy,
-    max_rows_per_file via maxRecordsPerFile."""
+    max_rows_per_file via maxRecordsPerFile, existing_data_behavior
+    per the _EXISTING_DATA mapping (delete_matching uses dynamic
+    partition overwrite so untouched partitions survive)."""
     if fmt == "arrow":
         from arrow_spark.sources.ipc import write_ipc
 
         write_ipc(df, path, partition_by=partition_by)
         return
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    if max_rows_per_file:
-        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
-    writer.options(**options).format(fmt).save(path)
+    if existing_data_behavior is not None:
+        try:
+            mode = _EXISTING_DATA[existing_data_behavior]
+        except KeyError:
+            raise ValueError(
+                f"unknown existing_data_behavior {existing_data_behavior!r}; "
+                f"one of {sorted(_EXISTING_DATA)}"
+            ) from None
+    spark = df.sparkSession
+    prev_pom = None
+    if existing_data_behavior == "delete_matching" and partition_by:
+        prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+        writer.options(**options).format(fmt).save(path)
+    finally:
+        if existing_data_behavior == "delete_matching" and partition_by:
+            if prev_pom is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)

@@ -108,3 +108,39 @@ def test_scanner_to_table_matches_spark(spark, ds_dir):
     want = spark.read.parquet(ds_dir).where("part = 3").count()
     assert tbl.num_rows == want
     assert isinstance(tbl, pa.Table)
+
+
+def test_existing_data_behavior_delete_matching(spark, tmp_path):
+    """delete_matching replaces ONLY partitions receiving new data
+    (FileSystemDatasetWriteOptions::existing_data_behavior,
+    dataset/file_base.h kDeleteMatchingPartitions)."""
+    from arrow_spark.sources.dataset import write_dataset
+
+    p = str(tmp_path / "edb")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, part string")
+    write_dataset(base, p, partition_by=["part"])
+    patch = spark.createDataFrame([(9, "b")], "k long, part string")
+    write_dataset(
+        patch, p, partition_by=["part"], existing_data_behavior="delete_matching"
+    )
+    got = {(r.k, r.part) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (9, "b")}
+    # the conf is restored after the write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
+        != "dynamic"
+    )
+
+
+def test_existing_data_behavior_error_and_append(spark, tmp_path):
+    from arrow_spark.sources.dataset import write_dataset
+
+    p = str(tmp_path / "edb2")
+    df = spark.range(3).toDF("a")
+    write_dataset(df, p, existing_data_behavior="overwrite_or_ignore")
+    write_dataset(df, p, existing_data_behavior="overwrite_or_ignore")
+    assert spark.read.parquet(p).count() == 6
+    with pytest.raises(Exception):
+        write_dataset(df, p, existing_data_behavior="error")
+    with pytest.raises(ValueError):
+        write_dataset(df, p, existing_data_behavior="bogus")
