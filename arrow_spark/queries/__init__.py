@@ -160,4 +160,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "quality_outlier_iqr",
     "stats_trimmed_mean",
     "timeseries_seasonal_naive_mase",
+    "stats_spearman_rank_corr",
+    "stats_benford_first_digit",
+    "analytics_hhi_concentration",
+    "text_type_token_ratio",
 )

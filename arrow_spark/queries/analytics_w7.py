@@ -1021,3 +1021,67 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("mean_norm"),
     )
+
+
+HHI_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation, s.s_suppkey AS suppkey,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(cents) AS BIGINT) AS rev_cents,
+       CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS DOUBLE)
+         / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS hhi
+FROM rev GROUP BY 1
+"""
+
+
+@query("analytics_hhi_concentration", oracle=HHI_ORACLE)
+def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index of supplier
+    revenue within each nation: HHI = sum(share_i^2) = sum(c_i^2) /
+    (sum c_i)^2, the antitrust-standard concentration measure (a
+    reference user composes it from compute sum/multiply kernels).
+
+    Revenue snaps to cents BIGINT (floor(x*100+0.5) — a fixed IEEE
+    tree, bit-identical cross-engine); both HHI operands are exact
+    integer sums, and the denominator is squared in DOUBLE on both
+    engines so the rounding paths match. Joins broadcast the supplier
+    and nation dims; the per-(nation,supplier) group-by is map-side
+    combined and the final group-by lands on 25 nations. No windows,
+    no skew: scale-safe."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", "s_suppkey")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    d38 = "decimal(38,0)"
+    return rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+        (
+            F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38)).cast("double")
+            / (F.sum("cents").cast("double") * F.sum("cents").cast("double"))
+        ).alias("hhi"),
+    )

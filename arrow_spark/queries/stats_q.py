@@ -507,3 +507,172 @@ def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(ratio), 6).alias("woe6"),
         F.round(dist_diff * F.log(ratio), 6).alias("iv_term6"),
     )
+
+
+SPEARMAN_ORACLE = """
+WITH p AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2, 3
+),
+fx AS (SELECT flag, qty, CAST(sum(w) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+rx AS (
+  SELECT flag, qty,
+         2 * (sum(c) OVER (PARTITION BY flag ORDER BY qty) - c) + c + 1 AS r2
+  FROM fx
+),
+fy AS (SELECT flag, dc, CAST(sum(w) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+ry AS (
+  SELECT flag, dc,
+         2 * (sum(c) OVER (PARTITION BY flag ORDER BY dc) - c) + c + 1 AS r2
+  FROM fy
+),
+m AS (
+  SELECT p.flag,
+         CAST(sum(w) AS HUGEINT) AS n,
+         CAST(sum(w * rx.r2) AS HUGEINT) AS sx,
+         CAST(sum(w * ry.r2) AS HUGEINT) AS sy,
+         CAST(sum(w * rx.r2 * rx.r2) AS HUGEINT) AS sxx,
+         CAST(sum(w * ry.r2 * ry.r2) AS HUGEINT) AS syy,
+         CAST(sum(w * rx.r2 * ry.r2) AS HUGEINT) AS sxy
+  FROM p
+  JOIN rx ON p.flag = rx.flag AND p.qty = rx.qty
+  JOIN ry ON p.flag = ry.flag AND p.dc = ry.dc
+  GROUP BY 1
+)
+SELECT flag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+FROM m
+"""
+
+
+@query("stats_spearman_rank_corr", oracle=SPEARMAN_ORACLE)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware average ranks) between
+    quantity and discount per return flag (reference ships only product
+    -moment kernels, aggregate_covariance via compute; rank correlation
+    is the robust analog).
+
+    Hash-exact discipline: both variables have tiny integer domains
+    (qty 1..50, discount cents 0..10), so ranking never sorts rows —
+    value-frequency tables are domain-sized and doubled average ranks
+    (min_rank + max_rank = 2*cum_before + c + 1) stay integral. The
+    windows run over <=50-row per-flag frames; all moments are exact
+    decimal(38,0) sums of BIGINT products; rho is one fixed IEEE tree
+    (sub/div and two correctly-rounded sqrts) — bit-identical
+    cross-engine, per the rolling_corr precedent. Doubling the ranks
+    scales numerator and radicands by 4 exactly, so rho is unchanged.
+    At 100 TB the only shuffles are the (flag,qty,dc) cell group-by
+    (map-side combined to <=3*50*11 cells) and domain-sized joins."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("dc"),
+    )
+    p = li.groupBy("flag", "qty", "dc").agg(F.count(F.lit(1)).cast("long").alias("w"))
+
+    def rank2(freq: DataFrame, key: str, out: str) -> DataFrame:
+        win = (
+            Window.partitionBy("flag")
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return freq.select(
+            "flag",
+            key,
+            (2 * (F.sum("c").over(win) - F.col("c")) + F.col("c") + 1).alias(out),
+        )
+
+    rx = rank2(
+        p.groupBy("flag", "qty").agg(F.sum("w").cast("long").alias("c")), "qty", "r2x"
+    )
+    ry = rank2(
+        p.groupBy("flag", "dc").agg(F.sum("w").cast("long").alias("c")), "dc", "r2y"
+    )
+    m = (
+        p.join(rx, ["flag", "qty"])
+        .join(ry, ["flag", "dc"])
+        .select(
+            "flag",
+            F.col("w").cast(d38).alias("w"),
+            F.col("r2x").cast(d38).alias("rx"),
+            F.col("r2y").cast(d38).alias("ry"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.sum("w").alias("n"),
+            F.sum(F.col("w") * F.col("rx")).alias("sx"),
+            F.sum(F.col("w") * F.col("ry")).alias("sy"),
+            F.sum(F.col("w") * F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("w") * F.col("ry") * F.col("ry")).alias("syy"),
+            F.sum(F.col("w") * F.col("rx") * F.col("ry")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "flag",
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"),
+    )
+
+
+BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+d AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6 + 0.5) / 1e6
+         AS benford_p6
+FROM d CROSS JOIN t
+"""
+
+
+@query("stats_benford_first_digit", oracle=BENFORD_ORACLE)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: first-significant-digit distribution of
+    order totals vs the log expectation ln(1+1/d)/ln 10 (the classic
+    fraud/entry-error screen a reference user runs via compute + math
+    kernels).
+
+    The digit comes from the cents BIGINT rendered as a string — both
+    engines print integers identically, no float log10 in the digit
+    path. share is an exact-integer division (bit-identical);
+    benford_p6 bears the transcendental ln so it micro-rounds to 1e-6
+    per the round-6 contract. One map-side-combined 9-cell group-by
+    plus a 1-row broadcast total: map-only at any scale."""
+    cents = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    d = cents.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = d.agg(F.sum("n").cast("long").alias("n_total"))
+    benford = (
+        F.floor(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            / F.log(F.lit(10.0))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("n_total").cast("double")).alias("share"),
+        benford.alias("benford_p6"),
+    )

@@ -400,3 +400,48 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         syllables.alias("syllables"),
         (F.floor(flesch * 1e6 + F.lit(0.5)) / 1e6).alias("flesch"),
     )
+
+
+TTR_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS w
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       CAST(sum(w) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS ttr
+FROM f GROUP BY lang
+"""
+
+
+@query("text_type_token_ratio", oracle=TTR_ORACLE)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (type-token ratio) per language: distinct
+    whitespace tokens over total tokens — the standard corpus-quality
+    diversity screen (low TTR flags boilerplate/template floods a
+    dedup pass missed).
+
+    Tokenization mirrors the corpus-family convention exactly
+    (string_split_regex(trim(lower(text)), '\\s+') — the
+    llm.dedup.shingles prefix). Distinct counting is a (lang, tok)
+    group-by — partially aggregated map-side, never a count(DISTINCT)
+    over a global shuffle of raw rows — then a language-sized rollup.
+    TTR is an exact-integer division, bit-identical cross-engine. At
+    100 TB the one shuffle is token-keyed and combiner-compressed to
+    the vocabulary size."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    f = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.sum("w").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.sum("w").cast("double")).alias("ttr"),
+    )
