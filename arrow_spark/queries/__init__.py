@@ -93,7 +93,12 @@ def load_all() -> dict[str, QueryDef]:
         elif name in verified:
             block = 4
         elif name in _DEFER_NEW:
-            block = 2  # new this round: behind the older unverified backlog
+            # new this round: behind the older unverified backlog, and
+            # ordered by _DEFER_NEW position (wave order), NOT module
+            # position — so when the backlog + waves overflow the sampled
+            # prefix, the overflow is exactly the LATEST-registered wave,
+            # never an older wave that happened to live in a later module
+            return 2, _DEFER_NEW.index(name)
         elif name in _PROMOTE:
             block = 0
         else:
@@ -164,4 +169,11 @@ _DEFER_NEW: tuple[str, ...] = (
     "stats_benford_first_digit",
     "analytics_hhi_concentration",
     "text_type_token_ratio",
+    # wave 5: registered AFTER the r7 sample prefix was already full —
+    # these four deliberately overflow into round 8's sample (block-2
+    # ordering follows this tuple, so the overflow is exactly them).
+    "timeseries_cross_correlation",
+    "graph_reciprocity",
+    "analytics_price_elasticity",
+    "stats_brown_forsythe",
 )

@@ -1085,3 +1085,214 @@ def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("cents").cast("double") * F.sum("cents").cast("double"))
         ).alias("hhi"),
     )
+
+
+CCF_ORACLE = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+days AS (
+  SELECT d,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+),
+lags AS (SELECT unnest(range(-3, 4)) AS lag),
+m AS (
+  SELECT l.lag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(a.x) AS HUGEINT) AS sx,
+         CAST(sum(b.y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(a.x AS HUGEINT) * CAST(b.y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(a.x AS HUGEINT) * CAST(a.x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(b.y AS HUGEINT) * CAST(b.y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM lags l JOIN days a ON true JOIN days b ON b.d = a.d + l.lag
+  GROUP BY 1
+)
+SELECT lag, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS ccf
+FROM m
+"""
+
+
+@query("timeseries_cross_correlation", oracle=CCF_ORACLE)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (lags -3..+3 days) between the daily
+    click and purchase count series — does click volume LEAD purchase
+    volume? The bivariate companion to timeseries_acf, and the
+    screen you run before any attribution/uplift model.
+
+    The fact table folds to a days-sized (d, x, y) frame in one
+    map-side-combined group-by; every lag pairing is an equi-join on
+    day+lag over that tiny frame (a 7-row broadcast of the lag set,
+    never a per-lag rescan of events); Pearson per lag rides exact
+    decimal(38,0) moments into one IEEE sub/div/sqrt tree. Days grow
+    with TIME, not data volume — at 100 TB the post-fold work is
+    unchanged."""
+    d38 = "decimal(38,0)"
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400").alias("d"),
+            "event_type",
+        )
+    )
+    days = ev.groupBy("d").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    a = days.select(F.col("d").alias("da"), F.col("x").cast(d38).alias("xd"))
+    b = days.select(F.col("d").alias("db"), F.col("y").cast(d38).alias("yd"))
+    m = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("xd").alias("sx"),
+            F.sum("yd").alias("sy"),
+            F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+            F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+            F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("ccf"),
+    )
+
+
+RECIPROCITY_ORACLE = (
+    "WITH "
+    + _EDGES_CTE
+    + """,
+dir AS (SELECT src, dst FROM edges WHERE src <> dst),
+r AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_recip
+  FROM dir a JOIN dir b ON a.src = b.dst AND a.dst = b.src
+),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM dir)
+SELECT cnt.n_edges, r.n_recip,
+       CAST(r.n_recip AS DOUBLE) / CAST(cnt.n_edges AS DOUBLE) AS reciprocity
+FROM cnt CROSS JOIN r
+"""
+)
+
+
+@query("graph_reciprocity", oracle=RECIPROCITY_ORACLE)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed click-transition graph: the
+    fraction of non-loop edges whose reverse edge also exists —
+    the standard directed-graph symmetry diagnostic (Newman §7.9;
+    reciprocity 1 means the flow graph is effectively undirected and
+    the cheaper undirected algorithms apply).
+
+    One self-equi-join of the aggregate-sized edge frame on the
+    reversed key pair plus two scalar counts; the ratio is one
+    exact-integer division. The edge frame is localCheckpointed by
+    _click_edges, so the join does not re-derive the event scan."""
+    e = _click_edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    b = e.select(F.col("src").alias("bs"), F.col("dst").alias("bd"))
+    recip = e.join(
+        b, (F.col("src") == F.col("bd")) & (F.col("dst") == F.col("bs"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    cnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return cnt.crossJoin(F.broadcast(recip)).select(
+        "n_edges",
+        "n_recip",
+        (F.col("n_recip").cast("double") / F.col("n_edges").cast("double")).alias(
+            "reciprocity"
+        ),
+    )
+
+
+ELASTICITY_ORACLE = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         CAST(floor(ln(l.l_extendedprice / l.l_quantity) * 1e6 + 0.5) AS BIGINT)
+           AS lx,
+         CAST(floor(ln(l.l_quantity) * 1e6 + 0.5) AS BIGINT) AS ly
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (
+  SELECT brand,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(lx) AS HUGEINT) AS sx,
+         CAST(sum(ly) AS HUGEINT) AS sy,
+         CAST(sum(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS HUGEINT) AS sxx
+  FROM li GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n_lines,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS elasticity6
+FROM m
+"""
+
+
+@query("analytics_price_elasticity", oracle=ELASTICITY_ORACLE)
+def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS price elasticity of demand per brand: the slope of
+    ln(quantity) on ln(unit price) — the classic constant-elasticity
+    estimate every pricing team runs first.
+
+    Both regressors snap to a 1e-6 ln-lattice (BIGINT) so the OLS
+    moments are exact decimal(38,0) sums — no order-dependent float
+    accumulation. A 1-ulp libm ln skew can still flip an isolated
+    lattice cell when ln(x)·1e6 sits within ~4e-9 of a boundary
+    (expected ≲1 row per SF, measured once at sf0.001); each flip
+    perturbs the slope by ~1e-11, so the FINAL slope micro-rounds to
+    1e-6 on both engines (the mi_term/woe6 convention), which absorbs
+    it with ~5 orders of margin. The part join is a plain equi-join
+    (AQE broadcasts when the dim fits); the moment group-by lands on
+    25 brands, map-side combined."""
+    d38 = "decimal(38,0)"
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.floor(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .cast(d38)
+            .alias("lx"),
+            F.floor(F.log(F.col("l_quantity")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .cast(d38)
+            .alias("ly"),
+        )
+    )
+    m = li.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("elasticity6"),
+    )

@@ -676,3 +676,90 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("n_total").cast("double")).alias("share"),
         benford.alias("benford_p6"),
     )
+
+
+BROWN_FORSYTHE_ORACLE = """
+WITH d AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT g, CAST(floor(2 * quantile_cont(v, 0.5) + 0.5) AS BIGINT) AS med2
+  FROM d GROUP BY g
+),
+dev AS (
+  SELECT d.g, abs(2 * d.v - med.med2) AS dv FROM d JOIN med ON d.g = med.g
+),
+cells AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dv) AS HUGEINT) AS s,
+         CAST(sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS HUGEINT) AS ss
+  FROM dev GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(s) AS HUGEINT) AS stot FROM cells
+)
+SELECT g, n,
+       CAST(s AS DOUBLE) / CAST(2 * n AS DOUBLE) AS mean_absdev,
+       CAST(n * ss - s * s AS DOUBLE) / CAST(4 * n AS DOUBLE) AS within_ss,
+       (CAST(s * nn - stot * n AS DOUBLE) / CAST(2 * nn AS DOUBLE))
+         * (CAST(s * nn - stot * n AS DOUBLE) / CAST(2 * nn AS DOUBLE))
+         / CAST(n AS DOUBLE) AS between_term
+FROM cells CROSS JOIN tot
+"""
+
+
+@query("stats_brown_forsythe", oracle=BROWN_FORSYTHE_ORACLE)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity cells per event type: the
+    median-centered Levene transform z = |x - median|, emitted as
+    per-group (n, mean|z|, within-group SS, between-group term) — the
+    W statistic is their ratio, left to the reader because a float sum
+    over groups is order-dependent (the chi-square-cells convention).
+
+    Hash-exactness: medians of integer cents via the exact interpolated
+    percentile (k or k+0.5 — representable, identical to DuckDB
+    quantile_cont), DOUBLED to stay on the integer lattice; |2x - 2m|
+    deviations are BIGINT, the moment sums exact decimal(38,0), and
+    every output is a fixed IEEE division tree over exact operands.
+    Scale: the per-group median is Spark's frequency-map percentile —
+    bounded by the snapped cents domain, not row count; group count is
+    the event-type domain; both shuffles are map-side combined."""
+    d38 = "decimal(38,0)"
+    d = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    med = d.groupBy("g").agg(
+        F.floor(2 * F.percentile("v", F.lit(0.5)) + F.lit(0.5))
+        .cast("long")
+        .alias("med2")
+    )
+    dev = d.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("med2")).cast(d38).alias("dv")
+    )
+    cells = dev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dv").alias("s"),
+        F.sum(F.col("dv") * F.col("dv")).alias("ss"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast(d38).alias("nn"), F.sum("s").alias("stot")
+    )
+    nd = F.col("n").cast(d38)
+    diff = (F.col("s") * F.col("nn") - F.col("stot") * nd).cast("double")
+    half = diff / (F.lit(2) * F.col("nn")).cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n",
+        (F.col("s").cast("double") / (F.lit(2) * nd).cast("double")).alias(
+            "mean_absdev"
+        ),
+        ((nd * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+         / (F.lit(4) * nd).cast("double")).alias("within_ss"),
+        (half * half / nd.cast("double")).alias("between_term"),
+    )
