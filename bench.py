@@ -216,6 +216,14 @@ HEADLINE = [
     # and the map-only vector-norm scan (embedding-column family).
     "sessions_interval_spans",
     "embedding_norm_profile",
+    # round-7 waves 3-4: MAD is the robust-stats scale stressor (two
+    # chained bucket-locate order-statistic passes), entropy profile
+    # the profiling representative (one group-by per profiled column),
+    # type-token ratio the wave-4 heavy scan (tokenize every document
+    # into a vocabulary-keyed combiner-compressed shuffle).
+    "stats_mad_robust",
+    "quality_entropy_profile",
+    "text_type_token_ratio",
 ]
 
 # The driver records only the LAST ~2000 characters of stdout, so the
