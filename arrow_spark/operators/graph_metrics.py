@@ -131,3 +131,32 @@ def jaccard_link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("x").asc(), F.col("y").asc()
     ).limit(k)
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Edge reciprocity of a directed graph: one row
+    (n_edges, n_recip, reciprocity) — the fraction of non-loop edges
+    whose reverse edge also exists (Newman §7.9). Reciprocity 1 means
+    the graph is effectively undirected and the cheaper undirected
+    algorithms apply.
+
+    One self-equi-join of the (deduplicated) edge frame on the
+    reversed key pair plus two scalar counts; the ratio is an
+    exact-integer division. Cost is edge-frame-sized — at any corpus
+    scale the transition edge frame is aggregate-sized (≤ node pairs),
+    so this never touches the raw events."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s") != F.col("d")
+    )
+    b = e.select(F.col("s").alias("bs"), F.col("d").alias("bd"))
+    recip = e.join(b, (F.col("s") == F.col("bd")) & (F.col("d") == F.col("bs"))).agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    cnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return cnt.crossJoin(F.broadcast(recip)).select(
+        "n_edges",
+        "n_recip",
+        (F.col("n_recip").cast("double") / F.col("n_edges").cast("double")).alias(
+            "reciprocity"
+        ),
+    )

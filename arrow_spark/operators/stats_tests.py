@@ -315,3 +315,117 @@ def decile_lift(
         )
         .drop("tot_pos")
     )
+
+
+def spearman_corr(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Tie-aware Spearman rank correlation per group:
+    (group, n_pairs, rho).
+
+    Expects integer-domain x/y columns (the caller snaps to a lattice);
+    ranking never sorts rows — per-group value-frequency tables are
+    domain-sized, and DOUBLED average ranks (min_rank + max_rank =
+    2*cum_before + c + 1) stay integral, so every moment is an exact
+    decimal(38,0) sum and rho is one fixed IEEE sub/div/sqrt tree
+    (bit-identical cross-engine). Doubling the ranks scales numerator
+    and radicands by exactly 4, leaving rho unchanged. The windows run
+    over per-group frames bounded by the VALUE DOMAIN, not row count;
+    the (group, x, y) cell group-by is map-side combined."""
+    d38 = "decimal(38,0)"
+    p = df.groupBy(
+        F.col(group_col).alias("g"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+
+    def rank2(freq: DataFrame, key: str, out: str) -> DataFrame:
+        win = (
+            W.partitionBy("g")
+            .orderBy(key)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return freq.select(
+            "g",
+            key,
+            (2 * (F.sum("c").over(win) - F.col("c")) + F.col("c") + 1).alias(out),
+        )
+
+    rx = rank2(p.groupBy("g", "x").agg(F.sum("w").cast("long").alias("c")), "x", "r2x")
+    ry = rank2(p.groupBy("g", "y").agg(F.sum("w").cast("long").alias("c")), "y", "r2y")
+    m = (
+        p.join(rx, ["g", "x"])
+        .join(ry, ["g", "y"])
+        .select(
+            "g",
+            F.col("w").cast(d38).alias("w"),
+            F.col("r2x").cast(d38).alias("rx"),
+            F.col("r2y").cast(d38).alias("ry"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum("w").alias("n"),
+            F.sum(F.col("w") * F.col("rx")).alias("sx"),
+            F.sum(F.col("w") * F.col("ry")).alias("sy"),
+            F.sum(F.col("w") * F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("w") * F.col("ry") * F.col("ry")).alias("syy"),
+            F.sum(F.col("w") * F.col("rx") * F.col("ry")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"),
+    )
+
+
+def brown_forsythe_cells(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity cells per group:
+    (group, n, mean_absdev, within_ss, between_term) over the
+    median-centered Levene transform z = |x - median(x_group)|. The W
+    statistic is the caller's ratio of sums over these cells — left
+    unassembled because a float sum across groups is order-dependent
+    (the chi-square-cells convention).
+
+    Expects an integer value column. Per-group medians use the exact
+    interpolated percentile (k or k+0.5, representable), DOUBLED onto
+    the integer lattice so |2x - 2m| deviations are BIGINT and all
+    moments exact decimal(38,0); every output is a fixed IEEE division
+    tree over exact operands. The percentile's frequency map is
+    bounded by the snapped value DOMAIN, not row count."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    med = d.groupBy("g").agg(
+        F.floor(2 * F.percentile("v", F.lit(0.5)) + F.lit(0.5))
+        .cast("long")
+        .alias("med2")
+    )
+    dev = d.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("med2")).cast(d38).alias("dv")
+    )
+    cells = dev.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dv").alias("s"),
+        F.sum(F.col("dv") * F.col("dv")).alias("ss"),
+    )
+    tot = cells.agg(F.sum("n").cast(d38).alias("nn"), F.sum("s").alias("stot"))
+    nd = F.col("n").cast(d38)
+    diff = (F.col("s") * F.col("nn") - F.col("stot") * nd).cast("double")
+    half = diff / (F.lit(2) * F.col("nn")).cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("g").alias(group_col),
+        "n",
+        (F.col("s").cast("double") / (F.lit(2) * nd).cast("double")).alias(
+            "mean_absdev"
+        ),
+        (
+            (nd * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (F.lit(4) * nd).cast("double")
+        ).alias("within_ss"),
+        (half * half / nd.cast("double")).alias("between_term"),
+    )

@@ -1204,19 +1204,9 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reversed key pair plus two scalar counts; the ratio is one
     exact-integer division. The edge frame is localCheckpointed by
     _click_edges, so the join does not re-derive the event scan."""
-    e = _click_edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
-    b = e.select(F.col("src").alias("bs"), F.col("dst").alias("bd"))
-    recip = e.join(
-        b, (F.col("src") == F.col("bd")) & (F.col("dst") == F.col("bs"))
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
-    cnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return cnt.crossJoin(F.broadcast(recip)).select(
-        "n_edges",
-        "n_recip",
-        (F.col("n_recip").cast("double") / F.col("n_edges").cast("double")).alias(
-            "reciprocity"
-        ),
-    )
+    from arrow_spark.operators.graph_metrics import reciprocity
+
+    return reciprocity(_click_edges(spark, sf_dir))
 
 
 ELASTICITY_ORACLE = """

@@ -20,10 +20,12 @@ from pyspark.sql import functions as F
 from arrow_spark.catalog import table
 from arrow_spark.operators.stats_tests import (
     bh_adjust,
+    brown_forsythe_cells,
     chi_square_cells,
     decile_lift,
     ks_two_sample,
     mutual_information_cells,
+    spearman_corr,
     two_proportion_ztest,
 )
 from arrow_spark.queries.base import query
@@ -568,61 +570,12 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales numerator and radicands by 4 exactly, so rho is unchanged.
     At 100 TB the only shuffles are the (flag,qty,dc) cell group-by
     (map-side combined to <=3*50*11 cells) and domain-sized joins."""
-    from pyspark.sql import Window
-
-    d38 = "decimal(38,0)"
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").cast("long").alias("qty"),
         F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("dc"),
     )
-    p = li.groupBy("flag", "qty", "dc").agg(F.count(F.lit(1)).cast("long").alias("w"))
-
-    def rank2(freq: DataFrame, key: str, out: str) -> DataFrame:
-        win = (
-            Window.partitionBy("flag")
-            .orderBy(key)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return freq.select(
-            "flag",
-            key,
-            (2 * (F.sum("c").over(win) - F.col("c")) + F.col("c") + 1).alias(out),
-        )
-
-    rx = rank2(
-        p.groupBy("flag", "qty").agg(F.sum("w").cast("long").alias("c")), "qty", "r2x"
-    )
-    ry = rank2(
-        p.groupBy("flag", "dc").agg(F.sum("w").cast("long").alias("c")), "dc", "r2y"
-    )
-    m = (
-        p.join(rx, ["flag", "qty"])
-        .join(ry, ["flag", "dc"])
-        .select(
-            "flag",
-            F.col("w").cast(d38).alias("w"),
-            F.col("r2x").cast(d38).alias("rx"),
-            F.col("r2y").cast(d38).alias("ry"),
-        )
-        .groupBy("flag")
-        .agg(
-            F.sum("w").alias("n"),
-            F.sum(F.col("w") * F.col("rx")).alias("sx"),
-            F.sum(F.col("w") * F.col("ry")).alias("sy"),
-            F.sum(F.col("w") * F.col("rx") * F.col("rx")).alias("sxx"),
-            F.sum(F.col("w") * F.col("ry") * F.col("ry")).alias("syy"),
-            F.sum(F.col("w") * F.col("rx") * F.col("ry")).alias("sxy"),
-        )
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return m.select(
-        "flag",
-        F.col("n").cast("long").alias("n_pairs"),
-        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"),
-    )
+    return spearman_corr(li, "flag", "qty", "dc")
 
 
 BENFORD_ORACLE = """
@@ -725,7 +678,6 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-group median is Spark's frequency-map percentile —
     bounded by the snapped cents domain, not row count; group count is
     the event-type domain; both shuffles are map-side combined."""
-    d38 = "decimal(38,0)"
     d = (
         table(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
@@ -734,32 +686,4 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
         )
     )
-    med = d.groupBy("g").agg(
-        F.floor(2 * F.percentile("v", F.lit(0.5)) + F.lit(0.5))
-        .cast("long")
-        .alias("med2")
-    )
-    dev = d.join(F.broadcast(med), "g").select(
-        "g", F.abs(2 * F.col("v") - F.col("med2")).cast(d38).alias("dv")
-    )
-    cells = dev.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dv").alias("s"),
-        F.sum(F.col("dv") * F.col("dv")).alias("ss"),
-    )
-    tot = cells.agg(
-        F.sum("n").cast(d38).alias("nn"), F.sum("s").alias("stot")
-    )
-    nd = F.col("n").cast(d38)
-    diff = (F.col("s") * F.col("nn") - F.col("stot") * nd).cast("double")
-    half = diff / (F.lit(2) * F.col("nn")).cast("double")
-    return cells.crossJoin(F.broadcast(tot)).select(
-        "g",
-        "n",
-        (F.col("s").cast("double") / (F.lit(2) * nd).cast("double")).alias(
-            "mean_absdev"
-        ),
-        ((nd * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-         / (F.lit(4) * nd).cast("double")).alias("within_ss"),
-        (half * half / nd.cast("double")).alias("between_term"),
-    )
+    return brown_forsythe_cells(d, "g", "v")

@@ -118,3 +118,82 @@ def test_jaccard_link_prediction_path_graph(spark):
     assert out[(1, 3)] == pytest.approx(0.5)
     assert out[(2, 4)] == pytest.approx(0.5)
     assert (1, 4) not in out  # no common neighbor → no wedge candidate
+
+
+def test_spearman_perfect_monotone(spark):
+    # y strictly increasing in x → rho = +1; y strictly decreasing → -1
+    rows = [("g", i, i * 2) for i in range(1, 9)] + [
+        ("h", i, 100 - i) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    from arrow_spark.operators.stats_tests import spearman_corr
+
+    out = {r["grp"]: r for r in spearman_corr(df, "grp", "x", "y").collect()}
+    assert out["g"]["n_pairs"] == 8 and out["g"]["rho"] == pytest.approx(1.0)
+    assert out["h"]["rho"] == pytest.approx(-1.0)
+
+
+def test_spearman_ties_hand_truth(spark):
+    # x = [1,1,2], y = [1,2,3]: avg ranks x = [1.5,1.5,3], y = [1,2,3]
+    # rho = cov/sd·sd on ranks = ((1.5-2)(1-2)+(1.5-2)(2-2)+(3-2)(3-2))
+    #       / sqrt(0.5^2+0.5^2+1) / sqrt(2) = 1.5/(sqrt(1.5)*sqrt(2))
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 1, 2), ("g", 2, 3)], "grp string, x long, y long"
+    )
+    from arrow_spark.operators.stats_tests import spearman_corr
+
+    r = spearman_corr(df, "grp", "x", "y").collect()[0]
+    assert r["rho"] == pytest.approx(1.5 / (math.sqrt(1.5) * math.sqrt(2.0)))
+
+
+def test_brown_forsythe_hand_truth(spark):
+    # group a: [1,2,3] (med 2, |z| = [1,0,1]); group b: [10,30] (med 20,
+    # |z| = [10,10]). mean_absdev: a=2/3, b=10. within_ss: a = sum(z^2)
+    # - n*zbar^2 = 2 - 3*(4/9) = 2/3; b = 200 - 2*100 = 0.
+    # grand zbar = (1+0+1+10+10)/5 = 4.4;
+    # between a = 3*(2/3-4.4)^2, b = 2*(10-4.4)^2
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 10), ("b", 30)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    from arrow_spark.operators.stats_tests import brown_forsythe_cells
+
+    out = {r["grp"]: r for r in brown_forsythe_cells(df, "grp", "v").collect()}
+    a, b = out["a"], out["b"]
+    assert a["n"] == 3 and b["n"] == 2
+    assert a["mean_absdev"] == pytest.approx(2.0 / 3.0)
+    assert b["mean_absdev"] == pytest.approx(10.0)
+    assert a["within_ss"] == pytest.approx(2.0 / 3.0)
+    assert b["within_ss"] == pytest.approx(0.0)
+    assert a["between_term"] == pytest.approx(3 * (2.0 / 3.0 - 4.4) ** 2)
+    assert b["between_term"] == pytest.approx(2 * (10.0 - 4.4) ** 2)
+
+
+def test_brown_forsythe_even_group_median_interpolates(spark):
+    # [1,2]: interpolated median 1.5 → doubled lattice med2 = 3,
+    # deviations |2v-3|/2 = [0.5, 0.5] → mean_absdev 0.5, within_ss 0
+    df = spark.createDataFrame([("g", 1), ("g", 2)], "grp string, v long")
+    from arrow_spark.operators.stats_tests import brown_forsythe_cells
+
+    r = brown_forsythe_cells(df, "grp", "v").collect()[0]
+    assert r["mean_absdev"] == pytest.approx(0.5)
+    assert r["within_ss"] == pytest.approx(0.0)
+
+
+def test_reciprocity_two_cycle_and_dag(spark):
+    from arrow_spark.operators.graph_metrics import reciprocity
+
+    # 2-cycle: both edges reciprocated → 1.0 (self-loop excluded)
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3)], "src long, dst long"
+    )
+    r = reciprocity(cyc).collect()[0]
+    assert (r["n_edges"], r["n_recip"]) == (2, 2)
+    assert r["reciprocity"] == pytest.approx(1.0)
+    # star DAG: no reverse edges → 0.0
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    r = reciprocity(star).collect()[0]
+    assert (r["n_edges"], r["n_recip"]) == (3, 0)
+    assert r["reciprocity"] == pytest.approx(0.0)
+    # mixed: 1<->2 reciprocated, 1->3 not → 2/3
+    mix = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src long, dst long")
+    r = reciprocity(mix).collect()[0]
+    assert r["reciprocity"] == pytest.approx(2.0 / 3.0)
