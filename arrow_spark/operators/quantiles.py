@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "exact_quantiles_grouped"]
 
 
 def exact_quantiles(
@@ -118,4 +118,99 @@ def exact_quantiles(
             & (F.col("rank") == F.col("off") + F.col("r")),
         )
         .select("q_mille", "rank", F.col("v").alias("value"))
+    )
+
+
+def exact_quantiles_grouped(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_col: str,
+    q_mille: Sequence[int],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact per-mille quantiles of an integer column PER GROUP:
+    (group..., q_mille, rank, value) with rank = ⌈q·n_g/1000⌉
+    (nearest-rank, 1-based within the group) and value = the rank-th
+    smallest in that group. NULL values are excluded; groups the
+    filter empties yield no rows.
+
+    The same bucket-locate plan as :func:`exact_quantiles`, keyed by
+    group everywhere: per-group (n, lo, hi) joins back on the group
+    key (AQE broadcasts the stats frame when the group count is
+    small), bucket counts shuffle ≤ |groups|·n_buckets cells, the
+    cumulative window runs over ≤n_buckets-row per-group frames, and
+    the in-bucket rank window over (group, located-bucket) partitions
+    — expected n_g/n_buckets rows each. No global sort, no per-group
+    row sort; the ONLY row-scale stages are one group-key join and
+    one map-side-combined count. This is the exact analog of a
+    grouped ``approx_percentile`` for audit/SLO cuts that cannot
+    tolerate GK error."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("long")
+    base = df.where(v.isNotNull()).select(*gcols, v.alias("v"))
+    stats = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")).cast("double") / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = base.join(stats, gcols).withColumn("b", bucket).select(*gcols, "v", "b")
+    counts = bucketed.groupBy(*gcols, "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = (
+        W.partitionBy(*gcols).orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(cum), F.lit(0).cast("long"))
+    )
+    qf = F.broadcast(
+        df.sparkSession.createDataFrame([(int(q),) for q in q_mille], "q_mille int")
+    )
+    targets = (
+        stats.crossJoin(qf)
+        .select(
+            *gcols,
+            "q_mille",
+            F.expr("CAST((n * q_mille + 999) DIV 1000 AS BIGINT)").alias("rank"),
+        )
+        .where(F.col("rank") >= 1)
+    )
+    o = offsets.select(
+        *[F.col(g).alias(f"o_{g}") for g in gcols], "b", "cnt", "off"
+    )
+    located = targets.join(
+        o,
+        [F.col(g) == F.col(f"o_{g}") for g in gcols]
+        + [F.col("off") < F.col("rank"), F.col("rank") <= F.col("off") + F.col("cnt")],
+    ).select(*gcols, "q_mille", "rank", "b", "off")
+    hot = located.select(*gcols, "b").distinct()
+    ranked = (
+        bucketed.join(hot, [*gcols, "b"], "left_semi")
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy(*gcols, "b").orderBy("v"))
+        )
+        .select(
+            *[F.col(g).alias(f"r_{g}") for g in gcols],
+            F.col("b").alias("r_b"),
+            "v",
+            "r",
+        )
+    )
+    return (
+        located.join(
+            ranked,
+            [F.col(g) == F.col(f"r_{g}") for g in gcols]
+            + [
+                F.col("b") == F.col("r_b"),
+                F.col("rank") == F.col("off") + F.col("r"),
+            ],
+        )
+        .select(*gcols, "q_mille", "rank", F.col("v").alias("value"))
     )

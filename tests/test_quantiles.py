@@ -63,3 +63,55 @@ def test_exact_quantiles_plan_no_global_sort(spark):
     # the base data (Exchange SinglePartition feeding a Sort over the
     # full input) must not
     assert "CartesianProduct" not in plan
+
+
+def test_exact_quantiles_grouped_matches_brute_force(spark):
+    from arrow_spark.operators.quantiles import exact_quantiles_grouped
+
+    rng = random.Random(11)
+    rows = [("a", rng.randint(-500, 500)) for _ in range(613)] + [
+        ("b", rng.randint(0, 9)) for _ in range(88)
+    ] + [("c", 42)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = exact_quantiles_grouped(df, "g", "x", [10, 500, 900, 1000], n_buckets=16)
+    got = {(r["g"], r["q_mille"]): (r["rank"], r["value"]) for r in out.collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        for q in (10, 500, 900, 1000):
+            assert got[(g, q)] == _brute(vals, q), (g, q)
+
+
+def test_exact_quantiles_grouped_nulls_and_multikey(spark):
+    from arrow_spark.operators.quantiles import exact_quantiles_grouped
+
+    rows = [
+        ("x", 1, 10), ("x", 1, 20), ("x", 1, None),
+        ("x", 2, 5), ("y", 1, 7),
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 int, v long")
+    out = exact_quantiles_grouped(df, ["g1", "g2"], "v", [500, 1000], n_buckets=4)
+    got = {(r["g1"], r["g2"], r["q_mille"]): r["value"] for r in out.collect()}
+    # ("x",1): values [10,20] → p50 rank ceil(1)=1 → 10; p100 → 20
+    assert got[("x", 1, 500)] == 10 and got[("x", 1, 1000)] == 20
+    assert got[("x", 2, 500)] == 5
+    assert got[("y", 1, 500)] == 7
+    # null excluded: rank for ("x",1,1000) was 2 not 3
+    rows_out = {
+        (r["g1"], r["g2"], r["q_mille"]): r["rank"] for r in out.collect()
+    }
+    assert rows_out[("x", 1, 1000)] == 2
+
+
+def test_exact_quantiles_grouped_plan_no_cartesian(spark):
+    from arrow_spark.operators.quantiles import exact_quantiles_grouped
+
+    df = spark.createDataFrame(
+        [(str(i % 3), v) for i, v in enumerate(range(90))], "g string, x long"
+    )
+    plan = (
+        exact_quantiles_grouped(df, "g", "x", [500], n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
