@@ -101,11 +101,12 @@ def test_writer_version_toggle(spark, tmp_path):
     """WriterProperties::version (ParquetVersion) →
     parquet.writer.version: v1 footers read back as format 1.0, the
     default parquet-mr build as >= 1.0 with v2 data pages available."""
+    df = spark.range(100).toDF("a").coalesce(1)
     v1 = str(tmp_path / "v1")
-    write_dataset(spark.range(100).toDF("a"), v1, **{"parquet.writer.version": "v1"})
+    write_dataset(df, v1, **{"parquet.writer.version": "v1"})
     assert pq.ParquetFile(_one_file(v1)).metadata.format_version == "1.0"
     v2 = str(tmp_path / "v2")
-    write_dataset(spark.range(100).toDF("a"), v2, **{"parquet.writer.version": "v2"})
+    write_dataset(df, v2, **{"parquet.writer.version": "v2"})
     # parquet-mr stamps format 1.0 in the footer even for v2 data pages
     # (version marks page format, not footer schema) — pin readability
     assert pq.ParquetFile(_one_file(v2)).metadata.num_rows == 100
