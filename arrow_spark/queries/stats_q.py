@@ -597,9 +597,11 @@ FROM d CROSS JOIN t
 @query("stats_benford_first_digit", oracle=BENFORD_ORACLE)
 def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law audit: first-significant-digit distribution of
-    order totals vs the log expectation ln(1+1/d)/ln 10 (the classic
-    fraud/entry-error screen a reference user runs via compute + math
-    kernels).
+    order totals vs the log expectation ln(1+1/d)/ln 10 — the per-digit
+    DRILL-DOWN companion to `quality_benford_check` (which emits one
+    total-variation deviation per group via
+    operators/inequality.py::benford_deviation); this is the table you
+    read after that check flags a group.
 
     The digit comes from the cents BIGINT rendered as a string — both
     engines print integers identically, no float log10 in the digit
