@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["gini", "benford_deviation", "BENFORD_MICROS"]
+__all__ = ["gini", "benford_deviation", "hhi", "BENFORD_MICROS"]
 
 #: P(first digit = d) = log10(1 + 1/d), snapped to micros once, here —
 #: runtime never evaluates a logarithm.
@@ -123,4 +123,33 @@ def benford_deviation(
             tv_num.cast("double")
             / (F.lit(2) * F.col("n") * F.lit(1_000_000)).cast("double")
         ).alias("benford_tv"),
+    )
+
+
+def hhi(df: DataFrame, group_cols: Sequence[str], weight_col: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration per group:
+    (group..., n_holders, total_weight, hhi) with
+    HHI = Σ share_i² = Σ w_i² / (Σ w_i)² over the group's holder rows —
+    the antitrust-standard market-concentration index (1 = monopoly,
+    1/k = k equal holders). Input is the already-aggregated holder
+    frame (e.g. per-(nation, supplier) revenue cents).
+
+    Exactness: Σw and Σw² are exact decimal(38,0) sums of the integer
+    weight; the denominator squares in DOUBLE on both engines so the
+    oracle's rounding path matches (CAST(sum) AS DOUBLE squared, not
+    CAST(sum*sum)). One map-side-combined group-by, no windows."""
+    d38 = "decimal(38,0)"
+    gcols = list(group_cols)
+    w = F.col(weight_col).cast("long")
+    return (
+        df.select(*gcols, w.alias("w"))
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holders"),
+            F.sum("w").cast("long").alias("total_weight"),
+            (
+                F.sum(F.col("w").cast(d38) * F.col("w").cast(d38)).cast("double")
+                / (F.sum("w").cast("double") * F.sum("w").cast("double"))
+            ).alias("hhi"),
+        )
     )

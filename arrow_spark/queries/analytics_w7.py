@@ -1076,14 +1076,13 @@ def analytics_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "s_suppkey")
         .agg(F.sum("c").cast("long").alias("cents"))
     )
-    d38 = "decimal(38,0)"
-    return rev.groupBy("nation").agg(
-        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-        F.sum("cents").cast("long").alias("rev_cents"),
-        (
-            F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38)).cast("double")
-            / (F.sum("cents").cast("double") * F.sum("cents").cast("double"))
-        ).alias("hhi"),
+    from arrow_spark.operators.inequality import hhi
+
+    return hhi(rev, ["nation"], "cents").select(
+        "nation",
+        F.col("n_holders").alias("n_suppliers"),
+        F.col("total_weight").alias("rev_cents"),
+        "hhi",
     )
 
 

@@ -75,3 +75,23 @@ def test_benford_nonpositive_excluded(spark):
         [("g", 100), ("g", 0), ("g", -5)], "k string, x long"
     )
     assert benford_deviation(df, ["k"], "x").collect()[0]["n"] == 1
+
+
+def test_hhi_monopoly_and_equal_split(spark):
+    from arrow_spark.operators.inequality import hhi
+
+    rows = [
+        ("mono", "s1", 1000),
+        ("duo", "s1", 500), ("duo", "s2", 500),
+        ("quad", "s1", 250), ("quad", "s2", 250),
+        ("quad", "s3", 250), ("quad", "s4", 250),
+        ("skew", "s1", 900), ("skew", "s2", 100),
+    ]
+    df = spark.createDataFrame(rows, "mkt string, holder string, w long")
+    out = {r["mkt"]: r for r in hhi(df, ["mkt"], "w").collect()}
+    assert out["mono"]["hhi"] == 1.0 and out["mono"]["n_holders"] == 1
+    assert out["duo"]["hhi"] == 0.5
+    assert out["quad"]["hhi"] == 0.25
+    # 0.9^2 + 0.1^2 = 0.82
+    assert abs(out["skew"]["hhi"] - 0.82) < 1e-12
+    assert out["skew"]["total_weight"] == 1000
