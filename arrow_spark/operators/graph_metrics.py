@@ -153,10 +153,11 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
         F.count(F.lit(1)).cast("long").alias("n_recip")
     )
     cnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # an edgeless graph leaves reciprocity undefined: NULL, never an
+    # ANSI /0 error (DuckDB's double /0 is NULL too)
+    ratio = F.when(F.col("n_edges") == 0, F.lit(None).cast("double")).otherwise(
+        F.col("n_recip").cast("double") / F.col("n_edges").cast("double")
+    )
     return cnt.crossJoin(F.broadcast(recip)).select(
-        "n_edges",
-        "n_recip",
-        (F.col("n_recip").cast("double") / F.col("n_edges").cast("double")).alias(
-            "reciprocity"
-        ),
+        "n_edges", "n_recip", ratio.alias("reciprocity")
     )

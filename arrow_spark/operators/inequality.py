@@ -147,9 +147,11 @@ def hhi(df: DataFrame, group_cols: Sequence[str], weight_col: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_holders"),
             F.sum("w").cast("long").alias("total_weight"),
-            (
+            F.when(F.sum("w") == 0, F.lit(None).cast("double"))
+            .otherwise(
                 F.sum(F.col("w").cast(d38) * F.col("w").cast(d38)).cast("double")
                 / (F.sum("w").cast("double") * F.sum("w").cast("double"))
-            ).alias("hhi"),
+            )
+            .alias("hhi"),
         )
     )

@@ -371,12 +371,18 @@ def spearman_corr(
         )
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    vxd = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyd = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # zero rank variance (a constant column) leaves rho undefined:
+    # NULL, not a division error — DuckDB's double /0 is NULL too, and
+    # Spark 4's ANSI default would otherwise THROW on degenerate groups
+    rho = F.when(
+        (vxd == 0) | (vyd == 0), F.lit(None).cast("double")
+    ).otherwise(num / (F.sqrt(vxd.cast("double")) * F.sqrt(vyd.cast("double"))))
     return m.select(
         F.col("g").alias(group_col),
         F.col("n").cast("long").alias("n_pairs"),
-        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("rho"),
+        rho.alias("rho"),
     )
 
 

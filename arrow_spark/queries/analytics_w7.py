@@ -1165,12 +1165,18 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    vxd = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyd = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # a constant series leaves the correlation undefined: NULL, not a
+    # division error (Spark 4's ANSI default throws on /0; DuckDB's
+    # double /0 is NULL, so the hash contract holds)
+    ccf = F.when(
+        (vxd == 0) | (vyd == 0), F.lit(None).cast("double")
+    ).otherwise(num / (F.sqrt(vxd.cast("double")) * F.sqrt(vyd.cast("double"))))
     return m.select(
         "lag",
         F.col("n").cast("long").alias("n_days"),
-        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("ccf"),
+        ccf.alias("ccf"),
     )
 
 
@@ -1279,9 +1285,13 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dend = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # constant regressor → undefined slope: NULL, never an ANSI /0 error
+    slope = F.when(dend == 0, F.lit(None).cast("double")).otherwise(
+        F.floor(num / dend.cast("double") * 1e6 + F.lit(0.5)) / 1e6
+    )
     return m.select(
         "brand",
         F.col("n").cast("long").alias("n_lines"),
-        (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("elasticity6"),
+        slope.alias("elasticity6"),
     )

@@ -197,3 +197,27 @@ def test_reciprocity_two_cycle_and_dag(spark):
     mix = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src long, dst long")
     r = reciprocity(mix).collect()[0]
     assert r["reciprocity"] == pytest.approx(2.0 / 3.0)
+
+
+def test_spearman_zero_variance_group_is_null(spark):
+    # constant x in group → zero rank variance → denominator 0 → NULL
+    # on BOTH engines (Spark non-ANSI /0 and DuckDB double /0 are NULL),
+    # so the hash contract holds without a CASE guard
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 5, 3)], "grp string, x long, y long"
+    )
+    from arrow_spark.operators.stats_tests import spearman_corr
+
+    r = spearman_corr(df, "grp", "x", "y").collect()[0]
+    assert r["n_pairs"] == 3 and r["rho"] is None
+
+
+def test_brown_forsythe_single_group_between_term_zero(spark):
+    # one group: z-bar_i == grand z-bar → between_term exactly 0
+    df = spark.createDataFrame(
+        [("g", v) for v in (1, 5, 9, 13)], "grp string, v long"
+    )
+    from arrow_spark.operators.stats_tests import brown_forsythe_cells
+
+    r = brown_forsythe_cells(df, "grp", "v").collect()[0]
+    assert r["between_term"] == 0.0
