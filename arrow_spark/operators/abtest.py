@@ -87,8 +87,12 @@ def welch_ttest(
         raise ValueError(
             f"welch_ttest: baseline group {baseline!r} has no rows in {group_col!r}"
         )
+    # both-variances-zero leaves t undefined: NULL, never an ANSI /0
+    # error (Spark 4 defaults to ANSI and would throw on sqrt(0))
     t = F.when(
-        (F.col("n") > 1) & (F.col("b_n") > 1),
+        (F.col("n") > 1)
+        & (F.col("b_n") > 1)
+        & ((F.col("var") > 0) | (F.col("b_var") > 0)),
         (F.col("mean") - F.col("b_mean"))
         / F.sqrt(F.col("var") / F.col("n") + F.col("b_var") / F.col("b_n")),
     )

@@ -158,7 +158,12 @@ def two_proportion_ztest(
         "x1",
         p1.alias("p1"),
         p_pool.alias("p_pool"),
-        ((p0 - p1) / se).alias("z"),
+        # all-success or all-failure pools give se = 0: z is undefined
+        # (NULL), never an ANSI /0 error; DuckDB's double /0 is NULL
+        # too, so the oracle hash contract is unchanged
+        F.when(
+            (p_pool > 0) & (p_pool < 1), (p0 - p1) / se
+        ).alias("z"),
     )
 
 
