@@ -45,6 +45,8 @@ __all__ = [
     "ks_two_sample",
     "bh_adjust",
     "decile_lift",
+    "spearman_corr",
+    "brown_forsythe_cells",
 ]
 
 
@@ -241,9 +243,12 @@ def ks_two_sample(
             "n0",
             "n1",
             "ks_num",
-            (
+            # an empty group leaves D undefined: NULL, never an ANSI
+            # /0 error
+            F.when(
+                (F.col("n0") > 0) & (F.col("n1") > 0),
                 F.col("ks_num").cast("double")
-                / (F.col("n0") * F.col("n1")).cast("double")
+                / (F.col("n0") * F.col("n1")).cast("double"),
             ).alias("ks_stat"),
             "ks_at_value",
         )
@@ -307,16 +312,22 @@ def decile_lift(
             (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
                 "rate"
             ),
-            (
+            # zero positives overall leave lift/gain undefined: NULL,
+            # never an ANSI /0 error
+            F.when(
+                F.col("tot_pos") > 0,
                 (F.col("pos") * F.col("tot_n")).cast("double")
-                / (F.col("n") * F.col("tot_pos")).cast("double")
+                / (F.col("n") * F.col("tot_pos")).cast("double"),
             ).alias("lift"),
             "tot_pos",
         )
         .withColumn("cum_pos", F.sum("pos").over(cum).cast("long"))
         .withColumn(
             "cum_gain",
-            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+            F.when(
+                F.col("tot_pos") > 0,
+                F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+            ),
         )
         .drop("tot_pos")
     )
