@@ -95,7 +95,9 @@ def string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(txt, "row", "ROW").alias("replace_re"),
         F.size(F.regexp_extract_all(txt, F.lit("(value)"))).cast("long").alias("count_re"),
         F.size(toks).cast("long").alias("split_n"),
-        F.element_at(toks, 2).alias("second_token"),
+        # try_ variant: a one-token document yields NULL (= DuckDB's
+        # list[2]) instead of an ANSI INVALID_ARRAY_INDEX error
+        F.try_element_at(toks, F.lit(2)).alias("second_token"),
         F.replace(F.col("lang"), F.lit("e"), F.lit("E")).alias("replace_sub"),
     )
 
