@@ -308,3 +308,56 @@ def test_cohort_retention_matches_python(spark, events):
         sizes[c] = sizes.get(c, 0) + 1
     want2 = {k: (len(v), sizes[k[0]]) for k, v in want.items()}
     assert got == want2
+
+
+pair_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # group
+        st.integers(min_value=0, max_value=6),   # x (small domain, ties)
+        st.integers(min_value=0, max_value=6),   # y
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+def _avg_ranks(vals):
+    # tie-average ranks, 1-based
+    s = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and vals[s[j + 1]] == vals[s[i]]:
+            j += 1
+        r = (i + j) / 2 + 1
+        for k in range(i, j + 1):
+            ranks[s[k]] = r
+        i = j + 1
+    return ranks
+
+
+@given(rows=pair_frames)
+@SETTINGS
+def test_spearman_matches_brute_force_property(spark, rows):
+    from arrow_spark.operators.stats_tests import spearman_corr
+
+    sdf = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in spearman_corr(sdf, "g", "x", "y").collect()}
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pairs in by_g.items():
+        rx = _avg_ranks([p[0] for p in pairs])
+        ry = _avg_ranks([p[1] for p in pairs])
+        n = len(pairs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        assert got[g]["n_pairs"] == n
+        if vx == 0 or vy == 0:
+            assert got[g]["rho"] is None
+        else:
+            want = cov / math.sqrt(vx * vy)
+            assert got[g]["rho"] == pytest.approx(want, abs=1e-9)
