@@ -361,3 +361,33 @@ def test_spearman_matches_brute_force_property(spark, rows):
         else:
             want = cov / math.sqrt(vx * vy)
             assert got[g]["rho"] == pytest.approx(want, abs=1e-9)
+
+
+gq_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=gq_frames)
+@SETTINGS
+def test_grouped_quantiles_match_brute_force_property(spark, rows):
+    from arrow_spark.operators.quantiles import exact_quantiles_grouped
+
+    sdf = spark.createDataFrame(rows, "g long, v long")
+    qs = [1, 250, 500, 999, 1000]
+    out = exact_quantiles_grouped(sdf, "g", "v", qs, n_buckets=8)
+    got = {(r["g"], r["q_mille"]): (r["rank"], r["value"]) for r in out.collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        for q in qs:
+            k = math.ceil(q * len(s) / 1000)
+            assert got[(g, q)] == (k, s[k - 1]), (g, q)
+    assert len(got) == len(by_g) * len(qs)
