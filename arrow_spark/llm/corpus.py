@@ -285,7 +285,11 @@ def weighted_sample(
     u = (x + F.lit(0.5)) / F.lit(float(1 << 24))
     priority = F.log(u) / F.col(weight_col)
     return (
-        docs.select(F.col(id_col), F.col(weight_col), priority.alias("__p__"))
+        # non-positive weights can never win (their ES priority is -inf)
+        # and w = 0 would hit Spark 4's ANSI DIVIDE_BY_ZERO: drop them
+        # before the priority is computed
+        docs.where(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), priority.alias("__p__"))
         .orderBy(F.col("__p__").desc(), F.col(id_col).asc())
         .limit(k)
         .select(

@@ -468,9 +468,14 @@ tot AS (
   FROM cells
 )
 SELECT cat, pos, neg,
-       round(ln(CAST(pos * n_tot AS DOUBLE) / CAST(neg * p_tot AS DOUBLE)), 6) AS woe6,
-       round((CAST(pos * n_tot - neg * p_tot AS DOUBLE) / CAST(p_tot * n_tot AS DOUBLE))
-             * ln(CAST(pos * n_tot AS DOUBLE) / CAST(neg * p_tot AS DOUBLE)), 6) AS iv_term6
+       CASE WHEN pos * n_tot > 0 AND neg * p_tot > 0
+            THEN round(ln(CAST(pos * n_tot AS DOUBLE)
+                          / CAST(neg * p_tot AS DOUBLE)), 6) END AS woe6,
+       CASE WHEN pos * n_tot > 0 AND neg * p_tot > 0
+            THEN round((CAST(pos * n_tot - neg * p_tot AS DOUBLE)
+                        / CAST(p_tot * n_tot AS DOUBLE))
+                       * ln(CAST(pos * n_tot AS DOUBLE)
+                            / CAST(neg * p_tot AS DOUBLE)), 6) END AS iv_term6
 FROM cells CROSS JOIN tot
 """
 
@@ -502,12 +507,18 @@ def quality_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist_diff = (
         F.col("pos") * F.col("n_tot") - F.col("neg") * F.col("p_tot")
     ).cast("double") / (F.col("p_tot") * F.col("n_tot")).cast("double")
+    # an all-positive or all-negative cell leaves WoE undefined: NULL
+    # on BOTH sides, never Spark's ANSI /0 error or DuckDB's ln(0)
+    # range error (the oracle carries the mirrored CASE guard)
+    defined = ((F.col("pos") * F.col("n_tot")) > 0) & (
+        (F.col("neg") * F.col("p_tot")) > 0
+    )
     return cells.crossJoin(F.broadcast(tot)).select(
         "cat",
         "pos",
         "neg",
-        F.round(F.log(ratio), 6).alias("woe6"),
-        F.round(dist_diff * F.log(ratio), 6).alias("iv_term6"),
+        F.when(defined, F.round(F.log(ratio), 6)).alias("woe6"),
+        F.when(defined, F.round(dist_diff * F.log(ratio), 6)).alias("iv_term6"),
     )
 
 
