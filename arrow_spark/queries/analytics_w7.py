@@ -434,7 +434,11 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pairs",
             "num",
             "den",
-            (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+            # a constant daily series has zero centered variance:
+            # acf undefined → NULL, never an ANSI /0 error
+            F.when(F.col("den") > 0,
+                   F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("acf"),
         )
         .orderBy("lag")
     )

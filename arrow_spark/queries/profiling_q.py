@@ -397,5 +397,10 @@ def timeseries_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("e7").cast("long").alias("sum_err_seasonal"),
         F.sum("e1").cast("long").alias("sum_err_naive"),
-        (F.sum("e7").cast("double") / F.sum("e1").cast("double")).alias("mase"),
+        # a perfectly naive-predictable series (zero naive error)
+        # leaves MASE undefined → NULL, never an ANSI /0 error
+        F.when(
+            F.sum("e1") > 0,
+            F.sum("e7").cast("double") / F.sum("e1").cast("double"),
+        ).alias("mase"),
     )

@@ -256,10 +256,16 @@ def stats_fdr_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ssq_all").cast("double")
         - (F.col("s_all").cast("double") * F.col("s_all").cast("double")) / n_all_d
     ) / (n_all_d - F.lit(1.0))
-    z = (
-        F.col("s").cast("double") / F.col("n").cast("double")
-        - F.col("s_all").cast("double") / n_all_d
-    ) / F.sqrt(var_all / F.col("n").cast("double"))
+    # an all-equal balance column has zero global variance: z is
+    # undefined → NULL, never an ANSI /0 error
+    z = F.when(
+        var_all > 0,
+        (
+            F.col("s").cast("double") / F.col("n").cast("double")
+            - F.col("s_all").cast("double") / n_all_d
+        )
+        / F.sqrt(var_all / F.col("n").cast("double")),
+    )
     pv = (
         pern.crossJoin(F.broadcast(glob))
         .select(
@@ -387,11 +393,16 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_micro",
         "r",
         "c",
-        F.sqrt(
-            (F.col("chi2_micro") / F.lit(1000000.0))
-            / (F.col("n_total") * F.least(F.col("r") - 1, F.col("c") - 1)).cast(
-                "double"
-            )
+        # a single-category dimension makes min(r-1, c-1) = 0:
+        # V undefined → NULL, never an ANSI /0 error
+        F.when(
+            F.least(F.col("r") - 1, F.col("c") - 1) > 0,
+            F.sqrt(
+                (F.col("chi2_micro") / F.lit(1000000.0))
+                / (F.col("n_total") * F.least(F.col("r") - 1, F.col("c") - 1)).cast(
+                    "double"
+                )
+            ),
         ).alias("cramers_v"),
     )
 
@@ -445,9 +456,12 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree",
         "r1_pos",
         "r2_pos",
-        (
+        # chance agreement pe = 1 (single-category raters) leaves
+        # kappa undefined → NULL, never an ANSI /0 error
+        F.when(
+            (F.col("n") * F.col("n") - pe_num) > 0,
             (F.col("agree") * F.col("n") - pe_num).cast("double")
-            / (F.col("n") * F.col("n") - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num).cast("double"),
         ).alias("kappa"),
     )
 
