@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "exact_quantiles_grouped"]
+__all__ = ["exact_quantiles", "exact_quantiles_grouped", "exact_quantiles_weighted"]
 
 
 def exact_quantiles(
@@ -213,4 +213,93 @@ def exact_quantiles_grouped(
             ],
         )
         .select(*gcols, "q_mille", "rank", F.col("v").alias("value"))
+    )
+
+
+def exact_quantiles_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q_mille: Sequence[int],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact weighted per-mille quantiles of an integer column:
+    (q_mille, rank_w, value) where rank_w = ⌈q·W/1000⌉ (W = total
+    weight, BIGINT) and value = the smallest v whose cumulative weight
+    in value order reaches rank_w — the weighted-median generalization
+    (importance-weighted corpora, resampled mixtures, billing units).
+    Rows with NULL or non-positive weight are excluded.
+
+    Same bucket-locate plan as :func:`exact_quantiles` with COUNTS
+    replaced by WEIGHT SUMS: one stats aggregation, one
+    map-side-combined per-bucket weight shuffle (≤ n_buckets cells),
+    offsets over the tiny bucket frame, and an in-bucket cumulative
+    weight window over only the located buckets. No global sort. Ties
+    collapse by value first (a (v) pre-aggregation), so in-bucket
+    frames are distinct-value-sized and the answer is deterministic
+    with no row-order contract."""
+    v = F.col(value_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    base = (
+        df.where(v.isNotNull() & w.isNotNull() & (w > 0))
+        .select(v.alias("v"), w.alias("w"))
+        .groupBy("v")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    stats = base.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")).cast("double") / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = base.crossJoin(F.broadcast(stats)).withColumn("b", bucket).select(
+        "v", "w", "b"
+    )
+    counts = bucketed.groupBy("b").agg(F.sum("w").cast("long").alias("bw"))
+    cum = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("bw").over(cum), F.lit(0).cast("long"))
+    )
+    targets = (
+        stats.crossJoin(
+            F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(int(q),) for q in q_mille], "q_mille int"
+                )
+            )
+        )
+        .select(
+            "q_mille",
+            F.expr("CAST((tw * q_mille + 999) DIV 1000 AS BIGINT)").alias("rank_w"),
+        )
+        .where(F.col("rank_w") >= 1)
+    )
+    located = targets.join(
+        F.broadcast(offsets),
+        (F.col("off") < F.col("rank_w"))
+        & (F.col("rank_w") <= F.col("off") + F.col("bw")),
+    ).select("q_mille", "rank_w", "b", "off")
+    hot = located.select("b").distinct()
+    cw = F.sum("w").over(
+        W.partitionBy("b").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(hot), "b", "left_semi")
+        .withColumn("cw", cw)
+        .withColumn("cw_prev", F.col("cw") - F.col("w"))
+    )
+    return (
+        located.join(
+            ranked,
+            (located["b"] == ranked["b"])
+            & (F.col("rank_w") > F.col("off") + F.col("cw_prev"))
+            & (F.col("rank_w") <= F.col("off") + F.col("cw")),
+        )
+        .select("q_mille", "rank_w", F.col("v").alias("value"))
     )

@@ -115,3 +115,60 @@ def test_exact_quantiles_grouped_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def _brute_weighted(pairs, q):
+    # pairs: (value, weight); rank over total weight, smallest v whose
+    # cumulative weight reaches ceil(q*W/1000)
+    s = sorted(pairs)
+    tw = sum(w for _, w in s)
+    k = math.ceil(q * tw / 1000)
+    c = 0
+    for v, w in s:
+        c += w
+        if c >= k:
+            return (k, v)
+    raise AssertionError("unreachable")
+
+
+def test_exact_quantiles_weighted_matches_brute_force(spark):
+    from arrow_spark.operators.quantiles import exact_quantiles_weighted
+
+    rng = random.Random(7)
+    pairs = [(rng.randint(-100, 100), rng.randint(1, 9)) for _ in range(311)]
+    df = spark.createDataFrame(pairs, "x long, w long")
+    out = exact_quantiles_weighted(df, "x", "w", [10, 500, 900, 1000], n_buckets=16)
+    got = {r["q_mille"]: (r["rank_w"], r["value"]) for r in out.collect()}
+    for q in (10, 500, 900, 1000):
+        assert got[q] == _brute_weighted(pairs, q), q
+
+
+def test_exact_quantiles_weighted_unit_weights_match_unweighted(spark):
+    from arrow_spark.operators.quantiles import (
+        exact_quantiles,
+        exact_quantiles_weighted,
+    )
+
+    vals = [5, 1, 9, 3, 3, 7, 2, 8, 4, 6]
+    df = spark.createDataFrame([(v, 1) for v in vals], "x long, w long")
+    wq = exact_quantiles_weighted(df, "x", "w", [250, 500, 750], n_buckets=4)
+    uq = exact_quantiles(
+        spark.createDataFrame([(v,) for v in vals], "x long"),
+        "x",
+        [250, 500, 750],
+        n_buckets=4,
+    )
+    got_w = {r["q_mille"]: (r["rank_w"], r["value"]) for r in wq.collect()}
+    got_u = {r["q_mille"]: (r["rank"], r["value"]) for r in uq.collect()}
+    assert got_w == got_u
+
+
+def test_exact_quantiles_weighted_skips_nonpositive_weights(spark):
+    from arrow_spark.operators.quantiles import exact_quantiles_weighted
+
+    df = spark.createDataFrame(
+        [(1, 1), (100, 0), (200, -5), (3, 1)], "x long, w long"
+    )
+    out = exact_quantiles_weighted(df, "x", "w", [1000], n_buckets=4)
+    r = out.collect()[0]
+    assert (r["rank_w"], r["value"]) == (2, 3)
