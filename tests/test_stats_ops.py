@@ -221,3 +221,11 @@ def test_brown_forsythe_single_group_between_term_zero(spark):
 
     r = brown_forsythe_cells(df, "grp", "v").collect()[0]
     assert r["between_term"] == 0.0
+
+
+def test_session_runs_ansi_mode(spark):
+    """The degenerate-input guards in this repo target Spark 4's ANSI
+    default (where /0 THROWS instead of returning NULL). If this pin
+    ever fails, the guards are still correct but no longer exercised
+    as crash protection — re-audit before relaxing."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
