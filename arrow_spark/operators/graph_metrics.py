@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["undirected_edges", "degree_assortativity", "jaccard_link_prediction"]
+__all__ = [
+    "undirected_edges",
+    "degree_assortativity",
+    "jaccard_link_prediction",
+    "reciprocity",
+]
 
 
 def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -145,8 +150,10 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
     exact-integer division. Cost is edge-frame-sized — at any corpus
     scale the transition edge frame is aggregate-sized (≤ node pairs),
     so this never touches the raw events."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
-        F.col("s") != F.col("d")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
     )
     b = e.select(F.col("s").alias("bs"), F.col("d").alias("bd"))
     recip = e.join(b, (F.col("s") == F.col("bd")) & (F.col("d") == F.col("bs"))).agg(

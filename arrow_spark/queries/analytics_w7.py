@@ -737,10 +737,17 @@ def flight_sql_substrait(spark: SparkSession, sf_dir: str) -> DataFrame:
         functions={1: (B.URI_AGG, "count"), 2: (B.URI_ARITH, "sum")},
     )
     srv = start_flight_sql_server(spark, rows_per_endpoint=2000)
-    out = flight_sql_execute_substrait(
-        spark, f"grpc://127.0.0.1:{srv.port}", plan
-    )
-    return out.select(
+    try:
+        # materialize client-side while the server is alive (DoGet runs
+        # lazily inside mapInArrow), then shut the server down — one
+        # server per invocation must not leak a daemon thread + port
+        # across bench/verification runs.
+        tbl = flight_sql_execute_substrait(
+            spark, f"grpc://127.0.0.1:{srv.port}", plan
+        ).toArrow()
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(tbl).select(
         "o_orderpriority", "n", F.round("raw_sum", 2).alias("sum_price")
     )
 
@@ -878,6 +885,7 @@ SELECT q.q_mille, CAST((n.n * q.q_mille + 999) // 1000 AS BIGINT) AS rank,
        (SELECT dur FROM ranked
         WHERE r = CAST((n.n * q.q_mille + 999) // 1000 AS BIGINT)) AS value
 FROM q CROSS JOIN n
+WHERE n.n > 0
 """
 
 

@@ -308,10 +308,14 @@ agg AS (
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(pos) AS BIGINT) AS tot_pos FROM agg)
 SELECT tile, n, pos,
        CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
-       CAST(pos * tot_n AS DOUBLE) / CAST(n * tot_pos AS DOUBLE) AS lift,
+       CASE WHEN tot_pos = 0 THEN NULL
+            ELSE CAST(pos * tot_n AS DOUBLE) / CAST(n * tot_pos AS DOUBLE)
+       END AS lift,
        CAST(sum(pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
-       CAST(sum(pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-         / CAST(tot_pos AS DOUBLE) AS cum_gain
+       CASE WHEN tot_pos = 0 THEN NULL
+            ELSE CAST(sum(pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(tot_pos AS DOUBLE)
+       END AS cum_gain
 FROM agg CROSS JOIN tot
 """
 

@@ -97,21 +97,14 @@ def write_dataset(
                 f"unknown existing_data_behavior {existing_data_behavior!r}; "
                 f"one of {sorted(_EXISTING_DATA)}"
             ) from None
-    spark = df.sparkSession
-    prev_pom = None
+    writer = df.write.mode(mode)
     if existing_data_behavior == "delete_matching" and partition_by:
-        prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        writer = df.write.mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        if max_rows_per_file:
-            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
-        writer.options(**options).format(fmt).save(path)
-    finally:
-        if existing_data_behavior == "delete_matching" and partition_by:
-            if prev_pom is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
+        # Per-write DataFrameWriter option (Spark 2.4+), NOT the session
+        # conf: a concurrent write on the same SparkSession must never
+        # inherit dynamic-overwrite semantics from this call's window.
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+    writer.options(**options).format(fmt).save(path)

@@ -213,19 +213,25 @@ def start_flight_sql_server(
             return flight.FlightInfo(tbl.schema, descriptor, endpoints, tbl.num_rows, -1)
 
         # -- substrait / transactions ---------------------------------
-        def _run_plan(self, plan_bytes: bytes) -> DataFrame:
+        def _run_plan(self, plan_bytes: bytes, execute_writes: bool = True) -> DataFrame:
             """Route serialized substrait.Plan bytes through the
             engine's own consumer against the live catalog — the
             server-side half of GetFlightInfoSubstraitPlan
-            (server.h:286)."""
+            (server.h:286). ``execute_writes=False`` swaps the WriteRel
+            sink for a no-op: schema probes (prepared-plan creation)
+            must never perform the plan's DML — a prepared write plan
+            runs its write exactly once, at Execute time."""
             from arrow_spark.plans.substrait import default_table_writer, run_substrait
 
             provider = substrait_table_provider or (
                 lambda names: spark.table(".".join(names))
             )
-            return run_substrait(
-                spark, plan_bytes, provider, table_writer=default_table_writer(spark)
+            writer = (
+                default_table_writer(spark)
+                if execute_writes
+                else (lambda names, frame, op: None)
             )
+            return run_substrait(spark, plan_bytes, provider, table_writer=writer)
 
         @staticmethod
         def _plan_bytes(cmd: _Msg) -> bytes:
@@ -556,7 +562,7 @@ def start_flight_sql_server(
                     self._prepared_plans[handle] = plan_bytes
                 try:
                     schema_blob = (
-                        self._run_plan(plan_bytes)
+                        self._run_plan(plan_bytes, execute_writes=False)
                         .limit(0)
                         .toArrow()
                         .schema.serialize()

@@ -599,3 +599,40 @@ def test_flight_sql_transaction_and_savepoint_lifecycle(spark, sql_server):
     # savepoints of an unknown transaction are rejected
     with pytest.raises(Exception, match="unknown transaction"):
         flight_sql_begin_savepoint(loc, "txn-bogus", "sp2")
+
+
+def test_flight_sql_prepare_write_plan_does_not_execute_dml(spark, sql_server):
+    """Preparing a WriteRel plan must NOT perform the write: the schema
+    probe consumes the plan with a no-op sink, so the DML runs exactly
+    once — at Execute time, not at CreatePreparedSubstraitPlan time
+    (server.h:223). Regression: the probe used to run the plan with the
+    live table_writer, silently double-writing prepared DML."""
+    from arrow_spark.plans import substrait_builder as B
+    from arrow_spark.sources.flight_sql import (
+        flight_sql_close_prepared,
+        flight_sql_execute_prepared,
+        flight_sql_prepare_substrait,
+    )
+
+    _, loc = sql_server
+    spark.sql("DROP TABLE IF EXISTS fsql_prep_sink")
+    read = B.read_named(["region_v"], ["r_regionkey", "r_name"], ["i64", "string"])
+    w = B.write_rel_named(
+        read, ["fsql_prep_sink"], col_names=["r_regionkey", "r_name"], op=4
+    )
+    plan = B.plan(w, ["r_regionkey", "r_name"])
+
+    handle, _schema = flight_sql_prepare_substrait(loc, plan)
+    assert handle
+    # prepare alone performed no DML
+    assert not spark.catalog.tableExists("fsql_prep_sink")
+
+    # executing the handle performs the write exactly once
+    out = flight_sql_execute_prepared(spark, loc, handle)
+    n = out.count()
+    assert spark.catalog.tableExists("fsql_prep_sink")
+    assert spark.table("fsql_prep_sink").count() == n
+    assert n == spark.table("region_v").count()
+
+    flight_sql_close_prepared(loc, handle)
+    spark.sql("DROP TABLE IF EXISTS fsql_prep_sink")

@@ -197,6 +197,15 @@ def test_reciprocity_two_cycle_and_dag(spark):
     mix = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src long, dst long")
     r = reciprocity(mix).collect()[0]
     assert r["reciprocity"] == pytest.approx(2.0 / 3.0)
+    # duplicate directed edges are deduplicated, never join-fanned-out:
+    # without distinct(), (1,2)x3 + (2,1)x2 would count 3*2=6 reciprocal
+    # hits over 5 edges and read reciprocity > 1
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (2, 1), (2, 1)], "src long, dst long"
+    )
+    r = reciprocity(dup).collect()[0]
+    assert (r["n_edges"], r["n_recip"]) == (2, 2)
+    assert r["reciprocity"] == pytest.approx(1.0)
 
 
 def test_spearman_zero_variance_group_is_null(spark):
