@@ -23,12 +23,18 @@ nondeterministic but the k-th smallest VALUE exact and unique — the
 contract order statistics actually carry. Bucket boundaries use double
 arithmetic on (min, max), identical cross-engine.
 
-Skew note: a bucket holding far more than n/n_buckets rows (massive
-value ties) still sorts only that bucket; the pathological all-equal
-column degenerates to one bucket = the naive sort, but then the answer
-is that single value anyway and the sort is trivial. Recursing the
-locate into the hot bucket is the standard escalation; one level
-suffices for real value distributions.
+Skew note: a bucket holding far more than n/n_buckets rows would make
+the in-bucket rank window a near-global single-partition sort — at
+100 TB a near-constant column is not pathological, it's Tuesday. The
+ungrouped form therefore ESCALATES: a located bucket holding more than
+``hot_bucket_factor`` × the expected share recurses the locate one
+level into that bucket (fresh sub-range, fresh n_buckets), and a
+bucket whose min == max (all ties) short-circuits to a literal — the
+answer is that single value, no sort at all. The locate itself runs on
+driver-side metadata (one 1-row stats collect + one ≤n_buckets-cell
+count collect per level — the same bounded-metadata discipline as the
+ANN codebook collects), which also turns the located-bucket semi-join
+into a literal IN filter the scan can push down.
 
 Reference anchor: the reference ships exact quantile/rank kernels for
 in-memory arrays (cpp/src/arrow/compute/kernels/aggregate_quantile.cc)
@@ -38,11 +44,123 @@ in-memory arrays (cpp/src/arrow/compute/kernels/aggregate_quantile.cc)
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["exact_quantiles", "exact_quantiles_grouped", "exact_quantiles_weighted"]
+
+_OUT_SCHEMA = "q_mille int, rank bigint, value bigint"
+
+
+def _rank_values(
+    base: DataFrame,
+    n: int,
+    lo: int,
+    hi: int,
+    ranks: Sequence[int],
+    n_buckets: int,
+    hot_bucket_rows: int | None,
+    hot_bucket_factor: int,
+    depth: int,
+) -> DataFrame:
+    """(rank, value) for each 1-based rank in ``ranks`` (all ≤ n) over
+    ``base`` (a single ``v: long`` column, NULL-free, with known count
+    n and range [lo, hi]). The bucket-locate itself happens on
+    driver-side metadata: ONE ≤n_buckets-cell count collect locates
+    every rank's bucket, cold buckets get the in-bucket row_number
+    readoff behind a literal IN filter, and a HOT bucket (cnt >
+    threshold) recurses one level with a fresh sub-range. A bucket
+    whose slo == shi is all ties — its answer is that value, emitted
+    as a literal with no sort at any scale."""
+    spark = base.sparkSession
+    if lo == hi:
+        return spark.createDataFrame(
+            [(int(r), int(lo)) for r in ranks], "rank bigint, value bigint"
+        )
+    width = float(hi - lo) / float(n_buckets)
+    bexpr = F.least(
+        F.floor((F.col("v") - F.lit(int(lo))).cast("double") / F.lit(width)).cast(
+            "int"
+        ),
+        F.lit(n_buckets - 1),
+    )
+    cnts = {
+        r["b"]: r["cnt"]
+        for r in base.select(bexpr.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    bs = sorted(cnts)
+    offsets, off = {}, 0
+    for b in bs:
+        offsets[b] = off
+        off += cnts[b]
+    per_bucket: dict[int, list[tuple[int, int]]] = {}
+    i = 0
+    for r in sorted(ranks):
+        while offsets[bs[i]] + cnts[bs[i]] < r:
+            i += 1
+        per_bucket.setdefault(bs[i], []).append((r, r - offsets[bs[i]]))
+    threshold = (
+        hot_bucket_rows
+        if hot_bucket_rows is not None
+        else max(hot_bucket_factor * (n // n_buckets + 1), n_buckets)
+    )
+    cold = {
+        b: lst for b, lst in per_bucket.items() if depth <= 0 or cnts[b] <= threshold
+    }
+    hot = {b: lst for b, lst in per_bucket.items() if b not in cold}
+    parts: list[DataFrame] = []
+    if cold:
+        tgt = spark.createDataFrame(
+            [(int(b), int(r), int(lr)) for b, lst in cold.items() for r, lr in lst],
+            "tb int, rank bigint, lr int",
+        )
+        ranked = (
+            base.withColumn("b", bexpr)
+            .where(F.col("b").isin(*[int(b) for b in cold]))
+            .withColumn("r", F.row_number().over(W.partitionBy("b").orderBy("v")))
+        )
+        parts.append(
+            ranked.join(
+                F.broadcast(tgt),
+                (F.col("b") == F.col("tb")) & (F.col("r") == F.col("lr")),
+            ).select("rank", F.col("v").cast("long").alias("value"))
+        )
+    if hot:
+        sub_stats = {
+            r["b"]: (r["slo"], r["shi"])
+            for r in base.withColumn("b", bexpr)
+            .where(F.col("b").isin(*[int(b) for b in hot]))
+            .groupBy("b")
+            .agg(F.min("v").alias("slo"), F.max("v").alias("shi"))
+            .collect()
+        }
+        for b in sorted(hot):
+            slo, shi = sub_stats[b]
+            local = _rank_values(
+                base.where(bexpr == int(b)),
+                cnts[b],
+                slo,
+                shi,
+                [lr for _, lr in hot[b]],
+                n_buckets,
+                hot_bucket_rows,
+                hot_bucket_factor,
+                depth - 1,
+            )
+            parts.append(
+                local.select(
+                    (F.col("rank") + F.lit(int(offsets[b]))).cast("long").alias(
+                        "rank"
+                    ),
+                    "value",
+                )
+            )
+    return reduce(DataFrame.unionByName, parts)
 
 
 def exact_quantiles(
@@ -50,75 +168,47 @@ def exact_quantiles(
     value_col: str,
     q_mille: Sequence[int],
     n_buckets: int = 256,
+    hot_bucket_rows: int | None = None,
+    hot_bucket_factor: int = 8,
+    max_recursion: int = 1,
 ) -> DataFrame:
     """Exact per-mille quantiles of an integer column:
     (q_mille, rank, value) with rank = ⌈q·n/1000⌉ (nearest-rank,
     1-based) and value = the rank-th smallest. NULLs are excluded;
-    empty input yields no rows."""
+    empty input yields no rows.
+
+    A located bucket holding more than ``hot_bucket_factor`` × the
+    expected n/n_buckets share (or ``hot_bucket_rows`` rows when set)
+    recurses the locate one level (``max_recursion``) instead of
+    sorting the whole bucket in one window partition — the skew
+    escalation the module docstring describes. All-ties buckets
+    resolve to a literal without touching a row."""
+    spark = df.sparkSession
     v = F.col(value_col).cast("long")
     base = df.where(v.isNotNull()).select(v.alias("v"))
-    stats = base.agg(
+    head = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
+    ).first()
+    n = head["n"]
+    pairs = [(int(q), (n * int(q) + 999) // 1000) for q in q_mille]
+    pairs = [(q, r) for q, r in pairs if 1 <= r <= n]
+    if n == 0 or not pairs:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    values = _rank_values(
+        base,
+        n,
+        head["lo"],
+        head["hi"],
+        sorted({r for _, r in pairs}),
+        n_buckets,
+        hot_bucket_rows,
+        hot_bucket_factor,
+        max_recursion,
     )
-    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(
-        float(n_buckets)
-    )
-    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col("v") - F.col("lo")).cast("double") / width).cast(
-                "int"
-            ),
-            F.lit(n_buckets - 1),
-        )
-    )
-    bucketed = base.crossJoin(F.broadcast(stats)).withColumn("b", bucket)
-    counts = bucketed.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    cum = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("cnt").over(cum), F.lit(0).cast("long"))
-    )
-    targets = (
-        stats.crossJoin(
-            F.broadcast(
-                df.sparkSession.createDataFrame(
-                    [(int(q),) for q in q_mille], "q_mille int"
-                )
-            )
-        )
-        .select(
-            "q_mille",
-            F.expr("CAST((n * q_mille + 999) DIV 1000 AS BIGINT)").alias(
-                "rank"
-            ),
-        )
-        .where(F.col("rank") >= 1)
-    )
-    located = targets.join(
-        F.broadcast(offsets),
-        (F.col("off") < F.col("rank"))
-        & (F.col("rank") <= F.col("off") + F.col("cnt")),
-    ).select("q_mille", "rank", "b", "off")
-    hot = located.select("b").distinct()
-    in_bucket_rank = F.row_number().over(
-        W.partitionBy("b").orderBy("v")
-    )
-    ranked = (
-        bucketed.join(F.broadcast(hot), "b", "left_semi")
-        .select("b", "v")
-        .withColumn("r", in_bucket_rank)
-    )
-    return (
-        located.join(
-            ranked,
-            (located["b"] == ranked["b"])
-            & (F.col("rank") == F.col("off") + F.col("r")),
-        )
-        .select("q_mille", "rank", F.col("v").alias("value"))
-    )
+    qdf = spark.createDataFrame(pairs, "q_mille int, rank bigint")
+    return values.join(F.broadcast(qdf), "rank").select("q_mille", "rank", "value")
 
 
 def exact_quantiles_grouped(

@@ -53,6 +53,43 @@ def test_exact_quantiles_skewed_bucket(spark):
     assert got[500] == _brute(vals, 500)
 
 
+def test_exact_quantiles_hot_bucket_recursion_matches_brute_force(spark):
+    # 5000 rows piled into a narrow band + one huge outlier: bucket 0
+    # holds ~everything, crossing the forced hot threshold, so the
+    # locate recurses one level with a fresh sub-range instead of
+    # sorting the whole bucket in a single window partition
+    rng = random.Random(13)
+    vals = [rng.randint(0, 50) for _ in range(5000)] + [10_000_000]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = exact_quantiles(df, "x", [100, 500, 900], n_buckets=8, hot_bucket_rows=500)
+    got = {r["q_mille"]: (r["rank"], r["value"]) for r in out.collect()}
+    for q in (100, 500, 900):
+        assert got[q] == _brute(vals, q), q
+
+
+def test_exact_quantiles_all_ties_hot_bucket_is_literal(spark):
+    # the hot bucket is one repeated value: the recursion's slo == shi
+    # shortcut answers from metadata — correctness must hold and no
+    # window over the tie pile is needed
+    vals = [7] * 4000 + list(range(1000, 1050))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = exact_quantiles(df, "x", [250, 500, 999], n_buckets=8, hot_bucket_rows=100)
+    got = {r["q_mille"]: (r["rank"], r["value"]) for r in out.collect()}
+    for q in (250, 500, 999):
+        assert got[q] == _brute(vals, q), q
+
+
+def test_exact_quantiles_recursion_depth_zero_still_exact(spark):
+    vals = [3] * 900 + [50, 60]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = exact_quantiles(
+        df, "x", [500, 1000], n_buckets=4, hot_bucket_rows=10, max_recursion=0
+    )
+    got = {r["q_mille"]: (r["rank"], r["value"]) for r in out.collect()}
+    assert got[500] == _brute(vals, 500)
+    assert got[1000] == _brute(vals, 1000)
+
+
 def test_exact_quantiles_plan_no_global_sort(spark):
     df = spark.createDataFrame([(v,) for v in range(100)], "x long")
     plan = (
