@@ -176,4 +176,9 @@ _DEFER_NEW: tuple[str, ...] = (
     "graph_reciprocity",
     "analytics_price_elasticity",
     "stats_brown_forsythe",
+    # round 8: new registrations sort BEHIND the wave-5 backlog above so
+    # the r8 sample saturates the oracle-bearing registry first (standing
+    # policy, COVERAGE.md).
+    "exact_quantiles_grouped",
+    "exact_quantiles_weighted",
 )

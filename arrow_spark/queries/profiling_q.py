@@ -404,3 +404,93 @@ def timeseries_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("e7").cast("double") / F.sum("e1").cast("double"),
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped + weighted exact quantiles (registered r8; operators landed r7)
+
+GROUPED_QUANTILES_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), n AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY flag
+), ranked AS (
+  SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS rn FROM d
+), targets AS (
+  SELECT n.flag, q_mille, (n.n * q_mille + 999) // 1000 AS rank
+  FROM (SELECT unnest([250, 500, 750, 900]) AS q_mille), n
+)
+SELECT t.flag, CAST(t.q_mille AS INT) AS q_mille,
+       CAST(t.rank AS BIGINT) AS rank, r.v AS value
+FROM targets t JOIN ranked r ON r.flag = t.flag AND r.rn = t.rank
+"""
+
+
+@query("exact_quantiles_grouped", oracle=GROUPED_QUANTILES_ORACLE)
+def exact_quantiles_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p90 of extended-price cents PER RETURN FLAG
+    without a per-group sort — the grouped bucket-locate
+    (operators/quantiles.py::exact_quantiles_grouped): per-group stats
+    join back on the group key, one map-side-combined
+    (group, bucket)-count shuffle of ≤ |groups|·256 cells, offsets over
+    the tiny per-group bucket frames, and an in-bucket rank window over
+    only the located (group, bucket) cells. The grouped analog of
+    approx_percentile for audit cuts that cannot tolerate GK error
+    (reference: compute/kernels/aggregate_quantile.cc — single-node;
+    this is the distributed grouped form). Oracle = naive per-group
+    full-sort row_number: different algebra, identical order
+    statistics."""
+    from arrow_spark.operators.quantiles import exact_quantiles_grouped
+
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    return exact_quantiles_grouped(l, "flag", "v", [250, 500, 750, 900])
+
+
+WEIGHTED_QUANTILES_ORACLE = """
+WITH d AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0
+), agg AS (
+  SELECT v, CAST(sum(w) AS BIGINT) AS w FROM d GROUP BY v
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM agg),
+c AS (
+  SELECT v, CAST(sum(w) OVER (ORDER BY v) AS BIGINT) AS cw,
+         CAST(sum(w) OVER (ORDER BY v) - w AS BIGINT) AS cwp
+  FROM agg
+), targets AS (
+  SELECT q_mille, (tot.tw * q_mille + 999) // 1000 AS rank_w
+  FROM (SELECT unnest([100, 250, 500, 750, 900]) AS q_mille), tot
+)
+SELECT CAST(t.q_mille AS INT) AS q_mille, CAST(t.rank_w AS BIGINT) AS rank_w,
+       c.v AS value
+FROM targets t JOIN c ON t.rank_w > c.cwp AND t.rank_w <= c.cw
+"""
+
+
+@query("exact_quantiles_weighted", oracle=WEIGHTED_QUANTILES_ORACLE)
+def exact_quantiles_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted p10/p25/p50/p75/p90 of extended-price
+    cents — rank over TOTAL WEIGHT, the weighted-median generalization
+    (billing units, importance-weighted corpora). The weighted
+    bucket-locate (operators/quantiles.py::exact_quantiles_weighted):
+    ties collapse by value first so in-bucket frames are
+    distinct-value-sized, per-bucket WEIGHT SUMS replace counts
+    (≤256 cells), and only located buckets get the in-bucket
+    cumulative-weight window (reference: WeightedQuantileOptions,
+    api_aggregate.h). Oracle = the naive cumulative-weight scan over
+    the sorted distinct values; integer weights end-to-end, so the
+    located value is exact on both engines."""
+    from arrow_spark.operators.quantiles import exact_quantiles_weighted
+
+    l = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return exact_quantiles_weighted(l, "v", "w", [100, 250, 500, 750, 900])
