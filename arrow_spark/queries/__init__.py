@@ -13,6 +13,7 @@ import glob
 import importlib
 import json
 import os
+import re
 
 from arrow_spark.queries.base import REGISTRY, QueryDef, query  # noqa: F401
 
@@ -44,17 +45,25 @@ _MODULES = (
 )
 
 
-def _driver_verified() -> set[str]:
-    """Query names already green in a past round's driver check.
+def _driver_verified() -> dict[str, int]:
+    """name → LATEST round in which the query was driver-green.
 
     The driver samples a prefix of the registry in insertion order, so
     ``load_all`` floats never-yet-driver-verified queries to the front:
     each round's sample then covers the largest possible set of
     not-yet-verified operators instead of re-checking the same prefix.
+    The round number drives the post-saturation rotation: once every
+    oracle-bearing query has been green at least once, the sample
+    becomes pure re-verification, ordered OLDEST-GREEN-FIRST — with a
+    ~300-query registry and a 50-slot sample, a silent regression in
+    any query surfaces within ~6 rounds (standing policy, COVERAGE.md
+    round-8 section).
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        round_no = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 report = json.load(f)
@@ -62,7 +71,7 @@ def _driver_verified() -> set[str]:
             continue
         for name, row in report.items():
             if isinstance(row, dict) and row.get("hash_match", row.get("rows_match")):
-                seen.add(name)
+                seen[name] = max(seen.get(name, 0), round_no)
     return seen
 
 
@@ -75,7 +84,10 @@ def load_all() -> dict[str, QueryDef]:
 
     1. never driver-green AND oracle-bearing — a sampled run can turn
        these hash-green, the strongest kind of row;
-    2. already driver-green in a past round — re-verification only;
+    2. already driver-green in a past round — re-verification,
+       OLDEST green round first (then module order), so the sample
+       rotates through the whole green registry every ~6 rounds
+       instead of re-checking the same prefix;
     3. rows-only queries (no oracle) — last: a sampled run can never
        hash-match them by design, and each has a driver-green
        hash-exact twin (``similarity_ivf_exact_replay``,
@@ -87,23 +99,25 @@ def load_all() -> dict[str, QueryDef]:
         importlib.import_module(f"arrow_spark.queries.{mod}")
     verified = _driver_verified()
 
-    def rank(name: str, qd: QueryDef) -> tuple[int, int]:
+    def rank(name: str, qd: QueryDef) -> tuple[int, int, int]:
         if qd.oracle is None:
             block = 5  # rows-only by design: never consume a sampled slot
         elif name in verified:
-            block = 4
+            # re-verification rotation: oldest green round first, so the
+            # 50-slot sample sweeps the whole green registry in ~6 rounds
+            return 4, verified[name], _ORDER[name]
         elif name in _DEFER_NEW:
             # new this round: behind the older unverified backlog, and
             # ordered by _DEFER_NEW position (wave order), NOT module
             # position — so when the backlog + waves overflow the sampled
             # prefix, the overflow is exactly the LATEST-registered wave,
             # never an older wave that happened to live in a later module
-            return 2, _DEFER_NEW.index(name)
+            return 2, _DEFER_NEW.index(name), 0
         elif name in _PROMOTE:
             block = 0
         else:
             block = 1
-        return block, _ORDER[name]
+        return block, _ORDER[name], 0
 
     _ORDER = {k: i for i, k in enumerate(REGISTRY)}
     return dict(sorted(REGISTRY.items(), key=lambda kv: rank(*kv)))

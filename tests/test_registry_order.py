@@ -54,3 +54,18 @@ def test_promoted_names_lead_when_unverified():
             ]
             if backlog:
                 assert names.index(p) < names.index(backlog[0])
+
+
+def test_reverification_rotates_oldest_green_first():
+    """Post-saturation contract (COVERAGE.md round-8): within the
+    already-green block, queries last green in an OLDER round sort
+    before queries green more recently — the 50-slot sample sweeps the
+    whole green registry in ~6 rounds, so a silent regression cannot
+    hide longer than the rotation period."""
+    names = list(QUERIES)
+    green_rounds = [
+        VERIFIED[n]
+        for n in names
+        if n in VERIFIED and QUERIES[n].oracle is not None and _block(n) == 4
+    ]
+    assert green_rounds == sorted(green_rounds)
