@@ -143,7 +143,17 @@ class Table:
         if rk == lk:
             return Table(ldf.join(rdf, lk, jt))
         cond = _join_cond(ldf, rdf, lk, rk)
-        return Table(ldf.join(rdf, cond, jt))
+        out = ldf.join(rdf, cond, jt)
+        if coalesce_keys:
+            # pyarrow parity (acero.py _perform_join coalesce_keys=True):
+            # right key columns fold into the left key names and vanish
+            # from the output; full outer takes whichever side matched
+            if jt == "full":
+                for a, b in zip(lk, rk):
+                    out = out.withColumn(a, F.coalesce(ldf[a], rdf[b]))
+            for b in rk:
+                out = out.drop(rdf[b])
+        return Table(out)
 
     def join_asof(
         self,
