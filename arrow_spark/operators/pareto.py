@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cumulative_share_cut"]
+__all__ = ["cumulative_share_cut", "abc_classify"]
 
 
 def cumulative_share_cut(
@@ -89,3 +89,63 @@ def cumulative_share_cut(
             "cum_share"
         ),
     )
+
+
+def abc_classify(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_mille: int = 700,
+    b_mille: int = 900,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """ABC inventory/revenue classification: entities ranked value-desc
+    carry class 'A' while cumulative share ≤ a_mille/1000, 'B' while
+    ≤ b_mille/1000, else 'C' → per-entity (k, val, cum_value, abc).
+    Ties order by key asc — fully deterministic; value_col must already
+    be integer. The cumulative uses the SAME bucket-offset prefix plan
+    as cumulative_share_cut above (no global window); the class compare
+    is integer cross-multiplication on the decimal lattice
+    (cum·1000 ≤ total·mille), never a float share."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(value_col).cast("long").alias("val")
+    )
+    stats = base.agg(
+        F.sum("val").alias("total"),
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("val") - F.col("lo")).cast("double") / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = base.crossJoin(F.broadcast(stats)).withColumn("b", bucket)
+    totals = bucketed.groupBy("b").agg(F.sum("val").alias("bval"))
+    higher = W.orderBy(F.col("b").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b",
+        F.coalesce(F.sum("bval").over(higher), F.lit(0).cast("long")).alias("off_val"),
+    )
+    local = (
+        W.partitionBy("b")
+        .orderBy(F.col("val").desc(), F.col("k").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = bucketed.join(F.broadcast(offsets), "b").select(
+        "k",
+        "val",
+        "total",
+        (F.col("off_val") + F.sum("val").over(local)).alias("cum_value"),
+    )
+    cumd = F.col("cum_value").cast(d38) * F.lit(1000)
+    totd = F.col("total").cast(d38)
+    abc = (
+        F.when(cumd <= totd * F.lit(int(a_mille)), F.lit("A"))
+        .when(cumd <= totd * F.lit(int(b_mille)), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cum.select("k", "val", "cum_value", abc.alias("abc"))

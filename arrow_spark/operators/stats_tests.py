@@ -47,6 +47,9 @@ __all__ = [
     "decile_lift",
     "spearman_corr",
     "brown_forsythe_cells",
+    "mann_whitney_u",
+    "anova_oneway_cells",
+    "jarque_bera",
 ]
 
 
@@ -450,4 +453,191 @@ def brown_forsythe_cells(
             / (F.lit(4) * nd).cast("double")
         ).alias("within_ss"),
         (half * half / nd.cast("double")).alias("between_term"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, group_col: str, n_buckets: int = 256
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) between groups 0
+    and 1 → one row (n0, n1, r1_x2, u1_x2, u0_x2, tie_t, z).
+
+    Ranks are tie-averaged over the POOLED sample, kept on the integer
+    lattice by DOUBLING: a tied block of cnt values after cb smaller
+    ones has doubled rank 2·cb + cnt + 1, so r1_x2 = Σ d1·(2cb+cnt+1)
+    and u1_x2 = r1_x2 − n1(n1+1) are exact BIGINT (u = u1_x2/2). z is
+    the normal approximation with the tie correction
+    T = Σ(cnt³ − cnt): z = (u1_x2 − n0·n1) / (2·sqrt(var)),
+    var = n0·n1·((N+1)·N·(N−1) − T) / (12·N·(N−1)) — a fixed IEEE tree
+    over exact operands (T sums in decimal(38,0): a fully-tied column
+    is cnt = N). Degenerate inputs (an empty group, all values tied)
+    leave z NULL, never an ANSI /0.
+
+    NO global window: distinct values bucket by equi-width range and
+    the cumulative-before counts come from an in-bucket window plus
+    broadcast bucket offsets — the same locate pattern as
+    ks_two_sample above, so the only row-scale stage is the per-value
+    count shuffle (map-side combined)."""
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col).cast("long")
+    base = df.where(v.isNotNull()).select(v.alias("v"), g.alias("g"))
+    steps = base.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("d0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+    )
+    stats = steps.agg(
+        F.sum("d0").alias("n0"),
+        F.sum("d1").alias("n1"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")).cast("double") / F.lit(float(n_buckets))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")).cast("double") / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = steps.crossJoin(F.broadcast(stats)).withColumn("b", bucket)
+    totals = bucketed.groupBy("b").agg(
+        (F.sum("d0") + F.sum("d1")).cast("long").alias("t")
+    )
+    prior = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("t").over(prior), F.lit(0).cast("long")).alias("off")
+    )
+    before = W.partitionBy("b").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cnt = (F.col("d0") + F.col("d1")).cast("long")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .withColumn(
+            "cb",
+            F.col("off")
+            + F.coalesce(F.sum(F.col("d0") + F.col("d1")).over(before), F.lit(0)),
+        )
+        .withColumn("r2", 2 * F.col("cb") + cnt + 1)
+    )
+    cntd = cnt.cast(d38)
+    agg = ranked.agg(
+        F.sum(F.col("d1") * F.col("r2")).cast("long").alias("r1_x2"),
+        F.sum(cntd * cntd * cntd - cntd).alias("tie_t"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    nd = (F.col("n0") + F.col("n1")).cast("double")
+    var = (
+        n0d
+        * n1d
+        * ((nd + F.lit(1.0)) * nd * (nd - F.lit(1.0)) - F.col("tie_t").cast("double"))
+        / (F.lit(12.0) * nd * (nd - F.lit(1.0)))
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return (
+        stats.select("n0", "n1")
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n0",
+            "n1",
+            "r1_x2",
+            u1_x2.alias("u1_x2"),
+            (2 * F.col("n0") * F.col("n1") - u1_x2).alias("u0_x2"),
+            F.col("tie_t").cast("double").alias("tie_t"),
+            F.when(
+                (F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0),
+                (u1_x2 - F.col("n0") * F.col("n1")).cast("double")
+                / (F.lit(2.0) * F.sqrt(var)),
+            ).alias("z"),
+        )
+    )
+
+
+def anova_oneway_cells(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA cells per group over an integer value column:
+    (group, n, mean, within_ss, between_term). F is the caller's ratio
+    (Σ between / (k−1)) / (Σ within / (N−k)) — left unassembled
+    because a float sum across groups is order-dependent (the
+    chi-square-cells convention; same shape as brown_forsythe_cells
+    but over RAW values: BF tests spread homogeneity, this tests mean
+    separation).
+
+    Moments are exact decimal(38,0) sums of v and v²; within_ss =
+    (n·ss − s²)/n and between_term = n·(mean_g − mean)² =
+    ((s·N − S·n)/N)²/n are fixed IEEE trees over the exact sums. One
+    map-side-combined group-by plus a broadcast 1-row total."""
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    cells = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast(d38)).alias("s"),
+        F.sum((F.col("v").cast(d38) * F.col("v").cast(d38))).alias("ss"),
+    )
+    tot = cells.agg(F.sum("n").cast(d38).alias("nn"), F.sum("s").alias("stot"))
+    nd = F.col("n").cast(d38)
+    half = (F.col("s") * F.col("nn") - F.col("stot") * nd).cast("double") / F.col(
+        "nn"
+    ).cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("g").alias(group_col),
+        "n",
+        (F.col("s").cast("double") / nd.cast("double")).alias("mean"),
+        (
+            (nd * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / nd.cast("double")
+        ).alias("within_ss"),
+        (half * half / nd.cast("double")).alias("between_term"),
+    )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality statistic over an integer value column →
+    one row (n, mean, m2, skew, kurtosis_excess, jb).
+
+    Power sums S1..S4 accumulate exactly in decimal(38,0) (keep the
+    value lattice coarse enough that N·v⁴ < 10³⁸ — dollars, not
+    cents, for price-like columns); the central moments and
+    JB = n/6·(S² + K²/4) are then one fixed IEEE tree over the exact
+    sums — only +,−,·,/ and sqrt, all correctly rounded, so the result
+    is bit-identical cross-engine with no micro-rounding. A constant
+    column (m2 = 0) leaves skew/kurtosis/jb NULL, never an ANSI /0."""
+    d38 = "decimal(38,0)"
+    d = df.select(F.col(value_col).cast("long").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    vd = F.col("v").cast(d38)
+    sums = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vd).alias("s1"),
+        F.sum(vd * vd).alias("s2"),
+        F.sum(vd * vd * vd).alias("s3"),
+        F.sum(vd * vd * vd * vd).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    mean = s1 / nd
+    m2 = s2 / nd - mean * mean
+    m3 = s3 / nd - F.lit(3.0) * mean * (s2 / nd) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / nd
+        - F.lit(4.0) * mean * (s3 / nd)
+        + F.lit(6.0) * mean * mean * (s2 / nd)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    ok = m2 > 0
+    return sums.select(
+        "n",
+        mean.alias("mean"),
+        m2.alias("m2"),
+        F.when(ok, skew).alias("skew"),
+        F.when(ok, kurt).alias("kurtosis_excess"),
+        F.when(
+            ok,
+            nd
+            / F.lit(6.0)
+            * (skew * skew + kurt * kurt / F.lit(4.0)),
+        ).alias("jb"),
     )

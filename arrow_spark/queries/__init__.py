@@ -42,6 +42,7 @@ _MODULES = (
     "stats_q",
     "analytics_w7",
     "profiling_q",
+    "analytics_w8",
 )
 
 
@@ -195,4 +196,11 @@ _DEFER_NEW: tuple[str, ...] = (
     # policy, COVERAGE.md).
     "exact_quantiles_grouped",
     "exact_quantiles_weighted",
+    "stats_mann_whitney_u",
+    "stats_anova_oneway",
+    "stats_jarque_bera",
+    "timeseries_rolling_median",
+    "analytics_yoy_growth",
+    "analytics_price_volume_mix",
+    "analytics_abc_classification",
 )

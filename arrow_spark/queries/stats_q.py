@@ -718,3 +718,181 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return brown_forsythe_cells(d, "g", "v")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave: Mann-Whitney U, one-way ANOVA cells, Jarque-Bera
+
+MANN_WHITNEY_ORACLE = """
+WITH vals AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         o_orderkey % 2 AS g
+  FROM orders
+),
+steps AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+  FROM vals GROUP BY v
+),
+tot AS (SELECT CAST(sum(d0) AS BIGINT) AS n0, CAST(sum(d1) AS BIGINT) AS n1 FROM steps),
+r AS (
+  SELECT v, d0, d1, d0 + d1 AS cnt,
+         CAST(coalesce(sum(d0 + d1) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cb
+  FROM steps
+),
+agg AS (
+  SELECT CAST(sum(d1 * (2 * cb + cnt + 1)) AS BIGINT) AS r1_x2,
+         sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+             - CAST(cnt AS HUGEINT)) AS tie_t
+  FROM r
+),
+folded AS (
+  SELECT tot.n0, tot.n1, agg.r1_x2,
+         agg.r1_x2 - tot.n1 * (tot.n1 + 1) AS u1_x2,
+         CAST(agg.tie_t AS DOUBLE) AS tie_t,
+         CAST(tot.n0 AS DOUBLE) AS n0d, CAST(tot.n1 AS DOUBLE) AS n1d,
+         CAST(tot.n0 + tot.n1 AS DOUBLE) AS nd
+  FROM tot CROSS JOIN agg
+),
+v AS (
+  SELECT *,
+         n0d * n1d * ((nd + 1.0) * nd * (nd - 1.0) - tie_t)
+           / (12.0 * nd * (nd - 1.0)) AS var
+  FROM folded
+)
+SELECT n0, n1, r1_x2, u1_x2,
+       2 * n0 * n1 - u1_x2 AS u0_x2,
+       tie_t,
+       CASE WHEN n0 > 0 AND n1 > 0 AND var > 0
+            THEN CAST(u1_x2 - n0 * n1 AS DOUBLE) / (2.0 * sqrt(var))
+       END AS z
+FROM v
+"""
+
+
+@query("stats_mann_whitney_u", oracle=MANN_WHITNEY_ORACLE)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the total-price
+    distributions of the two o_orderkey parity halves
+    (operators/stats_tests.py::mann_whitney_u). Tie-averaged pooled
+    ranks stay on the integer lattice by DOUBLING (a tied block of cnt
+    after cb smaller values has doubled rank 2cb+cnt+1), so R1 and the
+    U statistics are exact BIGINT; the tie-corrected normal z is one
+    fixed IEEE tree over the exact sums. NO global window: the
+    cumulative-before counts use the bucket-offset locate (the
+    ks_two_sample pattern) — the only row-scale stage is one
+    map-side-combined per-value count shuffle."""
+    from arrow_spark.operators.stats_tests import mann_whitney_u
+
+    o = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        (F.col("o_orderkey") % 2).alias("g"),
+    )
+    return mann_whitney_u(o, "v", "g")
+
+
+ANOVA_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+cells AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT) AS ss
+  FROM d GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(s) AS HUGEINT) AS stot FROM cells
+)
+SELECT g, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       CAST(n * ss - s * s AS DOUBLE) / CAST(n AS DOUBLE) AS within_ss,
+       (CAST(s * nn - stot * n AS DOUBLE) / CAST(nn AS DOUBLE))
+         * (CAST(s * nn - stot * n AS DOUBLE) / CAST(nn AS DOUBLE))
+         / CAST(n AS DOUBLE) AS between_term
+FROM cells CROSS JOIN tot
+"""
+
+
+@query("stats_anova_oneway", oracle=ANOVA_ORACLE)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA cells across order priorities on total-price
+    cents (operators/stats_tests.py::anova_oneway_cells): per-group
+    (n, mean, within_ss, between_term) with F = the caller's ratio of
+    sums — unassembled because a float sum across groups is
+    order-dependent (the chi-square-cells convention; the
+    mean-separation companion to stats_brown_forsythe's spread test).
+    Moments are exact decimal(38,0); one map-side-combined group-by
+    plus a broadcast 1-row total — map-only at any scale."""
+    from arrow_spark.operators.stats_tests import anova_oneway_cells
+
+    d = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return anova_oneway_cells(d, "g", "v")
+
+
+JARQUE_BERA_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(v AS HUGEINT)) AS s1,
+         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2,
+         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s3,
+         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+             * CAST(v AS HUGEINT)) AS s4
+  FROM d
+),
+e AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+  FROM sums
+),
+m AS (
+  SELECT n, nd, mean,
+         e2 - mean * mean AS m2,
+         e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean AS m3,
+         e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2
+           - 3.0 * mean * mean * mean * mean AS m4
+  FROM e
+),
+sk AS (
+  SELECT n, nd, mean, m2,
+         CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
+  FROM m
+)
+SELECT n, mean, m2, skew, kurtosis_excess,
+       CASE WHEN m2 > 0
+            THEN nd / 6.0 * (skew * skew + kurtosis_excess * kurtosis_excess / 4.0)
+       END AS jb
+FROM sk
+"""
+
+
+@query("stats_jarque_bera", oracle=JARQUE_BERA_ORACLE)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic of order totals on the integer
+    DOLLAR lattice (operators/stats_tests.py::jarque_bera — dollars,
+    not cents, so N·v⁴ stays inside decimal(38,0)/HUGEINT). Power sums
+    S1..S4 are exact; skewness, excess kurtosis, and
+    JB = n/6·(S² + K²/4) are one fixed IEEE tree (+,−,·,/ and sqrt
+    only — no micro-rounding needed). Map-only: one aggregation over
+    the scan, no shuffle beyond the 1-row fold."""
+    from arrow_spark.operators.stats_tests import jarque_bera
+
+    d = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice")).cast("long").alias("v")
+    )
+    return jarque_bera(d, "v")

@@ -7,7 +7,7 @@ the value hash checks every filled cell, not just shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from arrow_spark.catalog import table
@@ -871,3 +871,56 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return theil_sen(ev, ["user_id"], "s", "cents")
+
+
+ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS g, o_orderdate AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT g, d, rev,
+       list_extract(
+         list_sort(list(rev) OVER w),
+         CAST((count(rev) OVER w + 1) // 2 AS INT)
+       ) AS med7
+FROM daily
+WINDOW w AS (PARTITION BY g ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("timeseries_rolling_median", oracle=ROLLING_MEDIAN_ORACLE)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-row rolling median of daily revenue cents per order
+    priority — the robust companion to a rolling mean (one outlier day
+    cannot move it). Nearest-rank-low k = (n+1) DIV 2 over the sorted
+    window (true median on full odd windows, lower-middle on the
+    leading edge), all-integer so hash-exact.
+
+    Scale: the input is the (priority × day) LATTICE — aggregate-sized
+    regardless of row count — so the per-row sorted-window state is
+    7 values and the window partitions by priority. The row-scale
+    stage is the one map-side-combined daily group-by; the reference's
+    single-array rolling kernels (compute/kernels/vector_run_* and
+    aggregate_quantile.cc) assume one memory-resident array, this is
+    the distributed lattice form."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = W.partitionBy("g").orderBy("d").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("rev").over(w))
+    return daily.select(
+        "g",
+        "d",
+        "rev",
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias("med7"),
+    )

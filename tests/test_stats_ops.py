@@ -238,3 +238,94 @@ def test_session_runs_ansi_mode(spark):
     ever fails, the guards are still correct but no longer exercised
     as crash protection — re-audit before relaxing."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_mann_whitney_u_hand_truth(spark):
+    from arrow_spark.operators.stats_tests import mann_whitney_u
+
+    # g0=[1,2,3], g1=[2,3,4]: pooled tie-avg ranks 1,2.5,2.5,4.5,4.5,6
+    # R1=13, U1=7, U0=2, T=12, var=4.95, z=5/(2*sqrt(4.95))
+    rows = [(1, 0), (2, 0), (3, 0), (2, 1), (3, 1), (4, 1)]
+    df = spark.createDataFrame(rows, "v long, g long")
+    r = mann_whitney_u(df, "v", "g").collect()[0]
+    assert (r["n0"], r["n1"]) == (3, 3)
+    assert r["r1_x2"] == 26 and r["u1_x2"] == 14 and r["u0_x2"] == 4
+    assert r["tie_t"] == pytest.approx(12.0)
+    assert r["z"] == pytest.approx(5.0 / (2.0 * 4.95**0.5))
+
+
+def test_mann_whitney_u_degenerate_all_ties_z_null(spark):
+    from arrow_spark.operators.stats_tests import mann_whitney_u
+
+    df = spark.createDataFrame([(7, 0), (7, 0), (7, 1)], "v long, g long")
+    r = mann_whitney_u(df, "v", "g").collect()[0]
+    assert r["z"] is None  # var = 0: undefined, never an ANSI /0
+
+
+def test_mann_whitney_u_empty_group_z_null(spark):
+    from arrow_spark.operators.stats_tests import mann_whitney_u
+
+    df = spark.createDataFrame([(1, 0), (2, 0)], "v long, g long")
+    r = mann_whitney_u(df, "v", "g").collect()[0]
+    assert r["n1"] == 0 and r["z"] is None
+
+
+def test_anova_oneway_cells_hand_truth(spark):
+    from arrow_spark.operators.stats_tests import anova_oneway_cells
+
+    rows = [("A", 1), ("A", 2), ("A", 3), ("B", 5), ("B", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in anova_oneway_cells(df, "g", "v").collect()}
+    assert got["A"]["n"] == 3 and got["A"]["mean"] == pytest.approx(2.0)
+    assert got["A"]["within_ss"] == pytest.approx(2.0)
+    assert got["A"]["between_term"] == pytest.approx(7.68)
+    assert got["B"]["within_ss"] == pytest.approx(2.0)
+    assert got["B"]["between_term"] == pytest.approx(11.52)
+
+
+def test_jarque_bera_hand_truth(spark):
+    from arrow_spark.operators.stats_tests import jarque_bera
+
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v long")
+    r = jarque_bera(df, "v").collect()[0]
+    assert r["n"] == 4 and r["mean"] == pytest.approx(2.5)
+    assert r["m2"] == pytest.approx(1.25)
+    assert r["skew"] == pytest.approx(0.0)
+    assert r["kurtosis_excess"] == pytest.approx(-1.36)
+    assert r["jb"] == pytest.approx(4.0 / 6.0 * (1.36**2 / 4.0))
+
+
+def test_jarque_bera_constant_column_null(spark):
+    from arrow_spark.operators.stats_tests import jarque_bera
+
+    df = spark.createDataFrame([(5,), (5,), (5,)], "v long")
+    r = jarque_bera(df, "v").collect()[0]
+    assert r["m2"] == pytest.approx(0.0)
+    assert r["skew"] is None and r["jb"] is None
+
+
+def test_abc_classify_hand_truth(spark):
+    from arrow_spark.operators.pareto import abc_classify
+
+    rows = [("p1", 50), ("p2", 30), ("p3", 12), ("p4", 5), ("p5", 3)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["k"]: (r["cum_value"], r["abc"]) for r in abc_classify(df, "k", "v").collect()}
+    # desc cumulative: 50, 80, 92, 97, 100 of total 100
+    assert got == {
+        "p1": (50, "A"),   # 50 <= 70
+        "p2": (80, "B"),   # 80 <= 90
+        "p3": (92, "C"),
+        "p4": (97, "C"),
+        "p5": (100, "C"),
+    }
+
+
+def test_abc_classify_plan_no_global_window(spark):
+    from arrow_spark.operators.pareto import abc_classify
+
+    df = spark.createDataFrame([(str(i), i) for i in range(200)], "k string, v long")
+    plan = (
+        abc_classify(df, "k", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
