@@ -1130,3 +1130,82 @@ def semantic_dedup(
         .join(dups, "id", "left")
         .select("id", "cid", F.col("dup_of").isNull().alias("keep"), "dup_of")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple = (),
+) -> DataFrame:
+    """DIRECTED token-set containment pairs C(A→B) = |A∩B|/|A| ≥ t,
+    A ≠ B — the asymmetric near-dup relation Jaccard misses: a 20-token
+    license header is fully contained in any file quoting it while
+    their Jaccard is ~0, and training-data pipelines excise exactly
+    those contained boilerplate/quote docs (Lee et al. 2022 use the
+    substring form; this is the token-set form).
+
+    Candidates are LOSSLESS prefix-filtered on the CONTAINED side only:
+    under the rarest-first global token order, if none of A's first
+    |A| − ⌈t·|A|⌉ + 1 tokens appear in B then |A∩B| < t·|A|
+    (pigeonhole), so A joins on its prefix tokens against B's FULL
+    token postings — length blocking is unusable here (containment has
+    no size-ratio bound). Thresholds are the rational num/1000 with
+    integer ceil and the final filter is inter·den ≥ num·|A| on exact
+    integers; the oracle's unblocked directed all-pairs hash match is
+    the losslessness proof. Scale: B's posting frame is the same
+    inverted index the BM25 ops build; A's prefix holds only its
+    RAREST tokens, so the join touches short postings."""
+    num, den = int(round(threshold * 1000)), 1000
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        *[F.col(c) for c in block_cols],
+    ).where(F.size("toks") >= 1)
+    tok = d.select("id", *block_cols, F.explode("toks").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        tok.join(freq, "tok")
+        .groupBy("id", *block_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "tok"))),
+                lambda s: s["tok"],
+            ).alias("otoks")
+        )
+    )
+    size = F.size("otoks")
+    ceil_tn = F.floor((size * num + den - 1) / den)
+    plen = (size - ceil_tn + 1).cast("int")
+    pref_a = ordered.select(
+        F.col("id").alias("id_a"),
+        *block_cols,
+        F.explode(F.slice("otoks", 1, plen)).alias("ptok"),
+    )
+    post_b = tok.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("tok").alias("__b_tok"),
+    )
+    join_cond = (F.col("ptok") == F.col("__b_tok")) & (
+        F.col("id_a") != F.col("id_b")
+    )
+    for c in block_cols:
+        join_cond = join_cond & (F.col(c) == F.col(f"__b_{c}"))
+    cand = pref_a.join(post_b, join_cond).select("id_a", "id_b").distinct()
+    arrs = ordered.select("id", "otoks")
+    pairs = cand.join(
+        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")),
+        "id_a",
+    ).join(
+        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    sz_a = F.size("toks_a")
+    return pairs.where(inter * den >= num * sz_a).select(
+        "id_a",
+        "id_b",
+        (F.floor(inter * 1.0 / sz_a * 1e6 + F.lit(0.5)) / 1e6).alias("containment"),
+    )

@@ -203,4 +203,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "analytics_yoy_growth",
     "analytics_price_volume_mix",
     "analytics_abc_classification",
+    "dedup_containment_pairs",
 )

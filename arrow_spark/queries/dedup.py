@@ -928,3 +928,34 @@ def fuzzy_join_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=2, q=3,
     )
     return out.select(F.col("pid"), F.col("cid"), F.col("dist"))
+
+
+CONTAINMENT_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+  WHERE len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) >= 1
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       floor((len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks))
+             * 1e6 + 0.5) / 1e6 AS containment
+FROM d a JOIN d b ON a.lang = b.lang AND a.id <> b.id
+WHERE len(list_intersect(a.toks, b.toks)) * 1000 >= 800 * len(a.toks)
+"""
+
+
+@query("dedup_containment_pairs", oracle=CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed token-set containment pairs C(A->B) = |A∩B|/|A| ≥ 0.8,
+    blocked by language (llm/dedup.py::containment_pairs): the
+    asymmetric near-dup relation Jaccard misses — contained
+    boilerplate/quote docs. Candidates are lossless prefix-filtered on
+    the contained side against full token postings; the oracle is the
+    UNBLOCKED directed all-pairs scoring, so its hash match proves the
+    prefix plan drops nothing on this corpus."""
+    from arrow_spark.llm.dedup import containment_pairs
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8, block_cols=("lang",)
+    )
