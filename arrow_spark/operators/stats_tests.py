@@ -50,6 +50,7 @@ __all__ = [
     "mann_whitney_u",
     "anova_oneway_cells",
     "jarque_bera",
+    "kendall_tau_lattice",
 ]
 
 
@@ -640,4 +641,114 @@ def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
             / F.lit(6.0)
             * (skew * skew + kurt * kurt / F.lit(4.0)),
         ).alias("jb"),
+    )
+
+
+def kendall_tau_lattice(
+    df: DataFrame, x_col: str, y_col: str, grid: int = 64
+) -> DataFrame:
+    """Kendall tau-b of the GRID-BUCKETED pair (x, y) → one row
+    (n, concordant, discordant, s_stat, ties_x, ties_y, tau_b).
+
+    The statistic is EXACT for the bucketed variables (equi-width
+    ``grid`` buckets per dim over [min, max]): every pair of rows is
+    concordant, discordant, or tied according to its bucket cells, and
+    pair counts come from the CELL lattice, never row pairs —
+    C = Σ_cell cnt·suffix2d (strictly-greater quadrant), computed with
+    two chained window passes over the DENSIFIED grid² frame (suffix
+    over x within each y row, then suffix over y of those within each
+    x column); ties are per-axis (m choose 2) sums. All counts are
+    exact decimal(38,0); tau_b = (C−D)/sqrt((n0−n1)(n0−n2)) spends one
+    fixed IEEE tree, NULL when an axis is constant (never an ANSI /0).
+
+    Scale: the row-scale stages are one pass for (min, max) and ONE
+    map-side-combined cell count shuffle of ≤ grid² cells; the
+    quadratic pair algebra runs entirely on the 4096-cell lattice. The
+    naive O(n²) pair sweep (what single-node rank-correlation kernels
+    do over arrays) is unrunnable at corpus scale; bucketing is the
+    standard escalation and the bucket count is the caller's
+    resolution/size dial."""
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+    stats = base.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+
+    def bucket(col, lo, hi):
+        width = (F.col(hi) - F.col(lo)).cast("double") / F.lit(float(grid))
+        return F.when(F.col(hi) == F.col(lo), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col(col) - F.col(lo)).cast("double") / width).cast("int"),
+                F.lit(grid - 1),
+            )
+        )
+
+    cells = (
+        base.crossJoin(F.broadcast(stats))
+        .select(bucket("x", "xlo", "xhi").alias("gx"), bucket("y", "ylo", "yhi").alias("gy"))
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    gxs = spark.range(grid).select(F.col("id").cast("int").alias("gx"))
+    gys = spark.range(grid).select(F.col("id").cast("int").alias("gy"))
+    dense = (
+        gxs.crossJoin(gys)
+        .join(cells, ["gx", "gy"], "left")
+        .select("gx", "gy", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
+    )
+    # suffix over x within each y row (strictly greater x)
+    wx = W.partitionBy("gy").orderBy(F.col("gx").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    a = dense.withColumn("ax", F.coalesce(F.sum("cnt").over(wx), F.lit(0)))
+    # then suffix over y within each x column (strictly greater y of ax)
+    wy = W.partitionBy("gx").orderBy(F.col("gy").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    both = a.withColumn(
+        "gt2d", F.coalesce(F.sum("ax").over(wy), F.lit(0))
+    )
+    # mirrored: strictly greater x, strictly LESSER y
+    wyl = W.partitionBy("gx").orderBy(F.col("gy").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    both = both.withColumn("lt2d", F.coalesce(F.sum("ax").over(wyl), F.lit(0)))
+    cd = both.agg(
+        F.sum(F.col("cnt").cast(d38) * F.col("gt2d").cast(d38)).alias("c"),
+        F.sum(F.col("cnt").cast(d38) * F.col("lt2d").cast(d38)).alias("d"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    tx = (
+        dense.groupBy("gx")
+        .agg(F.sum("cnt").cast(d38).alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("ties_x"))
+    )
+    ty = (
+        dense.groupBy("gy")
+        .agg(F.sum("cnt").cast(d38).alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("ties_y"))
+    )
+    out = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    nd = F.col("n").cast(d38)
+    n0 = (nd * (nd - 1) / 2).cast("double")
+    denom = F.sqrt(
+        (n0 - F.col("ties_x").cast("double")) * (n0 - F.col("ties_y").cast("double"))
+    )
+    s = (F.col("c") - F.col("d")).cast("double")
+    return out.select(
+        "n",
+        F.col("c").cast("double").alias("concordant"),
+        F.col("d").cast("double").alias("discordant"),
+        s.alias("s_stat"),
+        F.col("ties_x").cast("double").alias("ties_x"),
+        F.col("ties_y").cast("double").alias("ties_y"),
+        F.when(denom > 0, s / denom).alias("tau_b"),
     )

@@ -204,4 +204,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "analytics_price_volume_mix",
     "analytics_abc_classification",
     "dedup_containment_pairs",
+    "stats_kendall_tau",
 )

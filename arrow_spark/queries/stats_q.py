@@ -896,3 +896,115 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice")).cast("long").alias("v")
     )
     return jarque_bera(d, "v")
+
+
+KENDALL_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+         CAST(coalesce(o.spend, 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
+    FROM orders GROUP BY 1
+  ) o ON c.c_custkey = o.o_custkey
+),
+stats AS (
+  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM base
+),
+cells AS (
+  SELECT
+    CASE WHEN s.xhi = s.xlo THEN 0
+         ELSE least(CAST(floor(CAST(b.x - s.xlo AS DOUBLE)
+                          / (CAST(s.xhi - s.xlo AS DOUBLE) / 64.0)) AS INT), 63)
+    END AS gx,
+    CASE WHEN s.yhi = s.ylo THEN 0
+         ELSE least(CAST(floor(CAST(b.y - s.ylo AS DOUBLE)
+                          / (CAST(s.yhi - s.ylo AS DOUBLE) / 64.0)) AS INT), 63)
+    END AS gy,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM base b CROSS JOIN stats s GROUP BY 1, 2
+),
+grid AS (
+  SELECT a.a AS gx, b.b AS gy
+  FROM generate_series(0, 63) a(a) CROSS JOIN generate_series(0, 63) b(b)
+),
+dense AS (
+  SELECT g.gx, g.gy, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM grid g LEFT JOIN cells c ON c.gx = g.gx AND c.gy = g.gy
+),
+ax AS (
+  SELECT gx, gy, cnt,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY gy ORDER BY gx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ax
+  FROM dense
+),
+b2 AS (
+  SELECT gx, gy, cnt,
+         CAST(coalesce(sum(ax) OVER (PARTITION BY gx ORDER BY gy DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gt2d,
+         CAST(coalesce(sum(ax) OVER (PARTITION BY gx ORDER BY gy ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lt2d
+  FROM ax
+),
+cd AS (
+  SELECT sum(CAST(cnt AS HUGEINT) * CAST(gt2d AS HUGEINT)) AS c,
+         sum(CAST(cnt AS HUGEINT) * CAST(lt2d AS HUGEINT)) AS d,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM b2
+),
+tx AS (
+  SELECT sum(CAST(m AS HUGEINT) * (m - 1) / 2) AS ties_x
+  FROM (SELECT sum(cnt) AS m FROM dense GROUP BY gx)
+),
+ty AS (
+  SELECT sum(CAST(m AS HUGEINT) * (m - 1) / 2) AS ties_y
+  FROM (SELECT sum(cnt) AS m FROM dense GROUP BY gy)
+),
+folded AS (
+  SELECT cd.n, cd.c, cd.d, tx.ties_x, ty.ties_y,
+         CAST(CAST(cd.n AS HUGEINT) * (cd.n - 1) / 2 AS DOUBLE) AS n0d
+  FROM cd CROSS JOIN tx CROSS JOIN ty
+)
+SELECT n, CAST(c AS DOUBLE) AS concordant, CAST(d AS DOUBLE) AS discordant,
+       CAST(c - d AS DOUBLE) AS s_stat,
+       CAST(ties_x AS DOUBLE) AS ties_x, CAST(ties_y AS DOUBLE) AS ties_y,
+       CASE WHEN sqrt((n0d - CAST(ties_x AS DOUBLE)) * (n0d - CAST(ties_y AS DOUBLE))) > 0
+            THEN CAST(c - d AS DOUBLE)
+                 / sqrt((n0d - CAST(ties_x AS DOUBLE)) * (n0d - CAST(ties_y AS DOUBLE)))
+       END AS tau_b
+FROM folded
+"""
+
+
+@query("stats_kendall_tau", oracle=KENDALL_ORACLE)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between customer account balance and total order
+    spend on the 64×64 BUCKET LATTICE
+    (operators/stats_tests.py::kendall_tau_lattice): exact for the
+    bucketed pair, with concordant/discordant pair counts from two
+    chained suffix windows over the densified 4096-cell grid — the
+    naive O(n²) pair sweep single-node kernels run is unrunnable at
+    corpus scale, and the grid is the resolution dial. The only
+    row-scale stages are the per-customer spend aggregation and one
+    cell count shuffle. Integer pair algebra end-to-end; tau_b spends
+    one fixed IEEE tree (divisions + sqrt), NULL when an axis is
+    constant."""
+    from arrow_spark.operators.stats_tests import kendall_tau_lattice
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("spend")
+        )
+    )
+    base = c.join(spend, c["c_custkey"] == spend["o_custkey"], "left").select(
+        "x", F.coalesce(F.col("spend"), F.lit(0)).cast("long").alias("y")
+    )
+    return kendall_tau_lattice(base, "x", "y", grid=64)

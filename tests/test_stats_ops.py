@@ -329,3 +329,37 @@ def test_abc_classify_plan_no_global_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_kendall_tau_lattice_monotone_and_anti(spark):
+    from arrow_spark.operators.stats_tests import kendall_tau_lattice
+
+    up = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "x long, y long")
+    r = kendall_tau_lattice(up, "x", "y", grid=4).collect()[0]
+    assert (r["concordant"], r["discordant"]) == (3.0, 0.0)
+    assert r["tau_b"] == pytest.approx(1.0)
+
+    down = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], "x long, y long")
+    r = kendall_tau_lattice(down, "x", "y", grid=4).collect()[0]
+    assert (r["concordant"], r["discordant"]) == (0.0, 3.0)
+    assert r["tau_b"] == pytest.approx(-1.0)
+
+
+def test_kendall_tau_lattice_ties_and_constant_axis(spark):
+    from arrow_spark.operators.stats_tests import kendall_tau_lattice
+
+    # constant x axis: every pair is an x-tie, tau undefined -> NULL
+    const = spark.createDataFrame([(5, 1), (5, 2), (5, 3)], "x long, y long")
+    r = kendall_tau_lattice(const, "x", "y", grid=4).collect()[0]
+    assert r["ties_x"] == pytest.approx(3.0) and r["tau_b"] is None
+
+    # mixed: (1,1),(2,2),(2,3),(3,1) at fine grid: C pairs {12,13}=2... 
+    # brute force: pairs (1,2):C (1,3):C (1,4):D? (1,1)v(3,1): y tie.
+    # (2,3): x tie. (2,4):D. (3,4):D. C=2 D=2 tx=1 ty=1 n0=6
+    mixed = spark.createDataFrame(
+        [(1, 1), (2, 2), (2, 3), (3, 1)], "x long, y long"
+    )
+    r = kendall_tau_lattice(mixed, "x", "y", grid=8).collect()[0]
+    assert (r["concordant"], r["discordant"]) == (2.0, 2.0)
+    assert (r["ties_x"], r["ties_y"]) == (1.0, 1.0)
+    assert r["tau_b"] == pytest.approx(0.0)
