@@ -51,6 +51,8 @@ __all__ = [
     "anova_oneway_cells",
     "jarque_bera",
     "kendall_tau_lattice",
+    "permutation_test_hash",
+    "runs_test",
 ]
 
 
@@ -751,4 +753,163 @@ def kendall_tau_lattice(
         F.col("ties_x").cast("double").alias("ties_x"),
         F.col("ties_y").cast("double").alias("ties_y"),
         F.when(denom > 0, s / denom).alias("tau_b"),
+    )
+
+
+def permutation_test_hash(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_col: str,
+    n_perms: int = 64,
+) -> DataFrame:
+    """Permutation test for a difference in group means, with
+    DETERMINISTIC hash permutations → one row
+    (n, stat_obs, b_valid, cnt_ge, p_value).
+
+    A classical permutation test shuffles labels; a distributed,
+    replayable engine cannot shuffle (no stable row order, no shared
+    RNG), so permutation b assigns each row the label
+    parity(md5(key:b)) — i.i.d. fair coin labels, reproducible on any
+    engine that computes md5 (the oracle replays them hash-for-hash).
+    stat = |mean₀ − mean₁|; p = (1 + #{b: stat_b ≥ stat_obs})
+    / (1 + B_valid) (add-one: the observed labeling counts as one
+    permutation). Permutations where a side is empty are excluded from
+    B_valid (degenerate, stat undefined — NULL never compares).
+
+    Scale: the explode is B× map work but the shuffle is partially
+    aggregated to 2(B+1) cells regardless of row count — B is the
+    cost/resolution dial. Sums are exact decimal(38,0); each stat is
+    a fixed IEEE tree; comparisons are on identical doubles."""
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(group_col).cast("long").alias("gobs"),
+    ).where(F.col("v").isNotNull() & F.col("gobs").isNotNull())
+    bs = F.explode(
+        F.array(*[F.lit(b) for b in range(-1, n_perms)])
+    ).alias("b")
+    lab = F.when(
+        F.col("b") == -1, F.col("gobs")
+    ).otherwise(
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("k"), F.col("b"))), 1, 1), 16, 10)
+        .cast("long")
+        % 2
+    )
+    cells = (
+        base.select("k", "v", "gobs", bs)
+        .withColumn("g", lab)
+        .groupBy("b", "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast(d38)).alias("s"),
+        )
+    )
+    wide = cells.groupBy("b").agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("s"))).alias("s1"),
+    )
+    stat = F.abs(
+        F.col("s0").cast("double") / F.col("n0").cast("double")
+        - F.col("s1").cast("double") / F.col("n1").cast("double")
+    )
+    stats = wide.select(
+        "b",
+        F.when(
+            F.col("n0").isNotNull()
+            & F.col("n1").isNotNull()
+            & (F.col("n0") > 0)
+            & (F.col("n1") > 0),
+            stat,
+        ).alias("stat"),
+    )
+    obs = stats.where(F.col("b") == -1).select(
+        F.col("stat").alias("stat_obs")
+    )
+    perms = stats.where(F.col("b") >= 0)
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = perms.crossJoin(F.broadcast(obs)).agg(
+        F.sum(F.when(F.col("stat").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("b_valid"),
+        F.sum(F.when(F.col("stat") >= F.col("stat_obs"), 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_ge"),
+        F.max("stat_obs").alias("stat_obs"),
+    )
+    return n_row.crossJoin(F.broadcast(agg)).select(
+        "n",
+        "stat_obs",
+        "b_valid",
+        "cnt_ge",
+        F.when(
+            F.col("b_valid") > 0,
+            (F.col("cnt_ge") + 1).cast("double")
+            / (F.col("b_valid") + 1).cast("double"),
+        ).alias("p_value"),
+    )
+
+
+def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a sequence around its
+    median → one row (n, n_above, n_below, runs, z).
+
+    Signs come from the doubled exact interpolated median (the
+    brown_forsythe convention: 2v > med2 ⇒ above, ties count below —
+    integer compares only); runs = 1 + Σ[sign ≠ lag(sign)] in order;
+    z = (R − μ)/sqrt(var) with μ = 1 + 2ab/n,
+    var = 2ab(2ab − n)/(n²(n−1)) — one fixed IEEE tree, NULL when a
+    side is empty or var ≤ 0.
+
+    Intended for LATTICE-sized series (daily/hourly aggregates): the
+    one ordered window runs over the aggregate frame, which grows with
+    TIME, not volume. The row-scale input should already be folded by
+    the caller."""
+    d = df.select(
+        F.col(order_col).alias("t"), F.col(value_col).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    med = d.agg(
+        F.floor(2 * F.percentile("v", F.lit(0.5)) + F.lit(0.5))
+        .cast("long")
+        .alias("med2")
+    )
+    signed = d.crossJoin(F.broadcast(med)).withColumn(
+        "sgn", (2 * F.col("v") > F.col("med2")).cast("int")
+    )
+    w = W.orderBy("t")
+    flips = signed.withColumn("prev", F.lag("sgn").over(w)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sgn").cast("long").alias("n_above"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("sgn") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("flips"),
+    )
+    a = F.col("n_above").cast("double")
+    bl = (F.col("n") - F.col("n_above")).cast("double")
+    nd = F.col("n").cast("double")
+    mu = F.lit(1.0) + F.lit(2.0) * a * bl / nd
+    var = (
+        F.lit(2.0)
+        * a
+        * bl
+        * (F.lit(2.0) * a * bl - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    runs = (F.col("flips") + 1).alias("runs")
+    return flips.select(
+        "n",
+        "n_above",
+        (F.col("n") - F.col("n_above")).alias("n_below"),
+        runs,
+        F.when(
+            (F.col("n_above") > 0) & (F.col("n") > F.col("n_above")) & (var > 0),
+            ((F.col("flips") + 1).cast("double") - mu) / F.sqrt(var),
+        ).alias("z"),
     )

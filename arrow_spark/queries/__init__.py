@@ -205,4 +205,6 @@ _DEFER_NEW: tuple[str, ...] = (
     "analytics_abc_classification",
     "dedup_containment_pairs",
     "stats_kendall_tau",
+    "stats_permutation_test",
+    "stats_runs_test",
 )

@@ -1008,3 +1008,139 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", F.coalesce(F.col("spend"), F.lit(0)).cast("long").alias("y")
     )
     return kendall_tau_lattice(base, "x", "y", grid=64)
+
+
+PERMUTATION_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         o_orderkey % 2 AS gobs
+  FROM orders
+),
+lab AS (
+  SELECT b.b, base.v,
+         CASE WHEN b.b = -1 THEN base.gobs
+              ELSE ('0x' || substr(md5(base.k || ':' || b.b), 1, 1))::BIGINT % 2
+         END AS g
+  FROM base CROSS JOIN generate_series(-1, 63) b(b)
+),
+cells AS (
+  SELECT b, g, CAST(count(*) AS BIGINT) AS n, sum(CAST(v AS HUGEINT)) AS s
+  FROM lab GROUP BY b, g
+),
+wide AS (
+  SELECT b,
+         max(CASE WHEN g = 0 THEN n END) AS n0,
+         max(CASE WHEN g = 0 THEN s END) AS s0,
+         max(CASE WHEN g = 1 THEN n END) AS n1,
+         max(CASE WHEN g = 1 THEN s END) AS s1
+  FROM cells GROUP BY b
+),
+stats AS (
+  SELECT b,
+         CASE WHEN n0 IS NOT NULL AND n1 IS NOT NULL AND n0 > 0 AND n1 > 0
+              THEN abs(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         END AS stat
+  FROM wide
+),
+obs AS (SELECT stat AS stat_obs FROM stats WHERE b = -1),
+agg AS (
+  SELECT CAST(sum(CASE WHEN stat IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_valid,
+         CAST(sum(CASE WHEN stat >= obs.stat_obs THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ge,
+         max(obs.stat_obs) AS stat_obs
+  FROM stats CROSS JOIN obs WHERE b >= 0
+),
+n_row AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+SELECT n, stat_obs, b_valid, cnt_ge,
+       CASE WHEN b_valid > 0
+            THEN CAST(cnt_ge + 1 AS DOUBLE) / CAST(b_valid + 1 AS DOUBLE)
+       END AS p_value
+FROM n_row CROSS JOIN agg
+"""
+
+
+@query("stats_permutation_test", oracle=PERMUTATION_ORACLE)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the mean total-price difference between
+    the o_orderkey parity halves, with 64 DETERMINISTIC hash
+    permutations (operators/stats_tests.py::permutation_test_hash):
+    a distributed engine cannot shuffle labels, so permutation b
+    labels each row parity(md5(key:b)) — reproducible on any engine
+    with md5, which is exactly how the oracle replays it
+    hash-for-hash. The explode is B× map work but the shuffle is
+    partially aggregated to 2(B+1) cells at any scale; B is the
+    resolution dial. Exact decimal sums; p = (1+#{stat_b ≥ stat_obs})
+    / (1+B)."""
+    from arrow_spark.operators.stats_tests import permutation_test_hash
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        (F.col("o_orderkey") % 2).alias("g"),
+    )
+    return permutation_test_hash(o, "k", "v", "g", n_perms=64)
+
+
+RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS t,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT CAST(floor(2 * quantile_cont(v, 0.5) + 0.5) AS BIGINT) AS med2 FROM daily
+),
+signed AS (
+  SELECT t, CASE WHEN 2 * v > med.med2 THEN 1 ELSE 0 END AS sgn
+  FROM daily CROSS JOIN med
+),
+flips AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sgn) AS BIGINT) AS n_above,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS flips
+  FROM (SELECT t, sgn, lag(sgn) OVER (ORDER BY t) AS prev FROM signed)
+),
+folded AS (
+  SELECT n, n_above, n - n_above AS n_below, flips + 1 AS runs,
+         CAST(n_above AS DOUBLE) AS a,
+         CAST(n - n_above AS DOUBLE) AS bl,
+         CAST(n AS DOUBLE) AS nd
+  FROM flips
+),
+v AS (
+  SELECT *, 2.0 * a * bl * (2.0 * a * bl - nd) / (nd * nd * (nd - 1.0)) AS var
+  FROM folded
+)
+SELECT n, n_above, n_below, runs,
+       CASE WHEN n_above > 0 AND n > n_above AND var > 0
+            THEN (CAST(runs AS DOUBLE) - (1.0 + 2.0 * a * bl / nd)) / sqrt(var)
+       END AS z
+FROM v
+"""
+
+
+@query("stats_runs_test", oracle=RUNS_TEST_ORACLE)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of DAILY revenue around
+    its median (operators/stats_tests.py::runs_test): signs from the
+    doubled exact interpolated median (integer compares, ties below),
+    runs counted as sign flips over the day order, normal z with
+    NULL-guarded degenerate cases. The ordered window runs over the
+    DAY LATTICE (grows with time, not volume); the row-scale stage is
+    one map-side-combined daily group-by."""
+    from arrow_spark.operators.stats_tests import runs_test
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("t"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("t")
+        .agg(F.sum("cents").cast("long").alias("v"))
+    )
+    return runs_test(daily, "t", "v")

@@ -363,3 +363,59 @@ def test_kendall_tau_lattice_ties_and_constant_axis(spark):
     assert (r["concordant"], r["discordant"]) == (2.0, 2.0)
     assert (r["ties_x"], r["ties_y"]) == (1.0, 1.0)
     assert r["tau_b"] == pytest.approx(0.0)
+
+
+def test_permutation_test_separated_groups_small_p(spark):
+    from arrow_spark.operators.stats_tests import permutation_test_hash
+
+    # perfectly separated groups: observed stat is near the maximum any
+    # coin-flip relabeling can reach, so p must be small
+    rows = [(i, 10, 0) for i in range(40)] + [(i + 100, 1000, 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long, g long")
+    r = permutation_test_hash(df, "k", "v", "g", n_perms=32).collect()[0]
+    assert r["n"] == 80
+    assert r["stat_obs"] == pytest.approx(990.0)
+    assert r["b_valid"] == 32 and r["cnt_ge"] == 0
+    assert r["p_value"] == pytest.approx(1.0 / 33.0)
+
+
+def test_permutation_test_identical_groups_large_p(spark):
+    from arrow_spark.operators.stats_tests import permutation_test_hash
+
+    # all values equal: every permutation stat is exactly 0 == stat_obs
+    rows = [(i, 5, i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, v long, g long")
+    r = permutation_test_hash(df, "k", "v", "g", n_perms=16).collect()[0]
+    assert r["stat_obs"] == pytest.approx(0.0)
+    assert r["cnt_ge"] == r["b_valid"]
+    assert r["p_value"] == pytest.approx(1.0)
+
+
+def test_runs_test_alternating_and_blocked(spark):
+    from arrow_spark.operators.stats_tests import runs_test
+
+    # perfectly alternating around the median: runs = n (max), z > 0
+    alt = spark.createDataFrame(
+        [(t, 10 if t % 2 == 0 else 20) for t in range(20)], "t long, v long"
+    )
+    r = runs_test(alt, "t", "v").collect()[0]
+    # med2 = 30; sign = v*2 > 30 -> above for 20s
+    assert (r["n"], r["n_above"], r["n_below"]) == (20, 10, 10)
+    assert r["runs"] == 20
+    assert r["z"] > 3.0
+
+    # two solid blocks: runs = 2 (min), z < 0
+    blocks = spark.createDataFrame(
+        [(t, 10) for t in range(10)] + [(t + 10, 20) for t in range(10)],
+        "t long, v long",
+    )
+    r = runs_test(blocks, "t", "v").collect()[0]
+    assert r["runs"] == 2 and r["z"] < -3.0
+
+
+def test_runs_test_constant_series_z_null(spark):
+    from arrow_spark.operators.stats_tests import runs_test
+
+    const = spark.createDataFrame([(t, 7) for t in range(10)], "t long, v long")
+    r = runs_test(const, "t", "v").collect()[0]
+    assert r["n_above"] == 0 and r["z"] is None
