@@ -234,7 +234,17 @@ def exact_quantiles_grouped(
     row sort; the ONLY row-scale stages are one group-key join and
     one map-side-combined count. This is the exact analog of a
     grouped ``approx_percentile`` for audit/SLO cuts that cannot
-    tolerate GK error."""
+    tolerate GK error.
+
+    Skew note: unlike the ungrouped form (which escalates hot buckets
+    via the driver-side recursive locate above), this grouped plan
+    stays fully declarative — a data-dependent per-group escalation
+    would need an unbounded per-group metadata collect. A (group,
+    bucket) cell holding ≫ n_g/n_buckets rows (near-constant column
+    within one group) therefore sorts that cell in one window
+    partition; the named escalation is an unconditional second
+    bucketing level keyed by (group, bucket), worth adding if a
+    profiled workload hits it."""
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     v = F.col(value_col).cast("long")
     base = df.where(v.isNotNull()).select(*gcols, v.alias("v"))

@@ -178,3 +178,75 @@ def test_table_join_coalesce_modes_match_pyarrow(spark):
                 coalesce_keys=coalesce,
             )._df.toArrow()
             assert _rows(want) == _rows(got), (join_type, coalesce)
+
+
+def test_ipc_files_readable_by_pyarrow_feather(spark, tmp_path):
+    """Interop, not just round-trip: files our writer emits must be
+    readable by the reference's own Feather/IPC reader, and files the
+    reference writes must be readable by our reader — equal contents
+    both ways."""
+    import pyarrow.feather as feather
+
+    from arrow_spark.sources import read_ipc, write_ipc
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    want = sorted(
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in src.collect()
+    )
+
+    # ours -> pyarrow
+    out = str(tmp_path / "nation_ipc")
+    write_ipc(src, out, compression="zstd")
+    parts = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".arrow")
+    )
+    assert parts
+    got = []
+    for p in parts:
+        t = feather.read_table(p)
+        got += list(
+            zip(
+                t.column("n_nationkey").to_pylist(),
+                t.column("n_name").to_pylist(),
+                t.column("n_regionkey").to_pylist(),
+            )
+        )
+    assert sorted(got) == want
+
+    # pyarrow -> ours
+    pa_dir = tmp_path / "nation_pa"
+    pa_dir.mkdir()
+    feather.write_feather(
+        pq.read_table(os.path.join(SF_DIR, "nation.parquet")),
+        str(pa_dir / "part-0.arrow"),
+        compression="zstd",
+    )
+    back = read_ipc(spark, str(pa_dir))
+    got2 = sorted(
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in back.collect()
+    )
+    assert got2 == want
+
+
+def test_multifile_dataset_scan_matches_pyarrow(spark, tmp_path):
+    """Multi-file dataset discovery: the same two-file directory read
+    by pyarrow.dataset and by the facade yields identical filtered
+    projections (order-insensitive) and identical count_rows."""
+    src = pq.read_table(os.path.join(SF_DIR, "customer.parquet"))
+    d = tmp_path / "multi"
+    d.mkdir()
+    n = src.num_rows
+    pq.write_table(src.slice(0, n // 2), str(d / "a.parquet"))
+    pq.write_table(src.slice(n // 2), str(d / "b.parquet"))
+
+    want = pads.dataset(str(d)).to_table(
+        columns=["c_custkey", "c_acctbal"], filter=pc.field("c_acctbal") > 0
+    )
+    got = spark_dataset(spark, str(d)).to_table(
+        columns=["c_custkey", "c_acctbal"], filter="c_acctbal > 0"
+    )
+    assert want.num_rows > 0
+    assert _rows(want) == _rows(got)
+    assert pads.dataset(str(d)).count_rows() == spark_dataset(
+        spark, str(d)
+    ).count_rows()
