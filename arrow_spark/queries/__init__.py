@@ -207,4 +207,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "stats_kendall_tau",
     "stats_permutation_test",
     "stats_runs_test",
+    "embedding_covariance",
 )

@@ -704,3 +704,51 @@ def similarity_eval_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best").isNotNull(), F.lit(1.0) / F.col("best").cast("double")
         ).alias("mrr"),
     )
+
+
+COVARIANCE_ORACLE = """
+WITH e AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+flat AS (
+  SELECT i.i AS i, u.j AS j,
+         sum(CAST(e[i.i + 1] AS HUGEINT) * CAST(e[u.j + 1] AS HUGEINT)) AS gram
+  FROM e CROSS JOIN generate_series(0, 63) i(i)
+         CROSS JOIN generate_series(0, 63) u(j)
+  WHERE i.i <= u.j GROUP BY 1, 2
+),
+s AS (
+  SELECT i.i AS i, sum(CAST(e[i.i + 1] AS HUGEINT)) AS s
+  FROM e CROSS JOIN generate_series(0, 63) i(i) GROUP BY 1
+)
+SELECT f.i, f.j, n.n,
+       CAST(f.gram AS DOUBLE) AS gram,
+       CAST(si.s AS DOUBLE) AS s_i, CAST(sj.s AS DOUBLE) AS s_j,
+       CASE WHEN n.n > 0 THEN
+         (CAST(n.n AS DOUBLE) * CAST(f.gram AS DOUBLE)
+          - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE))
+         / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE))
+       END AS cov
+FROM flat f JOIN s si ON si.i = f.i JOIN s sj ON sj.i = f.j CROSS JOIN n
+"""
+
+
+@query("embedding_covariance", oracle=COVARIANCE_ORACLE)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT covariance upper triangle of the embedding corpus on the
+    milli-snapped integer lattice (llm/similarity.py::
+    embedding_covariance) — the PCA/whitening/anisotropy input. Each
+    Arrow batch computes its int64 Gram matrix with ONE numpy matmul
+    inside mapInArrow; the shuffle folds ≤ dim²/2+dim+1 partial cells
+    per task regardless of corpus size. The oracle recomputes the same
+    sums by per-dimension unnesting — different algebra, identical
+    exact integers; cov spends one fixed IEEE tree."""
+    from arrow_spark.llm.similarity import embedding_covariance
+
+    return embedding_covariance(
+        table(spark, sf_dir, "embeddings"), "embedding", dim=64
+    )
