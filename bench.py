@@ -224,6 +224,17 @@ HEADLINE = [
     "stats_mad_robust",
     "quality_entropy_profile",
     "text_type_token_ratio",
+    # round-8 representatives: the B-fold hash-permutation explode
+    # (heaviest new map stage), the densified-grid tau (window family),
+    # the mapInArrow integer Gram matmul (embedding family), the
+    # grouped bucket-locate quantiles, and the contained-side prefix
+    # join over the near-dup-dense templated corpus (heaviest new
+    # candidate generator).
+    "stats_permutation_test",
+    "stats_kendall_tau",
+    "embedding_covariance",
+    "exact_quantiles_grouped",
+    "dedup_containment_pairs",
 ]
 
 # The driver records only the LAST ~2000 characters of stdout, so the
