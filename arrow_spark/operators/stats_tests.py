@@ -53,6 +53,7 @@ __all__ = [
     "kendall_tau_lattice",
     "permutation_test_hash",
     "runs_test",
+    "friedman_test",
 ]
 
 
@@ -912,4 +913,72 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
             (F.col("n_above") > 0) & (F.col("n") > F.col("n_above")) & (var > 0),
             ((F.col("flips") + 1).cast("double") - mu) / F.sqrt(var),
         ).alias("z"),
+    )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Friedman rank test (repeated measures across k groups over n
+    blocks) → one row (k, n_blocks, sum_rank2_sq, chi2).
+
+    Within each COMPLETE block (all k groups present exactly once),
+    values take tie-averaged ranks kept integer by DOUBLING:
+    r2 = 2·(rank−1) + ties + 1. Per-group doubled rank sums R2_j are
+    exact BIGINT, Σ R2_j² exact decimal, and
+    χ² = 3·Σ R2_j²/(n·k·(k+1)) − 3·n·(k+1) (the untied Friedman
+    statistic with averaged ties) spends one fixed IEEE tree.
+    Incomplete blocks are dropped (the classical test requires a full
+    design); k from the group domain.
+
+    Scale: ranks run in k-row windows partitioned by BLOCK — intended
+    for lattice blocks (days, stores), so the ranked frame is
+    aggregate-sized; the row-scale stage is whatever group-by built
+    the (block, group, value) cells upstream."""
+    d38 = "decimal(38,0)"
+    cells = df.select(
+        F.col(block_col).alias("t"),
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull())
+    k_row = cells.agg(F.countDistinct("g").cast("long").alias("k"))
+    complete = (
+        cells.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.countDistinct("g").cast("long").alias("dg"),
+        )
+        .crossJoin(F.broadcast(k_row))
+        .where((F.col("c") == F.col("k")) & (F.col("dg") == F.col("k")))
+        .select("t")
+    )
+    kept = cells.join(complete, "t")
+    wr = W.partitionBy("t").orderBy("v")
+    wt = W.partitionBy("t", "v")
+    ranked = kept.withColumn(
+        "r2",
+        2 * (F.rank().over(wr) - 1) + F.count(F.lit(1)).over(wt) + 1,
+    )
+    per_group = ranked.groupBy("g").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    agg = per_group.agg(
+        F.max("n_blocks").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r2_sum").cast(d38) * F.col("r2_sum").cast(d38)).alias(
+            "sum_rank2_sq"
+        ),
+    )
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    chi2 = (
+        F.lit(3.0) * F.col("sum_rank2_sq").cast("double") / (nd * kd * (kd + 1.0))
+        - F.lit(3.0) * nd * (kd + 1.0)
+    )
+    return agg.select(
+        "k",
+        "n_blocks",
+        F.col("sum_rank2_sq").cast("double").alias("sum_rank2_sq"),
+        F.when((F.col("n_blocks") > 0) & (F.col("k") > 1), chi2).alias("chi2"),
     )

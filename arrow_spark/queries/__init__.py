@@ -208,4 +208,5 @@ _DEFER_NEW: tuple[str, ...] = (
     "stats_permutation_test",
     "stats_runs_test",
     "embedding_covariance",
+    "stats_friedman",
 )

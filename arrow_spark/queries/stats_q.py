@@ -1144,3 +1144,72 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("long").alias("v"))
     )
     return runs_test(daily, "t", "v")
+
+
+FRIEDMAN_ORACLE = """
+WITH cells AS (
+  SELECT o_orderdate AS t, o_orderpriority AS g,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+),
+kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM cells),
+complete AS (
+  SELECT t FROM cells CROSS JOIN kk
+  GROUP BY t, kk.k
+  HAVING count(*) = kk.k AND count(DISTINCT g) = kk.k
+),
+kept AS (SELECT c.* FROM cells c JOIN complete USING (t)),
+ranked AS (
+  SELECT t, g,
+         2 * (rank() OVER (PARTITION BY t ORDER BY v) - 1)
+           + count(*) OVER (PARTITION BY t, v) + 1 AS r2
+  FROM kept
+),
+per_group AS (
+  SELECT g, CAST(sum(r2) AS BIGINT) AS r2_sum,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY g
+),
+agg AS (
+  SELECT max(n_blocks) AS n_blocks, CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(r2_sum AS HUGEINT) * CAST(r2_sum AS HUGEINT)) AS sum_rank2_sq
+  FROM per_group
+)
+SELECT k, n_blocks, CAST(sum_rank2_sq AS DOUBLE) AS sum_rank2_sq,
+       CASE WHEN n_blocks > 0 AND k > 1 THEN
+         3.0 * CAST(sum_rank2_sq AS DOUBLE)
+           / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+              * (CAST(k AS DOUBLE) + 1.0))
+         - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+       END AS chi2
+FROM agg
+"""
+
+
+@query("stats_friedman", oracle=FRIEDMAN_ORACLE)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of daily revenue across the 5 order
+    priorities over complete day blocks
+    (operators/stats_tests.py::friedman_test): tie-averaged DOUBLED
+    ranks inside 5-row day-partitioned windows (the ranked frame is
+    the day×priority LATTICE — aggregate-sized at any volume), exact
+    integer rank sums, χ² as one fixed IEEE tree. The nonparametric
+    'do priorities earn differently day after day?' answer that
+    one-way ANOVA gives parametrically."""
+    from arrow_spark.operators.stats_tests import friedman_test
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderpriority").alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    return friedman_test(daily, "t", "g", "v")

@@ -419,3 +419,37 @@ def test_runs_test_constant_series_z_null(spark):
     const = spark.createDataFrame([(t, 7) for t in range(10)], "t long, v long")
     r = runs_test(const, "t", "v").collect()[0]
     assert r["n_above"] == 0 and r["z"] is None
+
+
+def test_friedman_perfect_ordering_hand_truth(spark):
+    from arrow_spark.operators.stats_tests import friedman_test
+
+    # 3 blocks, k=3, identical ordering A<B<C every block:
+    # untied ranks (1,2,3) doubled -> R2 = (6,12,18), sum sq = 504,
+    # chi2 = 3*504/(3*3*4) - 3*3*4 = 6 (the n=3,k=3 maximum)
+    rows = []
+    for t in range(3):
+        rows += [(t, "A", 10 + t), (t, "B", 20 + t), (t, "C", 30 + t)]
+    df = spark.createDataFrame(rows, "t long, g string, v long")
+    r = friedman_test(df, "t", "g", "v").collect()[0]
+    assert (r["k"], r["n_blocks"]) == (3, 3)
+    assert r["sum_rank2_sq"] == pytest.approx(504.0)
+    assert r["chi2"] == pytest.approx(6.0)
+
+
+def test_friedman_ties_and_incomplete_blocks(spark):
+    from arrow_spark.operators.stats_tests import friedman_test
+
+    # block 0: A=B tie (doubled ranks 3,3,6); block 1: untied (2,4,6);
+    # block 2 is INCOMPLETE (2 of 3 groups) and must be dropped
+    rows = [
+        (0, "A", 5), (0, "B", 5), (0, "C", 9),
+        (1, "A", 1), (1, "B", 2), (1, "C", 3),
+        (2, "A", 1), (2, "B", 2),
+    ]
+    df = spark.createDataFrame(rows, "t long, g string, v long")
+    r = friedman_test(df, "t", "g", "v").collect()[0]
+    assert (r["k"], r["n_blocks"]) == (3, 2)
+    # R2: A=3+2=5, B=3+4=7, C=6+6=12 -> sum sq = 25+49+144 = 218
+    assert r["sum_rank2_sq"] == pytest.approx(218.0)
+    assert r["chi2"] == pytest.approx(3.0 * 218 / (2 * 3 * 4) - 3.0 * 2 * 4)
