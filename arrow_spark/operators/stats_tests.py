@@ -523,8 +523,12 @@ def mann_whitney_u(
         .withColumn("r2", 2 * F.col("cb") + cnt + 1)
     )
     cntd = cnt.cast(d38)
+    # accumulate d1*r2 in decimal(38,0): r1_x2 ~ N(N+1) overflows int64
+    # past ~3e9 rows (same reason tie_t is decimal); cast down only at output
     agg = ranked.agg(
-        F.sum(F.col("d1") * F.col("r2")).cast("long").alias("r1_x2"),
+        F.sum(F.col("d1").cast(d38) * F.col("r2").cast(d38))
+        .cast("long")
+        .alias("r1_x2"),
         F.sum(cntd * cntd * cntd - cntd).alias("tie_t"),
     )
     n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
@@ -836,18 +840,25 @@ def permutation_test_hash(
         F.sum(F.when(F.col("stat").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("b_valid"),
-        F.sum(F.when(F.col("stat") >= F.col("stat_obs"), 1).otherwise(0))
+        F.sum(
+            F.when(
+                F.col("stat_obs").isNotNull() & (F.col("stat") >= F.col("stat_obs")),
+                1,
+            ).otherwise(0)
+        )
         .cast("long")
         .alias("cnt_ge"),
         F.max("stat_obs").alias("stat_obs"),
     )
+    # degenerate OBSERVED labeling (a group empty) ⇒ stat_obs NULL ⇒ the
+    # test is undefined: emit NULL p, not a spuriously significant 1/(B+1)
     return n_row.crossJoin(F.broadcast(agg)).select(
         "n",
         "stat_obs",
         "b_valid",
         "cnt_ge",
         F.when(
-            F.col("b_valid") > 0,
+            (F.col("b_valid") > 0) & F.col("stat_obs").isNotNull(),
             (F.col("cnt_ge") + 1).cast("double")
             / (F.col("b_valid") + 1).cast("double"),
         ).alias("p_value"),

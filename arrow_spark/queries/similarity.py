@@ -712,6 +712,7 @@ WITH e AS (
            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
 flat AS (

@@ -146,13 +146,21 @@ class Table:
         out = ldf.join(rdf, cond, jt)
         if coalesce_keys:
             # pyarrow parity (acero.py _perform_join coalesce_keys=True):
-            # right key columns fold into the left key names and vanish
-            # from the output; full outer takes whichever side matched
+            # inner/left fold right keys into the left names; full outer
+            # coalesces sides under the left name; right outer keeps the
+            # RIGHT key column (populated for unmatched right rows) and the
+            # left key vanishes — output order left non-keys, then right
             if jt == "full":
                 for a, b in zip(lk, rk):
                     out = out.withColumn(a, F.coalesce(ldf[a], rdf[b]))
-            for b in rk:
-                out = out.drop(rdf[b])
+                for b in rk:
+                    out = out.drop(rdf[b])
+            elif jt == "right":
+                for a in lk:
+                    out = out.drop(ldf[a])
+            else:
+                for b in rk:
+                    out = out.drop(rdf[b])
         return Table(out)
 
     def join_asof(

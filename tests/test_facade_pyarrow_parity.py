@@ -160,14 +160,16 @@ def test_table_join_matches_pyarrow(spark):
 
 def test_table_join_coalesce_modes_match_pyarrow(spark):
     """coalesce_keys parity on differing key names: True folds the
-    right key into the left name (full outer takes whichever side
-    matched); False keeps both key columns — exactly pyarrow's
-    acero.py _perform_join behavior, checked live."""
+    right key into the left name for inner/left (full outer takes
+    whichever side matched); right outer keeps the RIGHT key column
+    (populated for unmatched right rows) and drops the left key;
+    False keeps both key columns — exactly pyarrow's acero.py
+    _perform_join behavior, checked live."""
     lt = pa.table({"lk": [1, 2, 3], "v": [10, 20, 30]})
     rt = pa.table({"rk": [2, 3, 4], "w": [200, 300, 400]})
     ls = Table(spark.createDataFrame(lt.to_pylist(), "lk long, v long"))
     rs = Table(spark.createDataFrame(rt.to_pylist(), "rk long, w long"))
-    for join_type in ("inner", "full outer"):
+    for join_type in ("inner", "left outer", "right outer", "full outer"):
         for coalesce in (True, False):
             want = lt.join(
                 rt, "lk", right_keys="rk", join_type=join_type,

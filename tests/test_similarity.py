@@ -34,3 +34,19 @@ def test_embedding_covariance_skips_bad_rows(spark):
     df = spark.createDataFrame(rows, "embedding array<float>")
     out = embedding_covariance(df, dim=2).collect()
     assert all(r["n"] == 1 for r in out) and len(out) == 3
+
+
+def test_embedding_covariance_excludes_null_elements(spark):
+    """Element-level nulls would become NaN in to_numpy and NaN→int64 is
+    undefined (platform garbage) — such rows must be excluded, not
+    silently folded into the 'exact' cells."""
+    from arrow_spark.llm.similarity import embedding_covariance
+
+    rows = [([0.001, 0.002],), ([0.003, None],), ([None, None],)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = {(r["i"], r["j"]): r for r in embedding_covariance(df, dim=2).collect()}
+    assert all(r["n"] == 1 for r in out.values())
+    # only the clean row contributes: milli-snap [1, 2]
+    assert out[(0, 0)]["gram"] == 1.0
+    assert out[(0, 1)]["gram"] == 2.0
+    assert out[(1, 1)]["gram"] == 4.0

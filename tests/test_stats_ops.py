@@ -391,6 +391,19 @@ def test_permutation_test_identical_groups_large_p(spark):
     assert r["p_value"] == pytest.approx(1.0)
 
 
+def test_permutation_test_degenerate_observed_labeling_null_p(spark):
+    from arrow_spark.operators.stats_tests import permutation_test_hash
+
+    # observed labeling has ONE group: stat_obs is undefined, so p_value
+    # must be NULL — not a spuriously significant 1/(B_valid+1)
+    rows = [(i, i * 3, 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v long, g long")
+    r = permutation_test_hash(df, "k", "v", "g", n_perms=16).collect()[0]
+    assert r["stat_obs"] is None
+    assert r["p_value"] is None
+    assert r["cnt_ge"] == 0
+
+
 def test_runs_test_alternating_and_blocked(spark):
     from arrow_spark.operators.stats_tests import runs_test
 
