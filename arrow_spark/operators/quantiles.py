@@ -403,3 +403,121 @@ def exact_quantiles_weighted(
         )
         .select("q_mille", "rank_w", F.col("v").alias("value"))
     )
+
+
+_MODES = ("linear", "lower", "higher", "nearest", "midpoint")
+
+
+def quantile_interpolated(
+    df: DataFrame,
+    value_col: str,
+    q_mille: Sequence[int],
+    interpolations: Sequence[str] = _MODES,
+    n_buckets: int = 256,
+    hot_bucket_rows: int | None = None,
+    hot_bucket_factor: int = 8,
+    max_recursion: int = 1,
+) -> DataFrame:
+    """Arrow's five ``QuantileOptions.interpolation`` modes over an
+    integer column, exactly and distributed: (q_mille, interpolation,
+    value double).
+
+    Reference semantics (cpp/src/arrow/compute/api_aggregate.h:139,
+    kernels/aggregate_quantile.cc::QuantileToDataPoint): with sorted
+    values v[0..n-1], index = (n-1)·q, di = ⌊index⌋, frac = index−di:
+
+    - LINEAR   v[di] + frac·(v[di+1] − v[di])
+    - LOWER    v[di]
+    - HIGHER   v[di] if frac == 0 else v[di+1]
+    - NEAREST  LOWER if frac < 0.5, HIGHER if frac > 0.5, and at
+      exactly 0.5 banker's rounding on di (even → LOWER, odd → HIGHER)
+    - MIDPOINT (v[di] + v[di+1 if frac else di]) / 2
+
+    (``exact_quantiles`` above serves a DIFFERENT, also-exact contract:
+    nearest-rank k = ⌈q·n⌉ — the order statistic itself, no
+    interpolation. This operator is the Arrow-parity surface.)
+
+    Determinism: q is per-mille, so the locate is pure integer —
+    num = (n−1)·q_mille, di = num div 1000, rem = num mod 1000 — and
+    frac comparisons are integer compares on rem. The two bracketing
+    order statistics come from the same driver-side bucket locate as
+    ``exact_quantiles`` (bounded metadata: 1 stats row + ≤n_buckets
+    cells per level, hot-bucket escalation included); the float
+    combine is one fixed IEEE tree per mode, identical cross-engine.
+
+    Scale: identical profile to ``exact_quantiles`` — the only
+    row-scale stages are one map-side-combined bucket count and the
+    located-bucket readoff behind a literal IN pushdown; output is
+    |q|·|modes| rows."""
+    spark = df.sparkSession
+    modes = [m.lower() for m in interpolations]
+    bad = [m for m in modes if m not in _MODES]
+    if bad:
+        raise ValueError(f"unknown interpolation modes: {bad}")
+    v = F.col(value_col).cast("long")
+    base = df.where(v.isNotNull()).select(v.alias("v"))
+    head = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).first()
+    n = head["n"]
+    out_schema = "q_mille int, interpolation string, value double"
+    locs = []
+    for q in q_mille:
+        q = int(q)
+        if not 0 <= q <= 1000 or n == 0:
+            continue
+        num = (n - 1) * q
+        di, rem = num // 1000, num % 1000
+        locs.append((q, di, rem))
+    if not locs:
+        return spark.createDataFrame([], out_schema)
+    ranks = sorted(
+        {di + 1 for _, di, _ in locs} | {di + 2 for _, di, rem in locs if rem > 0}
+    )
+    values = _rank_values(
+        base,
+        n,
+        head["lo"],
+        head["hi"],
+        ranks,
+        n_buckets,
+        hot_bucket_rows,
+        hot_bucket_factor,
+        max_recursion,
+    )
+    qdf = spark.createDataFrame(
+        [
+            (q, di, rem, di + 1, (di + 2) if rem > 0 else (di + 1))
+            for q, di, rem in locs
+        ],
+        "q_mille int, di bigint, rem int, rlo bigint, rhi bigint",
+    )
+    vlo = values.select(F.col("rank").alias("rlo"), F.col("value").alias("vlo"))
+    vhi = values.select(F.col("rank").alias("rhi"), F.col("value").alias("vhi"))
+    brack = qdf.join(F.broadcast(vlo), "rlo").join(F.broadcast(vhi), "rhi")
+    lo_d = F.col("vlo").cast("double")
+    hi_d = F.col("vhi").cast("double")
+    rem_d = F.col("rem").cast("double")
+    mode_val = {
+        "linear": lo_d + rem_d * (F.col("vhi") - F.col("vlo")).cast("double") / F.lit(1000.0),
+        "lower": lo_d,
+        "higher": hi_d,
+        "nearest": F.when(F.col("rem") < 500, lo_d)
+        .when(F.col("rem") > 500, hi_d)
+        .otherwise(F.when(F.col("di") % 2 == 0, lo_d).otherwise(hi_d)),
+        "midpoint": (F.col("vlo") + F.col("vhi")).cast("double") / F.lit(2.0),
+    }
+    # one pass: a per-row inline array of (mode, value) structs — a
+    # 5-way union of selects would re-execute the whole locate subplan
+    # per mode (10 scans for a 25-cell result)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("interpolation"), mode_val[m].alias("value")
+            )
+            for m in modes
+        ]
+    )
+    return brack.select("q_mille", F.inline(pairs))

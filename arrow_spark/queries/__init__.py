@@ -209,4 +209,8 @@ _DEFER_NEW: tuple[str, ...] = (
     "stats_runs_test",
     "embedding_covariance",
     "stats_friedman",
+    # round 9: the registry is saturated (312/312 driver-green), so the
+    # sole newcomer sorts first among block-2 and the remaining ~49
+    # slots re-verify the stalest greens (block-4 rotation).
+    "agg_quantile_modes",
 )

@@ -2554,3 +2554,65 @@ def exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
     return exact_quantiles(l, "cents", [250, 500, 750, 900, 990])
+
+
+QUANTILE_MODES_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM base
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM base
+), loc AS (
+  SELECT q_mille,
+         (n.n - 1) * q_mille // 1000 AS di,
+         (n.n - 1) * q_mille % 1000 AS rem
+  FROM (SELECT unnest([250, 333, 500, 901, 990]) AS q_mille), n
+), brack AS (
+  SELECT l.q_mille, l.di, l.rem, lo.v AS vlo,
+         CASE WHEN l.rem = 0 THEN lo.v ELSE hi.v END AS vhi
+  FROM loc l
+  JOIN ranked lo ON lo.rn = l.di + 1
+  LEFT JOIN ranked hi ON hi.rn = l.di + 2
+)
+SELECT CAST(q_mille AS INT) AS q_mille, m.interpolation,
+       CASE m.interpolation
+         WHEN 'linear' THEN CAST(vlo AS DOUBLE)
+              + rem * CAST(vhi - vlo AS DOUBLE) / 1000.0
+         WHEN 'lower' THEN CAST(vlo AS DOUBLE)
+         WHEN 'higher' THEN CAST(vhi AS DOUBLE)
+         WHEN 'nearest' THEN CASE
+            WHEN rem < 500 THEN CAST(vlo AS DOUBLE)
+            WHEN rem > 500 THEN CAST(vhi AS DOUBLE)
+            WHEN di % 2 = 0 THEN CAST(vlo AS DOUBLE)
+            ELSE CAST(vhi AS DOUBLE) END
+         WHEN 'midpoint' THEN CAST(vlo + vhi AS DOUBLE) / 2.0
+       END AS value
+FROM brack
+CROSS JOIN (SELECT unnest(['linear','lower','higher','nearest','midpoint'])
+            AS interpolation) m
+"""
+
+
+@query("agg_quantile_modes", oracle=QUANTILE_MODES_ORACLE)
+def agg_quantile_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow's five QuantileOptions.interpolation modes (LINEAR, LOWER,
+    HIGHER, NEAREST, MIDPOINT — api_aggregate.h:139, aggregate_
+    quantile.cc::QuantileToDataPoint) over extended-price cents,
+    exactly and distributed (operators/quantiles.py::
+    quantile_interpolated): the two bracketing order statistics at
+    di = (n-1)*q div 1000 come from the same bounded-metadata bucket
+    locate as exact_quantiles (literal IN pushdown, hot-bucket
+    escalation), and each mode is one fixed IEEE combine. NEAREST
+    tie-breaks at frac == 0.5 with banker's rounding on di, exactly
+    like the reference. Oracle = naive full-sort row_number + the same
+    integer rank algebra — different plan, identical cells. Parity
+    with the reference binary itself is pinned in
+    tests/test_quantiles.py (randomized vs pc.quantile, all 5 modes)."""
+    from arrow_spark.operators.quantiles import quantile_interpolated
+
+    l = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return quantile_interpolated(l, "cents", [250, 333, 500, 901, 990])

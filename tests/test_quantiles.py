@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
+
 from arrow_spark.operators.quantiles import exact_quantiles
 
 
@@ -209,3 +211,67 @@ def test_exact_quantiles_weighted_skips_nonpositive_weights(spark):
     out = exact_quantiles_weighted(df, "x", "w", [1000], n_buckets=4)
     r = out.collect()[0]
     assert (r["rank_w"], r["value"]) == (2, 3)
+
+
+def test_quantile_interpolated_randomized_parity_vs_pyarrow(spark):
+    """All five Arrow interpolation modes, cell-exact vs the reference
+    binary's own pc.quantile on randomized inputs — including heavy
+    ties and a frac == 0.5 banker's-rounding case (NEAREST)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from arrow_spark.operators.quantiles import quantile_interpolated
+
+    rng = random.Random(421)
+    cases = [
+        [rng.randint(-500, 500) for _ in range(997)],   # generic, odd n
+        [rng.randint(0, 5) for _ in range(1000)],       # heavy ties, even n
+        [rng.randint(-10**9, 10**9) for _ in range(256)],  # wide range
+        [7],                                            # single row
+        [3, 9],                                         # n=2: q=500 -> frac .5
+    ]
+    qm = [0, 125, 250, 333, 500, 667, 875, 901, 1000]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            (r["q_mille"], r["interpolation"]): r["value"]
+            for r in quantile_interpolated(df, "x", qm, n_buckets=16).collect()
+        }
+        arr = pa.array(vals)
+        for q in qm:
+            for mode in ("linear", "lower", "higher", "nearest", "midpoint"):
+                want = pc.quantile(arr, q=q / 1000.0, interpolation=mode)[0].as_py()
+                # rel=1e-12: LINEAR's combine-order differs by one ULP on
+                # ~1e9-magnitude values (pyarrow computes frac as a double
+                # index fraction); data-point modes are exactly equal
+                assert got[(q, mode)] == pytest.approx(want, rel=1e-12, abs=1e-9), (
+                    len(vals), q, mode,
+                )
+
+
+def test_quantile_interpolated_nearest_bankers_tiebreak(spark):
+    """frac == 0.5 exactly: NEAREST rounds to even di like the reference
+    (QuantileToDataPoint: even di -> LOWER, odd di -> HIGHER)."""
+    from arrow_spark.operators.quantiles import quantile_interpolated
+
+    # n=3: q=250 -> index 0.5 (di=0 even -> LOWER=v[0]);
+    #      q=750 -> index 1.5 (di=1 odd -> HIGHER=v[2])
+    df = spark.createDataFrame([(10,), (20,), (30,)], "x long")
+    got = {
+        (r["q_mille"], r["interpolation"]): r["value"]
+        for r in quantile_interpolated(df, "x", [250, 750], ["nearest"]).collect()
+    }
+    assert got[(250, "nearest")] == 10.0
+    assert got[(750, "nearest")] == 30.0
+
+
+def test_quantile_interpolated_empty_and_nulls(spark):
+    from arrow_spark.operators.quantiles import quantile_interpolated
+
+    empty = spark.createDataFrame([], "x long")
+    assert quantile_interpolated(empty, "x", [500]).count() == 0
+    df = spark.createDataFrame([(None,), (5,), (None,)], "x long")
+    rows = quantile_interpolated(df, "x", [500]).collect()
+    assert all(r["value"] == 5.0 for r in rows) and len(rows) == 5
