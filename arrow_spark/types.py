@@ -156,6 +156,15 @@ def normalize_batch(batch, target_schema):
             col = col.cast(pa.int64())
             if src.unit == "ns":
                 col = pc.divide(col, 1000)
+        elif hasattr(pa.types, "is_run_end_encoded") and pa.types.is_run_end_encoded(
+            src
+        ):
+            # no REE→plain cast exists (ArrowNotImplementedError — found by
+            # the hypothesis sweep); decode explicitly, then cast if the
+            # value type itself also normalizes
+            col = pc.run_end_decode(col)
+            if not col.type.equals(f.type):
+                col = col.cast(f.type)
         elif pa.types.is_union(src):
             col = _decode_union(col, f.type)
         elif isinstance(src, pa.BaseExtensionType):
