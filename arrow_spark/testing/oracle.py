@@ -19,13 +19,17 @@ from arrow_spark.catalog import TABLES
 
 
 def duck_connection(sf_dir: str):
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # generated scale fixtures); driver fixtures are single files
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
