@@ -118,8 +118,10 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND_ORACLE = """
 SELECT
   l_orderkey, l_linenumber,
-  round(l_extendedprice, 1)             AS round_1,
-  round(l_extendedprice, -2)            AS round_m2,
+  CAST(round(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0)) / 100, 1)
+       AS DOUBLE)                       AS round_1,
+  CAST(round(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0)) / 100, -2)
+       AS DOUBLE)                       AS round_m2,
   round(l_extendedprice / 7, 0)         AS round_0,
   floor(l_extendedprice / 50) * 50      AS round_mult_down,
   ceil(l_extendedprice / 50) * 50       AS round_mult_up
@@ -129,14 +131,25 @@ FROM lineitem WHERE l_orderkey % 40 = 0
 
 @query("scalar_round_modes", oracle=ROUND_ORACLE)
 def scalar_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """round at +/- digits and round_to_multiple via floor/ceil compose."""
+    """round at +/- digits and round_to_multiple via floor/ceil compose.
+
+    round_1/round_m2 operate on the EXACT cent-snapped decimal (Arrow's
+    own RoundMode tests use exact inputs): rounding the raw double is
+    engine-divergent on half-of-a-tenth lattice values — the stored
+    double for X.?5 sits ~1e-12 below the decimal, Spark's BigDecimal
+    HALF_UP rounds the true binary value (down) while DuckDB's float
+    round re-parses the shortest repr '.?5' (up). Exact decimal inputs
+    make HALF_UP (Spark) and half-away (DuckDB) agree for positives at
+    every scale factor. round_0 stays on the raw double: full-precision
+    quotients never sit on the ambiguous lattice."""
     l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
     ep = F.col("l_extendedprice")
+    cents = (F.round(ep * 100).cast("decimal(20,0)") / 100)
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(ep, 1).alias("round_1"),
-        F.round(ep, -2).alias("round_m2"),
+        F.round(cents, 1).cast("double").alias("round_1"),
+        F.round(cents, -2).cast("double").alias("round_m2"),
         F.round(ep / 7, 0).alias("round_0"),
         (F.floor(ep / 50) * 50).cast("double").alias("round_mult_down"),
         (F.ceil(ep / 50) * 50).cast("double").alias("round_mult_up"),

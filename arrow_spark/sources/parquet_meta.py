@@ -36,9 +36,13 @@ META_SCHEMA = (
 
 
 def _files_for(spark: SparkSession, path: str | list[str]) -> list[str]:
+    import os
+
     if isinstance(path, list):
         return sorted(path)
-    if path.endswith(".parquet"):
+    # a ".parquet"-suffixed DIRECTORY is how Spark itself writes a table
+    # (part files inside) — only a plain local file short-circuits
+    if path.endswith(".parquet") and not os.path.isdir(path):
         return [path]
     return sorted(spark.read.parquet(path).inputFiles())
 

@@ -164,17 +164,25 @@ def write_scale_dir(spark: SparkSession, sf: float, out_dir: str) -> None:
     the 8 TPC-H tables (tpchgen) + events/documents/embeddings, each a
     parquet DIRECTORY (part files — the layout a real cluster writes;
     the oracle harness globs directories)."""
+    from pyspark.sql import types as T
+
     from arrow_spark.sources.tpchgen import generate_tables
 
-    # int64 µs on disk (not legacy INT96): pyarrow-side readers (bloom
-    # index, IPC interop) see timestamp[us] exactly like the fixtures
+    # disk parity with the driver fixtures: int64 µs (not legacy INT96)
+    # and tz-NAIVE (isAdjustedToUTC=false) — a TimestampType column would
+    # be annotated UTC-adjusted and DuckDB would read it TIMESTAMPTZ,
+    # diverging from every fixture-shaped oracle
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    for name, df in generate_tables(spark, sf).items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    events(spark, sf).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
-    documents(spark, sf).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
-    embeddings(spark, sf).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
+
+    def _ntz(df):
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+        return df
+
+    tables = dict(generate_tables(spark, sf))
+    tables["events"] = events(spark, sf)
+    tables["documents"] = documents(spark, sf)
+    tables["embeddings"] = embeddings(spark, sf)
+    for name, df in tables.items():
+        _ntz(df).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
