@@ -210,6 +210,29 @@ class Table:
         return self._df
 
 
+def _function_options_dict(opts) -> dict:
+    """pyarrow FunctionOptions → kwargs dict.
+
+    pyarrow 16.x exposes no attribute access on FunctionOptions; the
+    canonical repr ('ScalarAggregateOptions(skip_nulls=false,
+    min_count=1)') is the stable introspection surface, so parse it."""
+    import re
+
+    out = {}
+    for key, val in re.findall(r"(\w+)=([\w.+-]+)", repr(opts)):
+        if val in ("true", "false"):
+            out[key] = val == "true"
+        else:
+            try:
+                out[key] = int(val)
+            except ValueError:
+                try:
+                    out[key] = float(val)
+                except ValueError:
+                    out[key] = val
+    return out
+
+
 def _join_cond(ldf, rdf, lk, rk):
     cond = None
     for a, b in zip(lk, rk):
@@ -227,14 +250,36 @@ class TableGroupBy:
         self._keys = keys
 
     def aggregate(self, aggregations: Sequence[tuple]) -> Table:
+        """[(col, fn)] or [(col, fn, opts)] with Arrow function names.
+
+        ``opts`` may be a dict or a pyarrow FunctionOptions; the two
+        hash-aggregate options Acero applies OUTSIDE the kernel
+        (api_aggregate.h ScalarAggregateOptions) are honored here the
+        same way: ``skip_nulls=False`` emits null when the group saw any
+        null input, ``min_count=n`` emits null when fewer than n
+        non-null values were observed. Both compose as one extra
+        aggregate condition in the same groupBy — no second pass."""
         aggs = []
         for item in aggregations:
             col, fn = item[0], item[1]
             opts = item[2] if len(item) > 2 else {}
+            if opts and not isinstance(opts, dict):
+                opts = _function_options_dict(opts)
+            opts = dict(opts)
+            skip_nulls = opts.pop("skip_nulls", True)
+            min_count = opts.pop("min_count", 0)
             base = fn[5:] if fn.startswith("hash_") else fn
             out_name = f"{col}_{fn}" if col else fn
             agg_col = (
                 _call(base, **opts) if col in (None, "") else _call(base, col, **opts)
             )
+            if col not in (None, ""):
+                c = F.col(col)
+                if not skip_nulls and base != "count":
+                    agg_col = F.when(
+                        F.max(c.isNull().cast("int")) == 0, agg_col
+                    )
+                if min_count:
+                    agg_col = F.when(F.count(c) >= min_count, agg_col)
             aggs.append(agg_col.alias(out_name))
         return Table(self._df.groupBy(*self._keys).agg(*aggs))
