@@ -1588,8 +1588,9 @@ def _hilbert_oracle(bits: int = 16) -> str:
     CASE WHEN (y & {s}) = 0
          THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END)
          ELSE y END AS y,
-    d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
-                      CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+    d + CAST({s * s} AS BIGINT)
+          * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
   FROM h{k})""")
     return (
         "WITH " + ",\n".join(steps)

@@ -116,14 +116,21 @@ def nested_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLATTEN_ORACLE = """
 SELECT vec_id,
        len(flatten([embedding[1:3], embedding[4:5]]))  AS flat_len,
-       round(CAST(list_sum(flatten([embedding[1:3], embedding[4:5]])) AS DOUBLE), 4) AS flat_sum
+       round(CAST(list_sum(flatten([embedding[1:3], embedding[4:5]])) AS DOUBLE), 4)
+         + 0.0 AS flat_sum
 FROM embeddings WHERE vec_id % 20 = 0
 """
 
 
 @query("nested_flatten", oracle=FLATTEN_ORACLE)
 def nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """list_flatten (one level, scalar_nested.cc:260)."""
+    """list_flatten (one level, scalar_nested.cc:260).
+
+    flat_sum carries `+ 0.0` on BOTH sides: a tiny negative float sum
+    rounds to SIGNED zero and the engines disagree on the sign (Spark
+    0.0, DuckDB -0.0 — found at sf1, where a near-cancelling vector
+    exists); IEEE -0.0 + 0.0 = +0.0 normalizes both, identity for every
+    other value."""
     e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
     emb = F.col("embedding")
     flat = F.flatten(F.array(F.slice(emb, 1, 3), F.slice(emb, 4, 2)))
@@ -131,5 +138,5 @@ def nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(flat).alias("flat_len"),
-        F.round(fsum, 4).alias("flat_sum"),
+        (F.round(fsum, 4) + F.lit(0.0)).alias("flat_sum"),
     )
