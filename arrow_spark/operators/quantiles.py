@@ -437,13 +437,16 @@ def quantile_interpolated(
     nearest-rank k = ⌈q·n⌉ — the order statistic itself, no
     interpolation. This operator is the Arrow-parity surface.)
 
-    Determinism: q is per-mille, so the locate is pure integer —
-    num = (n−1)·q_mille, di = num div 1000, rem = num mod 1000 — and
-    frac comparisons are integer compares on rem. The two bracketing
+    Determinism: the locate mirrors the reference's double arithmetic
+    bit-for-bit — index = (n−1)·(q_mille/1000.0) as an IEEE double,
+    di = trunc(index), frac = index − di (Python floats ARE IEEE
+    doubles, so this is the identical expression tree to
+    QuantileToDataPoint) — and the LINEAR combine is the reference's
+    own frac·hi + (1−frac)·lo tree, making every cell bit-exact vs
+    pc.quantile, not merely within tolerance. The two bracketing
     order statistics come from the same driver-side bucket locate as
     ``exact_quantiles`` (bounded metadata: 1 stats row + ≤n_buckets
-    cells per level, hot-bucket escalation included); the float
-    combine is one fixed IEEE tree per mode, identical cross-engine.
+    cells per level, hot-bucket escalation included).
 
     Scale: identical profile to ``exact_quantiles`` — the only
     row-scale stages are one map-side-combined bucket count and the
@@ -466,15 +469,24 @@ def quantile_interpolated(
     locs = []
     for q in q_mille:
         q = int(q)
-        if not 0 <= q <= 1000 or n == 0:
+        # Arrow raises Invalid for q outside [0,1] (QuantileOptions
+        # validation) — silent drop would make a typo like q=5000 vanish
+        if not 0 <= q <= 1000:
+            raise ValueError(f"q_mille must be in [0, 1000], got {q}")
+        if n == 0:
             continue
-        num = (n - 1) * q
-        di, rem = num // 1000, num % 1000
-        locs.append((q, di, rem))
+        # bit-exact mirror of QuantileToDataPoint/GetQuantileByInterp
+        # (aggregate_quantile.cc:46,217): double product, truncation,
+        # double residue — NOT exact integer per-mille arithmetic, which
+        # disagrees with the reference by 1 ULP on ~half of inputs
+        index = (n - 1) * (q / 1000.0)
+        di = int(index)
+        frac = index - di
+        locs.append((q, di, frac))
     if not locs:
         return spark.createDataFrame([], out_schema)
     ranks = sorted(
-        {di + 1 for _, di, _ in locs} | {di + 2 for _, di, rem in locs if rem > 0}
+        {di + 1 for _, di, _ in locs} | {di + 2 for _, di, frac in locs if frac != 0}
     )
     values = _rank_values(
         base,
@@ -489,23 +501,27 @@ def quantile_interpolated(
     )
     qdf = spark.createDataFrame(
         [
-            (q, di, rem, di + 1, (di + 2) if rem > 0 else (di + 1))
-            for q, di, rem in locs
+            (q, di, frac, di + 1, (di + 2) if frac != 0 else (di + 1))
+            for q, di, frac in locs
         ],
-        "q_mille int, di bigint, rem int, rlo bigint, rhi bigint",
+        "q_mille int, di bigint, frac double, rlo bigint, rhi bigint",
     )
     vlo = values.select(F.col("rank").alias("rlo"), F.col("value").alias("vlo"))
     vhi = values.select(F.col("rank").alias("rhi"), F.col("value").alias("vhi"))
     brack = qdf.join(F.broadcast(vlo), "rlo").join(F.broadcast(vhi), "rhi")
     lo_d = F.col("vlo").cast("double")
     hi_d = F.col("vhi").cast("double")
-    rem_d = F.col("rem").cast("double")
+    frac_c = F.col("frac")
     mode_val = {
-        "linear": lo_d + rem_d * (F.col("vhi") - F.col("vlo")).cast("double") / F.lit(1000.0),
+        # reference uses fraction*higher + (1-fraction)*lower, NOT
+        # lo + frac*(hi-lo) ("more stable than naive linear
+        # interpolation", aggregate_quantile.cc GetQuantileByInterp) —
+        # same IEEE tree + same double frac makes LINEAR bit-exact
+        "linear": frac_c * hi_d + (F.lit(1.0) - frac_c) * lo_d,
         "lower": lo_d,
         "higher": hi_d,
-        "nearest": F.when(F.col("rem") < 500, lo_d)
-        .when(F.col("rem") > 500, hi_d)
+        "nearest": F.when(frac_c < 0.5, lo_d)
+        .when(frac_c > 0.5, hi_d)
         .otherwise(F.when(F.col("di") % 2 == 0, lo_d).otherwise(hi_d)),
         "midpoint": (F.col("vlo") + F.col("vhi")).cast("double") / F.lit(2.0),
     }

@@ -2566,26 +2566,30 @@ WITH base AS (
 ), ranked AS (
   SELECT v, row_number() OVER (ORDER BY v) AS rn FROM base
 ), loc AS (
+  -- the reference's double locate (QuantileToDataPoint): index =
+  -- (n-1)*q as an IEEE double, di = trunc(index), frac = index - di.
+  -- trunc(), NOT CAST(double AS BIGINT) — DuckDB's cast rounds.
   SELECT q_mille,
-         (n.n - 1) * q_mille // 1000 AS di,
-         (n.n - 1) * q_mille % 1000 AS rem
+         CAST(trunc((n.n - 1) * (q_mille / 1000.0)) AS BIGINT) AS di,
+         (n.n - 1) * (q_mille / 1000.0)
+           - trunc((n.n - 1) * (q_mille / 1000.0)) AS frac
   FROM (SELECT unnest([250, 333, 500, 901, 990]) AS q_mille), n
 ), brack AS (
-  SELECT l.q_mille, l.di, l.rem, lo.v AS vlo,
-         CASE WHEN l.rem = 0 THEN lo.v ELSE hi.v END AS vhi
+  SELECT l.q_mille, l.di, l.frac, lo.v AS vlo,
+         CASE WHEN l.frac = 0 THEN lo.v ELSE hi.v END AS vhi
   FROM loc l
   JOIN ranked lo ON lo.rn = l.di + 1
   LEFT JOIN ranked hi ON hi.rn = l.di + 2
 )
 SELECT CAST(q_mille AS INT) AS q_mille, m.interpolation,
        CASE m.interpolation
-         WHEN 'linear' THEN CAST(vlo AS DOUBLE)
-              + rem * CAST(vhi - vlo AS DOUBLE) / 1000.0
+         WHEN 'linear' THEN frac * CAST(vhi AS DOUBLE)
+              + (1.0 - frac) * CAST(vlo AS DOUBLE)
          WHEN 'lower' THEN CAST(vlo AS DOUBLE)
          WHEN 'higher' THEN CAST(vhi AS DOUBLE)
          WHEN 'nearest' THEN CASE
-            WHEN rem < 500 THEN CAST(vlo AS DOUBLE)
-            WHEN rem > 500 THEN CAST(vhi AS DOUBLE)
+            WHEN frac < 0.5 THEN CAST(vlo AS DOUBLE)
+            WHEN frac > 0.5 THEN CAST(vhi AS DOUBLE)
             WHEN di % 2 = 0 THEN CAST(vlo AS DOUBLE)
             ELSE CAST(vhi AS DOUBLE) END
          WHEN 'midpoint' THEN CAST(vlo + vhi AS DOUBLE) / 2.0
@@ -2603,12 +2607,14 @@ def agg_quantile_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile.cc::QuantileToDataPoint) over extended-price cents,
     exactly and distributed (operators/quantiles.py::
     quantile_interpolated): the two bracketing order statistics at
-    di = (n-1)*q div 1000 come from the same bounded-metadata bucket
-    locate as exact_quantiles (literal IN pushdown, hot-bucket
-    escalation), and each mode is one fixed IEEE combine. NEAREST
-    tie-breaks at frac == 0.5 with banker's rounding on di, exactly
-    like the reference. Oracle = naive full-sort row_number + the same
-    integer rank algebra — different plan, identical cells. Parity
+    di = trunc((n-1)·q) — the reference's own double locate, mirrored
+    bit-for-bit — come from the same bounded-metadata bucket locate as
+    exact_quantiles (literal IN pushdown, hot-bucket escalation), and
+    each mode is the reference's fixed IEEE combine (LINEAR =
+    frac·hi + (1−frac)·lo). NEAREST tie-breaks at frac == 0.5 with
+    banker's rounding on di, exactly like the reference. Oracle =
+    naive full-sort row_number + the same double locate — different
+    plan, identical cells. Parity
     with the reference binary itself is pinned in
     tests/test_quantiles.py (randomized vs pc.quantile, all 5 modes)."""
     from arrow_spark.operators.quantiles import quantile_interpolated

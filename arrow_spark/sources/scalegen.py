@@ -68,10 +68,10 @@ def events(spark: SparkSession, sf: float) -> DataFrame:
 def documents(spark: SparkSession, sf: float) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars): 8–88-word texts
     over a 30-word vocabulary with the fixture's duplicate structure —
-    every 20th doc (id%20==0, id≥20) is an EXACT copy of doc id−20, and
-    every (id%20==1, id≥21) is a NEAR duplicate of doc id−20 (one word
-    substituted) — so exact/minhash/containment dedup finds real pairs
-    at every scale."""
+    in each 20-id block, the doc at id%20==18 is an EXACT copy of the
+    block's id%20==2 doc (base id−16) and the doc at id%20==19 is a
+    NEAR duplicate of the same base (id−17, one word substituted) — so
+    exact/minhash/containment dedup finds real pairs at every scale."""
     n = max(int(50_000 * sf), 50)
     i = F.col("id")
     # dup slots are the LAST two ids of each 20-block, copying the

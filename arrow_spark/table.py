@@ -219,7 +219,8 @@ def _function_options_dict(opts) -> dict:
     import re
 
     out = {}
-    for key, val in re.findall(r"(\w+)=([\w.+-]+)", repr(opts)):
+    rep = repr(opts)
+    for key, val in re.findall(r"(\w+)=([\w.+-]+)", rep):
         if val in ("true", "false"):
             out[key] = val == "true"
         else:
@@ -230,6 +231,16 @@ def _function_options_dict(opts) -> dict:
                     out[key] = float(val)
                 except ValueError:
                     out[key] = val
+    # the bare-word regex can't see list- or quoted-string-valued fields
+    # (e.g. QuantileOptions(q=[0.5, 0.9])); dropping them silently would
+    # yield defaults with no error — reject instead of guessing
+    unparsed = [k for k in re.findall(r"(\w+)=", rep) if k not in out]
+    if unparsed:
+        raise NotImplementedError(
+            f"unsupported FunctionOptions fields {unparsed} in {rep}; "
+            "only scalar-valued fields (ScalarAggregateOptions-style) "
+            "are parsed here"
+        )
     return out
 
 

@@ -147,37 +147,47 @@ def normalize_batch(batch, target_schema):
             cols.append(pa.nulls(batch.num_rows, f.type))
             continue
         col = batch.column(names.index(f.name))
-        src = col.type
-        if pa.types.is_time32(src):
-            # time32 is seconds or millis since midnight; scale to micros
-            scale = {"s": 1_000_000, "ms": 1_000}[src.unit]
-            col = pc.multiply(col.cast(pa.int32()).cast(pa.int64()), scale)
-        elif pa.types.is_time64(src):
-            col = col.cast(pa.int64())
-            if src.unit == "ns":
-                col = pc.divide(col, 1000)
-        elif hasattr(pa.types, "is_run_end_encoded") and pa.types.is_run_end_encoded(
-            src
-        ):
-            # no REE→plain cast exists (ArrowNotImplementedError — found by
-            # the hypothesis sweep); decode explicitly, then cast if the
-            # value type itself also normalizes
-            col = pc.run_end_decode(col)
-            if not col.type.equals(f.type):
-                col = col.cast(f.type)
-        elif pa.types.is_union(src):
-            col = _decode_union(col, f.type)
-        elif isinstance(src, pa.BaseExtensionType):
-            col = col.storage if hasattr(col, "storage") else col.combine_chunks().storage
-            if not col.type.equals(f.type):
-                col = col.cast(f.type)
-        elif not col.type.equals(f.type):
-            # timestamps may truncate sub-target precision (ns→us) —
-            # that's the documented adapter semantics, so cast unsafely
-            unsafe = pa.types.is_timestamp(f.type)
-            col = col.cast(f.type, safe=not unsafe)
-        cols.append(col)
+        cols.append(_normalize_column(col, f.type))
     return pa.RecordBatch.from_arrays(cols, schema=target_schema)
+
+
+def _normalize_column(col, target_type):
+    """One column of normalize_batch's cast switch, recursion-safe: an
+    REE wrapper decodes and then RE-DISPATCHES the decoded column so a
+    value type that itself needs a structural transform (time64 unit
+    division, union→tagged-struct) still gets it instead of a raw
+    cast producing wrong values."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = col.type
+    if pa.types.is_time32(src):
+        # time32 is seconds or millis since midnight; scale to micros
+        scale = {"s": 1_000_000, "ms": 1_000}[src.unit]
+        col = pc.multiply(col.cast(pa.int32()).cast(pa.int64()), scale)
+    elif pa.types.is_time64(src):
+        col = col.cast(pa.int64())
+        if src.unit == "ns":
+            col = pc.divide(col, 1000)
+    elif hasattr(pa.types, "is_run_end_encoded") and pa.types.is_run_end_encoded(
+        src
+    ):
+        # no REE→plain cast exists (ArrowNotImplementedError — found by
+        # the hypothesis sweep); decode explicitly, then recurse: the
+        # decoded value type may itself need the structural branches
+        col = _normalize_column(pc.run_end_decode(col), target_type)
+    elif pa.types.is_union(src):
+        col = _decode_union(col, target_type)
+    elif isinstance(src, pa.BaseExtensionType):
+        col = col.storage if hasattr(col, "storage") else col.combine_chunks().storage
+        if not col.type.equals(target_type):
+            col = _normalize_column(col, target_type)
+    elif not col.type.equals(target_type):
+        # timestamps may truncate sub-target precision (ns→us) —
+        # that's the documented adapter semantics, so cast unsafely
+        unsafe = pa.types.is_timestamp(target_type)
+        col = col.cast(target_type, safe=not unsafe)
+    return col
 
 
 def _decode_union(col, target_struct_type):

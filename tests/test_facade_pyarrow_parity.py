@@ -101,6 +101,21 @@ def test_table_group_by_aggregate_matches_pyarrow(spark):
         assert a == pytest.approx(b)  # sums of doubles: float-order tolerance
 
 
+def test_function_options_unparsed_fields_rejected():
+    """List-/string-valued FunctionOptions fields the repr parser can't
+    see must raise, not silently fall back to defaults (ADVICE r9)."""
+    import pyarrow.compute as pc
+
+    from arrow_spark.table import _function_options_dict
+
+    # scalar-valued fields parse fine
+    d = _function_options_dict(pc.ScalarAggregateOptions(skip_nulls=False, min_count=3))
+    assert d == {"skip_nulls": False, "min_count": 3}
+    # q is a list -> the bare-word regex can't capture it -> reject
+    with pytest.raises(NotImplementedError, match="q"):
+        _function_options_dict(pc.QuantileOptions(q=[0.5, 0.9]))
+
+
 def test_table_group_by_mean_matches_pyarrow(spark):
     path = os.path.join(SF_DIR, "lineitem.parquet")
     at = pq.read_table(path)

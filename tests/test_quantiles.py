@@ -243,12 +243,10 @@ def test_quantile_interpolated_randomized_parity_vs_pyarrow(spark):
         for q in qm:
             for mode in ("linear", "lower", "higher", "nearest", "midpoint"):
                 want = pc.quantile(arr, q=q / 1000.0, interpolation=mode)[0].as_py()
-                # rel=1e-12: LINEAR's combine-order differs by one ULP on
-                # ~1e9-magnitude values (pyarrow computes frac as a double
-                # index fraction); data-point modes are exactly equal
-                assert got[(q, mode)] == pytest.approx(want, rel=1e-12, abs=1e-9), (
-                    len(vals), q, mode,
-                )
+                # bit-exact: the locate mirrors QuantileToDataPoint's
+                # double arithmetic and LINEAR uses the reference's own
+                # frac*hi + (1-frac)*lo combine tree (ADVICE r9 fix)
+                assert got[(q, mode)] == want, (len(vals), q, mode)
 
 
 def test_quantile_interpolated_nearest_bankers_tiebreak(spark):
@@ -265,6 +263,18 @@ def test_quantile_interpolated_nearest_bankers_tiebreak(spark):
     }
     assert got[(250, "nearest")] == 10.0
     assert got[(750, "nearest")] == 30.0
+
+
+def test_quantile_interpolated_rejects_out_of_range_q(spark):
+    """Arrow raises Invalid for q outside [0,1]; a typo like q=5000 must
+    error, not silently vanish from the output (ADVICE r9)."""
+    from arrow_spark.operators.quantiles import quantile_interpolated
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    with pytest.raises(ValueError, match="q_mille"):
+        quantile_interpolated(df, "x", [500, 5000])
+    with pytest.raises(ValueError, match="q_mille"):
+        quantile_interpolated(df, "x", [-1])
 
 
 def test_quantile_interpolated_empty_and_nulls(spark):

@@ -175,6 +175,18 @@ def test_normalize_decodes_dictionary_and_ree(vals):
         assert out.column(0).to_pylist() == vals
 
 
+def test_normalize_ree_of_time64_redispatches():
+    """REE whose value type itself needs a structural transform: decode
+    must re-enter the normalization switch (time64 ns -> int64 MICROS,
+    i.e. divided by 1000) rather than raw-cast ns values (ADVICE r9)."""
+    enc = pc.run_end_encode(pa.array([1_500_000_000, None, 3_000], pa.time64("ns")))
+    batch = pa.record_batch([enc], names=["c"])
+    target, changed = normalize_arrow_schema(batch.schema)
+    assert changed and target.field("c").type == pa.int64()
+    out = normalize_batch(batch, target)
+    assert out.column(0).to_pylist() == [1_500_000, None, 3]
+
+
 @h.given(
     st.lists(
         st.one_of(
