@@ -1138,6 +1138,8 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: tuple = (),
+    min_tokens: int = 1,
+    top_k_per_doc: int | None = None,
 ) -> DataFrame:
     """DIRECTED token-set containment pairs C(A→B) = |A∩B|/|A| ≥ t,
     A ≠ B — the asymmetric near-dup relation Jaccard misses: a 20-token
@@ -1156,7 +1158,19 @@ def containment_pairs(
     integers; the oracle's unblocked directed all-pairs hash match is
     the losslessness proof. Scale: B's posting frame is the same
     inverted index the BM25 ops build; A's prefix holds only its
-    RAREST tokens, so the join touches short postings."""
+    RAREST tokens, so the join touches short postings.
+
+    EMISSION GUARDS (the pair set itself is ~quadratic on a
+    boilerplate-dense corpus — 662 s at sf1 was output-bound, not
+    plan-bound): ``min_tokens`` floors the CONTAINED side — tiny
+    boilerplate docs are the quadratic source, since a 5-token header
+    is contained in everything — cutting candidates before the join;
+    ``top_k_per_doc`` keeps only each contained doc's k strongest
+    containers (containment DESC, id_b ASC — deterministic, and for a
+    fixed A ordering by containment ≡ ordering by the integer |A∩B|),
+    bounding output at k·n rows. Both default off so the unguarded
+    relation stays oracle-provable; production pipelines at 100 TB
+    should set both."""
     num, den = int(round(threshold * 1000)), 1000
     d = docs.select(
         F.col(id_col).alias("id"),
@@ -1178,7 +1192,11 @@ def containment_pairs(
     size = F.size("otoks")
     ceil_tn = F.floor((size * num + den - 1) / den)
     plen = (size - ceil_tn + 1).cast("int")
-    pref_a = ordered.select(
+    # min_tokens guards the CONTAINED side only: B stays unrestricted
+    # (a large doc may legitimately contain a min_tokens-sized one —
+    # the guard's point is to stop tiny docs from BEING the A side)
+    contained = ordered.where(size >= int(min_tokens)) if min_tokens > 1 else ordered
+    pref_a = contained.select(
         F.col("id").alias("id_a"),
         *block_cols,
         F.explode(F.slice("otoks", 1, plen)).alias("ptok"),
@@ -1204,8 +1222,18 @@ def containment_pairs(
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     sz_a = F.size("toks_a")
-    return pairs.where(inter * den >= num * sz_a).select(
+    out = pairs.where(inter * den >= num * sz_a).select(
         "id_a",
         "id_b",
         (F.floor(inter * 1.0 / sz_a * 1e6 + F.lit(0.5)) / 1e6).alias("containment"),
     )
+    if top_k_per_doc is not None:
+        wk = W.partitionBy("id_a").orderBy(
+            F.col("containment").desc(), F.col("id_b")
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(wk))
+            .where(F.col("__rk") <= int(top_k_per_doc))
+            .drop("__rk")
+        )
+    return out

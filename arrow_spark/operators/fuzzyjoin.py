@@ -140,6 +140,7 @@ def fuzzy_join_edit_distance(
     corpus_text: str,
     max_dist: int = 2,
     q: int = 3,
+    top_k_per_probe: int | None = None,
 ) -> DataFrame:
     """Edit-distance join: (probe_id, corpus_id, dist) for all pairs
     with levenshtein ≤ ``max_dist`` — via LOSSLESS q-gram count
@@ -160,7 +161,14 @@ def fuzzy_join_edit_distance(
     a stopgram cap upstream if needed); the expensive O(|x|·|y|) DP
     runs only on count-qualified candidates. No cross join anywhere;
     the oracle twin runs the UNBLOCKED all-pairs distance so the hash
-    match proves the bound loses nothing."""
+    match proves the bound loses nothing.
+
+    EMISSION GUARD: on a near-dup-dense corpus the qualifying pair set
+    itself grows ~quadratically (measured exp +1.35 at sf1 —
+    output-bound, not plan-bound). ``top_k_per_probe`` keeps only each
+    probe's k closest matches (dist ASC, corpus id ASC —
+    deterministic), bounding output at k·|probe| rows; default off so
+    the full relation stays oracle-provable."""
     p = probe.select(
         F.col(probe_id).alias("pid"), F.col(probe_text).alias("ptxt")
     )
@@ -192,8 +200,16 @@ def fuzzy_join_edit_distance(
     )
     cand = shared.where(F.col("common") >= F.greatest(bound, F.lit(1)))
     dist = F.levenshtein(F.col("ptxt"), F.col("ctxt"))
-    return (
+    out = (
         cand.withColumn("dist", dist.cast("long"))
         .where(F.col("dist") <= max_dist)
         .select("pid", "cid", "dist")
     )
+    if top_k_per_probe is not None:
+        wk = W.partitionBy("pid").orderBy(F.col("dist"), F.col("cid"))
+        out = (
+            out.withColumn("__rk", F.row_number().over(wk))
+            .where(F.col("__rk") <= int(top_k_per_probe))
+            .drop("__rk")
+        )
+    return out

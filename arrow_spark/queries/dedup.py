@@ -930,6 +930,50 @@ def fuzzy_join_edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("pid"), F.col("cid"), F.col("dist"))
 
 
+FUZZY_TOPK_ORACLE = """
+WITH probes AS (
+  SELECT p_partkey AS pid,
+         substr(p_name, 1, 3) || '#' || substr(p_name, 5) AS ptxt
+  FROM part WHERE p_partkey % 50 = 0
+), pairs AS (
+  SELECT probes.pid, p.p_partkey AS cid,
+         CAST(levenshtein(probes.ptxt, p.p_name) AS BIGINT) AS dist
+  FROM probes, part p
+  WHERE levenshtein(probes.ptxt, p.p_name) <= 2
+)
+SELECT pid, cid, dist FROM pairs
+QUALIFY row_number() OVER (PARTITION BY pid ORDER BY dist, cid) <= 2
+"""
+
+
+@query("fuzzy_join_topk", oracle=FUZZY_TOPK_ORACLE)
+def fuzzy_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emission-GUARDED fuzzy join (same q-gram-blocked lossless
+    plan as fuzzy_join_edit_distance, plus top_k_per_probe=2: each
+    probe keeps its 2 closest matches by (dist ASC, cid ASC), bounding
+    output at 2·|probe| rows on a near-dup-dense corpus where the full
+    relation is ~quadratic — measured exp +1.35 at sf1). The oracle is
+    the identical rank cut over the UNBLOCKED all-pairs distance join,
+    so the hash match proves blocking losslessness and cap semantics
+    together."""
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    part = table(spark, sf_dir, "part")
+    probes = part.where(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("pid"),
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("#"),
+            F.expr("substring(p_name, 5)"),
+        ).alias("ptxt"),
+    )
+    corpus = part.select("p_partkey", "p_name")
+    return fuzzy_join_edit_distance(
+        probes, corpus, "pid", "ptxt", "p_partkey", "p_name",
+        max_dist=2, q=3, top_k_per_probe=2,
+    )
+
+
 CONTAINMENT_ORACLE = """
 WITH d AS (
   SELECT doc_id AS id, lang,
@@ -958,4 +1002,48 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return containment_pairs(
         table(spark, sf_dir, "documents"), threshold=0.8, block_cols=("lang",)
+    )
+
+
+CONTAINMENT_CAPPED_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, lang,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+  WHERE len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) >= 1
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         floor((len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks))
+               * 1e6 + 0.5) / 1e6 AS containment
+  FROM d a JOIN d b ON a.lang = b.lang AND a.id <> b.id
+  WHERE len(a.toks) >= 12
+    AND len(list_intersect(a.toks, b.toks)) * 1000 >= 800 * len(a.toks)
+)
+SELECT id_a, id_b, containment
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY id_a
+                           ORDER BY containment DESC, id_b) <= 3
+"""
+
+
+@query("dedup_containment_capped", oracle=CONTAINMENT_CAPPED_ORACLE)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emission-GUARDED containment relation a 100 TB pipeline
+    should run: same lossless prefix-filter plan as
+    dedup_containment_pairs, plus min_tokens=12 (tiny boilerplate docs
+    — the quadratic source — never enter the contained side) and
+    top_k_per_doc=3 (each contained doc keeps its 3 strongest
+    containers: containment DESC, id_b ASC, so output is ≤ 3n rows no
+    matter how boilerplate-dense the corpus). The oracle expresses the
+    cap as the identical rank cut (QUALIFY row_number) over the
+    unblocked all-pairs relation — the hash match proves both the
+    prefix filter AND the guard semantics."""
+    from arrow_spark.llm.dedup import containment_pairs
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        block_cols=("lang",),
+        min_tokens=12,
+        top_k_per_doc=3,
     )

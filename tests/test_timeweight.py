@@ -126,6 +126,55 @@ def test_quantile_transform_binned_tracks_exact(spark, sf_dir):
     assert worst <= 1 / 100 + 1e-4 + 1e-9
 
 
+def test_quantile_transform_decomposed_matches_window_exactly(spark, sf_dir):
+    """The scale-safe default path (auto-switch above
+    exact_partition_rows) must be VALUE-IDENTICAL to the window path —
+    same integers, same single double division — including tie groups
+    (l_quantity: ~50 distinct values over 60k rows)."""
+    from arrow_spark.catalog import table
+    from arrow_spark.operators.quantile_transform import quantile_transform
+
+    l = table(spark, str(sf_dir), "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    ids = ["l_orderkey", "l_linenumber"]
+    feats = ["l_quantity", "l_extendedprice"]
+    keys = [*ids, "feature", "value"]
+    win = quantile_transform(l, ids, feats, exact_partition_rows=10**12).select(
+        *keys, F.col("q").alias("q_win")
+    )
+    dec = quantile_transform(l, ids, feats, exact_partition_rows=0).select(
+        *keys, F.col("q").alias("q_dec")
+    )
+    joined = win.join(dec, keys)
+    n_win, n_join, n_diff = (
+        win.count(),
+        joined.count(),
+        joined.where(F.col("q_win") != F.col("q_dec")).count(),
+    )
+    assert n_join >= n_win and n_diff == 0
+
+
+def test_quantile_transform_decomposed_plan_has_no_per_feature_sort(spark, sf_dir):
+    """The decomposed plan's windows run over (feature, bucket) /
+    (feature) on the distinct/bucket frames — never a window or sort
+    partitioned by feature alone over the row-scale frame."""
+    from arrow_spark.catalog import table
+    from arrow_spark.operators.quantile_transform import quantile_transform
+
+    l = table(spark, str(sf_dir), "lineitem")
+    plan = (
+        quantile_transform(l, ["l_orderkey"], ["l_extendedprice"], exact_partition_rows=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # row-scale q delivery is a join, and no window partitions by the
+    # bare feature column over row-scale data: every Window's partition
+    # spec includes bucket (distinct frame) except the tiny
+    # features×n_buckets offset window, which has ≤n_buckets rows/feature
+    assert "percent_rank" not in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
 def test_quantile_transform_binned_rowscale_stage_is_maponly(spark, sf_dir):
     from arrow_spark.catalog import table
     from arrow_spark.operators.quantile_transform import quantile_transform_binned
