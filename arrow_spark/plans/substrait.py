@@ -183,6 +183,12 @@ _BINOPS: dict[str, Callable[[Column, Column], Column]] = {
     "power": lambda a, b: F.pow(a, b),
     "equal": lambda a, b: a == b,
     "not_equal": lambda a, b: a != b,
+    # JoinKeyCmp::IS when used as a JoinRel expression
+    # (relation_internal.cc:726); plain null-safe equality elsewhere.
+    # NOTE: pyarrow 16.1's own consumer cannot decode this name — the
+    # substrait→arrow registry only maps equal/not_equal
+    # (extension_set.cc:1109); the :1198 entry is arrow→substrait only.
+    "is_not_distinct_from": lambda a, b: a.eqNullSafe(b),
     "lt": lambda a, b: a < b,
     "gt": lambda a, b: a > b,
     "lte": lambda a, b: a <= b,

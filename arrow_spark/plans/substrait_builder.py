@@ -294,8 +294,17 @@ def fetch_rel(input_rel: bytes, offset: int = 0, count: int = -1) -> bytes:
     return rel("fetch", body)
 
 
-def join_rel(left: bytes, right: bytes, condition: bytes, join_type: int = 1) -> bytes:
-    body = f_msg(2, left) + f_msg(3, right) + f_msg(4, condition) + f_varint(6, join_type)
+def join_rel(left: bytes, right: bytes, condition: bytes, join_type: int = 1,
+             post_filter: bytes | None = None) -> bytes:
+    """JoinRel { common=1, left=2, right=3, expression=4,
+    post_join_filter=5, type=6 }. pyarrow 16.1's consumer silently
+    ignores field 5 (relation_internal.cc has no post_join_filter
+    read); ours applies it after the join for every join type, which
+    is the substrait-spec semantics."""
+    body = f_msg(2, left) + f_msg(3, right) + f_msg(4, condition)
+    if post_filter is not None:
+        body += f_msg(5, post_filter)
+    body += f_varint(6, join_type)
     return rel("join", body)
 
 

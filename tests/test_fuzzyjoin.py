@@ -159,3 +159,36 @@ def test_edit_distance_no_cross_join_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_distance_top_k_per_probe(spark):
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    # probe 1 matches four corpus strings within d<=2; k=2 must keep
+    # the two closest, ties broken by cid ASC (deterministic)
+    probe = spark.createDataFrame(
+        [(1, "kitten"), (2, "zzzzzz")], "pid long, t string"
+    )
+    corpus = spark.createDataFrame(
+        [(10, "kitten"), (11, "mitten"), (12, "kitte"), (13, "bitten"),
+         (14, "unrelatedxyz")],
+        "cid long, t string",
+    )
+    full = fuzzy_join_edit_distance(
+        probe, corpus, "pid", "t", "cid", "t", max_dist=2, q=3
+    )
+    assert {(r["pid"], r["cid"]) for r in full.collect()} == {
+        (1, 10), (1, 11), (1, 12), (1, 13)
+    }
+    capped = fuzzy_join_edit_distance(
+        probe, corpus, "pid", "t", "cid", "t", max_dist=2, q=3,
+        top_k_per_probe=2,
+    ).collect()
+    got = sorted((r["pid"], r["cid"], r["dist"]) for r in capped)
+    # dist 0 for cid 10; dist 1 for cids 11 and 12 — tie broken to 11
+    assert got == [(1, 10, 0), (1, 11, 1)]
+    # output bounded at k rows per probe
+    from collections import Counter
+
+    counts = Counter(r["pid"] for r in capped)
+    assert all(v <= 2 for v in counts.values())

@@ -13,9 +13,14 @@ keys (small key domains force within-key cross products) × composite
 keys, and grouped aggregates over null-bearing keys/values.
 
 Python-binding limits (pyarrow 16.1): HashJoinNodeOptions does not
-expose key_cmp (null-safe IS) or filter_expression (residual theta),
-so those two stay pinned by their DuckDB oracles (`join_nullsafe`,
-`join_residual_filter` — driver-green r01) rather than by this file.
+expose key_cmp (null-safe IS) or filter_expression (residual theta).
+TestSubstraitResidualNullSafeParity (bottom of this file) closes that
+gap at the Substrait layer instead: randomized JoinRel plans with
+post_join_filter / is_not_distinct_from keys through OUR consumer vs
+the strongest Acero-executable equivalents through run_query, plus
+pins on the two upstream 16.1 gaps so a pyarrow upgrade promotes both
+to same-bytes parity. The DuckDB oracles (`join_nullsafe`,
+`join_residual_filter` — driver-green r01) remain standing.
 """
 
 from __future__ import annotations
@@ -240,3 +245,164 @@ def test_groupby_options_parity_vs_pyarrow(spark):
                 assert gv == pytest.approx(wv, rel=1e-9, abs=1e-12)
             else:
                 assert wv == gv
+
+
+# ---------------------------------------------------------------------------
+# Substrait-layer residual + null-safe key parity (r9 ask #5 / r10 ask #6).
+#
+# pyarrow 16.1 upstream limits, PINNED below so a pyarrow upgrade flips the
+# pins and we promote these to same-bytes parity:
+#   - JoinRel.post_join_filter (field 5) is never read by Acero's consumer
+#     (relation_internal.cc contains no post_join_filter handling), so the
+#     exact bytes can't drive Acero's residual. Acero instead executes the
+#     spec-equivalent decomposition FilterRel(residual) over JoinRel, while
+#     OUR consumer executes the single JoinRel WITH field 5 set.
+#   - is_not_distinct_from is registered arrow→substrait only
+#     (extension_set.cc:1198); the substrait→arrow registry maps just
+#     equal/not_equal (extension_set.cc:1109), so run_query rejects the IS
+#     key-compare JoinRel (the very shape relation_internal.cc:726 handles)
+#     before reaching the join. Acero instead executes the sentinel-coalesce
+#     rewrite — project coalesce(k, S) on both sides, equal-join the
+#     projected keys — which is IS semantics whenever S is outside the key
+#     domain. Both run on identical randomized null-bearing inputs and must
+#     match cell-exactly.
+# ---------------------------------------------------------------------------
+
+from arrow_spark.plans import substrait_builder as B
+from arrow_spark.plans.substrait import run_substrait
+
+ps = pytest.importorskip("pyarrow.substrait")
+
+_SENTINEL = -987654321  # outside the key_domain=[0, 6) used below
+
+
+def _sub_rand_pair(seed: int, n: int = 60):
+    rng = random.Random(seed)
+    lt = _rand_table(rng, n, "l", 1, 0.25, 6)
+    rt = _rand_table(rng, n, "r", 1, 0.25, 6)
+    # guarantee null-key rows on both sides so IS vs EQ actually differ
+    lt = pa.concat_tables([lt, lt.slice(0, 1).set_column(
+        0, "lk0", pa.array([None], pa.int64()))])
+    rt = pa.concat_tables([rt, rt.slice(0, 1).set_column(
+        0, "rk0", pa.array([None], pa.int64()))])
+    return lt, rt
+
+
+def _sub_reads():
+    kinds = ["i64", "i64", "fp64", "string"]
+    read_l = B.read_named(["l"], ["lk0", "li", "lf", "ls"], kinds)
+    read_r = B.read_named(["r"], ["rk0", "ri", "rf", "rs"], kinds)
+    return read_l, read_r
+
+
+def _sub_run_acero(plan_bytes, tables):
+    def prov(names, schema=None):
+        return tables[names[0]]
+
+    return ps.run_query(plan_bytes, table_provider=prov).read_all()
+
+
+def _sub_run_spark(spark, plan_bytes, tables):
+    fields = {pa.int64(): "long", pa.float64(): "double", pa.string(): "string"}
+
+    def prov(names):
+        tbl = tables[names[0]]
+        schema = ", ".join(f"{f.name} {fields[f.type]}" for f in tbl.schema)
+        return spark.createDataFrame(tbl.to_pylist(), schema)
+
+    return run_substrait(spark, plan_bytes, prov)
+
+
+def _sub_canon_rows(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+
+
+OUT8 = ["lk0", "li", "lf", "ls", "rk0", "ri", "rf", "rs"]
+_FNS = {1: (B.URI_CMP, "equal"), 2: (B.URI_CMP, "gt"),
+        3: (B.URI_CMP, "is_not_distinct_from")}
+
+
+class TestSubstraitResidualNullSafeParity:
+    @pytest.mark.parametrize("jt", [1, 3, 4, 2])  # INNER, LEFT, RIGHT, OUTER
+    @pytest.mark.parametrize("seed", [11, 12])
+    def test_post_join_filter_parity_vs_decomposed_acero(self, spark, jt, seed):
+        lt, rt = _sub_rand_pair(seed)
+        tables = {"l": lt, "r": rt}
+        read_l, read_r = _sub_reads()
+        eq = B.scalar_fn(1, [B.field_ref(0), B.field_ref(4)], output=B.typ("bool"))
+        resid = B.scalar_fn(2, [B.field_ref(1), B.field_ref(5)], output=B.typ("bool"))
+        ours = B.plan(B.join_rel(read_l, read_r, eq, join_type=jt,
+                                 post_filter=resid), OUT8, functions=_FNS)
+        theirs = B.plan(B.filter_rel(B.join_rel(read_l, read_r, eq, join_type=jt),
+                                     resid), OUT8, functions=_FNS)
+        want_tbl = _sub_run_acero(theirs, tables)
+        got_df = _sub_run_spark(spark, ours, tables)
+        want = _sub_canon_rows(want_tbl.column_names,
+                               [tuple(r.values()) for r in want_tbl.to_pylist()])
+        got = _sub_canon_rows(got_df.columns, [tuple(r) for r in got_df.collect()])
+        assert len(want) > 0 and got == want
+
+    @pytest.mark.parametrize("seed", [21, 22, 23])
+    def test_nullsafe_key_parity_vs_sentinel_acero(self, spark, seed):
+        lt, rt = _sub_rand_pair(seed)
+        tables = {"l": lt, "r": rt}
+        read_l, read_r = _sub_reads()
+        isnd = B.scalar_fn(3, [B.field_ref(0), B.field_ref(4)], output=B.typ("bool"))
+        ours = B.plan(B.join_rel(read_l, read_r, isnd, join_type=1),
+                      OUT8, functions=_FNS)
+        # Acero-executable twin: coalesce each key to the sentinel, equal-join
+        coal_l = B.scalar_fn(4, [B.field_ref(0), B.lit_i64(_SENTINEL)],
+                             output=B.typ("i64"))
+        coal_r = B.scalar_fn(4, [B.field_ref(0), B.lit_i64(_SENTINEL)],
+                             output=B.typ("i64"))
+        proj_l = B.project_rel(read_l, [coal_l])   # 5 cols: lk0 li lf ls lck
+        proj_r = B.project_rel(read_r, [coal_r])   # 5 cols: rk0 ri rf rs rck
+        eq = B.scalar_fn(1, [B.field_ref(4), B.field_ref(9)], output=B.typ("bool"))
+        joined = B.join_rel(proj_l, proj_r, eq, join_type=1)
+        emit8 = B.project_rel(joined, [], emit=[0, 1, 2, 3, 5, 6, 7, 8])
+        fns = dict(_FNS)
+        fns[4] = (B.URI_CMP, "coalesce")
+        theirs = B.plan(emit8, OUT8, functions=fns)
+        want_tbl = _sub_run_acero(theirs, tables)
+        got_df = _sub_run_spark(spark, ours, tables)
+        want = _sub_canon_rows(want_tbl.column_names,
+                               [tuple(r.values()) for r in want_tbl.to_pylist()])
+        got = _sub_canon_rows(got_df.columns, [tuple(r) for r in got_df.collect()])
+        # null keys exist on both sides, so IS must produce null-null matches
+        assert any(t[0] is None for t in got)
+        assert len(want) > 0 and got == want
+
+    def test_pin_upstream_ignores_post_join_filter(self, spark):
+        """pyarrow 16.1 run_query drops JoinRel field 5 on the floor; when
+        this pin fails, upstream consumes it — switch the residual test
+        above to same-bytes parity."""
+        lt, rt = _sub_rand_pair(31)
+        tables = {"l": lt, "r": rt}
+        read_l, read_r = _sub_reads()
+        eq = B.scalar_fn(1, [B.field_ref(0), B.field_ref(4)], output=B.typ("bool"))
+        resid = B.scalar_fn(2, [B.field_ref(1), B.field_ref(5)], output=B.typ("bool"))
+        with_f = B.plan(B.join_rel(read_l, read_r, eq, join_type=1,
+                                   post_filter=resid), OUT8, functions=_FNS)
+        without = B.plan(B.join_rel(read_l, read_r, eq, join_type=1),
+                         OUT8, functions=_FNS)
+        a = _sub_run_acero(with_f, tables)
+        b = _sub_run_acero(without, tables)
+        assert a.num_rows == b.num_rows  # field 5 ignored (residual not applied)
+        # and the residual is non-trivial: our consumer's output is smaller
+        ours = _sub_run_spark(spark, with_f, tables)
+        assert ours.count() < a.num_rows
+
+    def test_pin_upstream_rejects_is_not_distinct_from(self):
+        """extension_set.cc:1109 maps only equal/not_equal substrait→arrow;
+        the IS key-compare JoinRel (relation_internal.cc:726's own branch)
+        is unreachable through run_query. When this pin fails, promote the
+        null-safe test above to same-bytes parity."""
+        lt, rt = _sub_rand_pair(41)
+        read_l, read_r = _sub_reads()
+        isnd = B.scalar_fn(3, [B.field_ref(0), B.field_ref(4)], output=B.typ("bool"))
+        p = B.plan(B.join_rel(read_l, read_r, isnd, join_type=1),
+                   OUT8, functions=_FNS)
+        with pytest.raises(Exception, match="is_not_distinct_from"):
+            _sub_run_acero(p, {"l": lt, "r": rt})
