@@ -526,6 +526,8 @@ def embedding_near_dup_pairs(
     n_tables: int = 12,
     n_planes: int = 8,
     seed: int = 42,
+    auto_scale: bool = True,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a<b) above threshold.
 
@@ -554,6 +556,19 @@ def embedding_near_dup_pairs(
     shuffle on (table, signature) for the candidate join, and exact
     cosine only on bucket-internal pairs — never an all-pairs stage
     (no-CartesianProduct is plan-pinned in tests).
+
+    ``auto_scale`` (default on): at FIXED n_planes the bucket count is
+    fixed, so bucket populations — and candidate pairs, ~T·n²/2^P —
+    grow QUADRATICALLY with corpus size (measured: sf1→sf3 exponent
+    +1.9 on the second-decade sweep). Above ``target_bucket``·2^n_planes
+    rows the plane count is raised to keep mean bucket population at
+    ~``target_bucket`` (P = ceil(log2(n / target_bucket)) → candidates
+    ~T·n·target_bucket, linear), and the table count is raised to keep
+    the MISS BOUND at the (12, 8) defaults' documented level — solving
+    (1 − c^P)^T ≤ (1 − c^8)^12 for T with c = 1 − acos(threshold)/π,
+    the collision probability of a pair AT the threshold. Below that
+    size nothing changes (fixture scales keep the exact historical
+    plan); one count() job runs at index-build time to pick P.
     """
     from arrow_spark.llm.similarity import (
         _as_double,
@@ -571,6 +586,22 @@ def embedding_near_dup_pairs(
         # dim is schema-level metadata the planes need; a one-row peek is
         # an index-build-time constant, not a per-row driver loop
         dim = embeddings.select(F.size(F.col(vec_col)).alias("n")).first()["n"]
+        if auto_scale:
+            import math as _m
+
+            n_rows = embeddings.count()
+            p_auto = (
+                _m.ceil(_m.log2(n_rows / target_bucket))
+                if n_rows > target_bucket
+                else n_planes
+            )
+            if p_auto > n_planes:
+                c = 1.0 - _m.acos(min(max(threshold, -1.0), 1.0)) / _m.pi
+                baseline_miss = (1.0 - c**n_planes) ** n_tables
+                t_auto = _m.ceil(
+                    _m.log(baseline_miss) / _m.log(1.0 - c**p_auto)
+                )
+                n_planes, n_tables = p_auto, max(n_tables, t_auto)
         planes = deterministic_planes(n_tables * n_planes, dim, seed)
         # one numpy matmul per Arrow batch beats 96 codegen'd folds —
         # see lsh_signatures_vectorized
@@ -924,7 +955,12 @@ def excise_duplicate_spans(
         F.explode(F.sequence(F.col("pos"), F.col("pos") + cov_len - 1)).alias("tp"),
     )
     tok_stream = base.select("id", F.posexplode("toks").alias("tp", "tok"))
-    kept = tok_stream.join(dropped, ["id", "tp"], "left_anti")
+    # merge hint: `dropped` is corpus-scale (exploded covered positions
+    # of every duplicate window) but Catalyst's size estimate after
+    # explode is tiny, so it picks BroadcastHashJoin — measured 6.8 GiB
+    # broadcast at gen-sf3 and an OOM at gen-sf10. Sort-merge shuffles
+    # both sides on (id, tp) and spills safely at any scale.
+    kept = tok_stream.join(dropped.hint("merge"), ["id", "tp"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             " ",
@@ -935,9 +971,11 @@ def excise_duplicate_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+    # same estimate blindness here: `rebuilt` carries the whole cleaned
+    # corpus text (one row per doc) — broadcasting it is corpus-sized
     return (
         base.select("id", F.size("toks").alias("n_tokens"))
-        .join(rebuilt, "id", "left")
+        .join(rebuilt.hint("merge"), "id", "left")
         .select(
             F.col("id").alias("doc_id"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -56,13 +56,19 @@ def quantile_transform(
     per-feature window sort would spill (measured super-linear at sf1);
     the plan auto-switches to ``_quantile_transform_decomposed`` —
     identical values (exact, same integer rank algebra), scale-safe
-    shape. Set ``exact_partition_rows=0`` to force the decomposed path,
-    or a huge value to pin the window path."""
+    shape. Set ``exact_partition_rows=0`` to force the decomposed path
+    (no count job runs), or a huge value to pin the window path.
+
+    COST NOTE: when ``exact_partition_rows`` > 0 the switch runs one
+    eager ``df.count()`` action (a column-pruned scan) before building
+    the plan — each feature contributes all df rows to its own window
+    partition, so the df count IS the per-feature partition size (an
+    upper bound; nulls drop in the unpivot)."""
     long = _unpivot(df, id_cols, feature_cols)
-    # one cheap count decides the plan: each feature column contributes
-    # df-rows to its own window partition, so df.count() IS the
-    # per-feature partition size (minus nulls — an upper bound)
-    if exact_partition_rows and df.count() <= exact_partition_rows:
+    if not exact_partition_rows:
+        # forced decomposed path: structural early return, no count job
+        return _quantile_transform_decomposed(long, id_cols, n_buckets)
+    if df.count() <= exact_partition_rows:
         w = W.partitionBy("feature").orderBy("value")
         return long.withColumn("q", F.percent_rank().over(w))
     return _quantile_transform_decomposed(long, id_cols, n_buckets)

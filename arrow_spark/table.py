@@ -220,7 +220,11 @@ def _function_options_dict(opts) -> dict:
 
     out = {}
     rep = repr(opts)
-    for key, val in re.findall(r"(\w+)=([\w.+-]+)", rep):
+    # strip quoted substrings up front: an '=' INSIDE a string value
+    # (e.g. a delimiter option of 'a=b') must neither parse as a scalar
+    # field nor mint phantom names in the unparsed-field guard below
+    stripped = re.sub(r"'[^']*'|\"[^\"]*\"", "''", rep)
+    for key, val in re.findall(r"(\w+)=([\w.+-]+)", stripped):
         if val in ("true", "false"):
             out[key] = val == "true"
         else:
@@ -234,7 +238,7 @@ def _function_options_dict(opts) -> dict:
     # the bare-word regex can't see list- or quoted-string-valued fields
     # (e.g. QuantileOptions(q=[0.5, 0.9])); dropping them silently would
     # yield defaults with no error — reject instead of guessing
-    unparsed = [k for k in re.findall(r"(\w+)=", rep) if k not in out]
+    unparsed = [k for k in re.findall(r"(\w+)=", stripped) if k not in out]
     if unparsed:
         raise NotImplementedError(
             f"unsupported FunctionOptions fields {unparsed} in {rep}; "

@@ -116,6 +116,31 @@ def test_function_options_unparsed_fields_rejected():
         _function_options_dict(pc.QuantileOptions(q=[0.5, 0.9]))
 
 
+def test_function_options_equals_inside_quoted_value():
+    """An '=' inside a quoted string VALUE must neither mint phantom
+    field names nor mask the unparsed-field guard (ADVICE r10)."""
+    from arrow_spark.table import _function_options_dict
+
+    class FakeOpts:
+        def __repr__(self):
+            return "FakeOptions(delim='a=b', n=3)"
+
+    # the quoted field itself is unsupported -> raise names 'delim',
+    # never the phantom 'a' the old scan produced
+    with pytest.raises(NotImplementedError, match="delim") as ei:
+        _function_options_dict(FakeOpts())
+    assert "'a'" not in str(ei.value)
+
+    class MaskOpts:
+        # pathological: value contains 'v=1' which the old scalar scan
+        # parsed as the real field v -> silently wrong value
+        def __repr__(self):
+            return "MaskOptions(v='v=1')"
+
+    with pytest.raises(NotImplementedError, match="v"):
+        _function_options_dict(MaskOpts())
+
+
 def test_table_group_by_mean_matches_pyarrow(spark):
     path = os.path.join(SF_DIR, "lineitem.parquet")
     at = pq.read_table(path)
