@@ -101,7 +101,7 @@ def jaccard_near_dup_pairs(
             F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("__lb__"),
             *[F.col(c) for c in block_cols],
         )
-        pairs = a.join(b, [*block_cols, "__lb__"]).where(F.col("id_a") < F.col("id_b"))
+        pairs = a.join(b.hint("merge"), [*block_cols, "__lb__"]).where(F.col("id_a") < F.col("id_b"))
         # Size-ratio prefilter with slack: a false positive just reaches the
         # exact-Jaccard check below; a float-tight bound could falsely drop
         # a boundary pair (10*0.3 > 3 in doubles), so never filter tightly.
@@ -302,7 +302,7 @@ def _lsh_candidates_from_sets(
     left = band_sig.select("band", "bsig", F.col("id").alias("id_a"))
     right = band_sig.select("band", "bsig", F.col("id").alias("id_b"))
     return (
-        left.join(right, ["band", "bsig"])
+        left.join(right.hint("merge"), ["band", "bsig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -355,7 +355,7 @@ def minhash_near_dups(
     cands = _lsh_candidates_from_sets(d, num_hashes, bands, hash_family)
     a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    j = cands.join(a, "id_a").join(b, "id_b")
+    j = cands.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter  # sets are distinct
     return (
@@ -448,7 +448,7 @@ def incremental_near_dups(
     d_new = shingle_sets(new_docs, shingle_n, id_col, text_col, partition_by_id=True)
     new_bands = _band_signatures(d_new, num_hashes, bands, hash_family)
     cands = (
-        new_bands.join(store, ["band", "bsig"])
+        new_bands.join(store.hint("merge"), ["band", "bsig"])
         .where(new_bands["id"] != store["id"])
         .select(new_bands["id"].alias("new_id"), store["id"].alias("dup_of"))
         .distinct()
@@ -462,7 +462,7 @@ def incremental_near_dups(
     )
     a = d_new.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
     b = d_old.select(F.col("id").alias("dup_of"), F.col("sh").alias("sh_b"))
-    j = cands.join(a, "new_id").join(b, "dup_of")
+    j = cands.join(a.hint("merge"), "new_id").join(b.hint("merge"), "dup_of")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter  # sets are distinct
     return (
@@ -615,7 +615,7 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        pairs = cands.join(a, "id_a").join(b, "id_b")
+        pairs = cands.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
     cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
     return pairs.select(
         "id_a", "id_b", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos")
@@ -881,7 +881,7 @@ def duplicate_ngram_spans(
     tot = g.groupBy("gram_k").agg(F.sum("k").alias("tot"))
     dup_k = F.sum(F.when(F.col("tot") >= min_count, F.col("k")).otherwise(0))
     return (
-        g.join(tot, "gram_k")
+        g.join(tot.hint("merge"), "gram_k")
         .groupBy("id")
         .agg(
             F.sum("k").alias("n_windows"),
@@ -1070,7 +1070,7 @@ def prefix_filter_jaccard_pairs(
     tok = d.select("id", *block_cols, F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     ordered = (
-        tok.join(freq, "tok")
+        tok.join(freq.hint("merge"), "tok")
         .groupBy("id", *block_cols)
         .agg(
             F.transform(
@@ -1099,13 +1099,13 @@ def prefix_filter_jaccard_pairs(
     )
     for c in block_cols:
         join_cond = join_cond & (F.col(c) == F.col(f"__b_{c}"))
-    cand = a.join(b, join_cond).select("id_a", "id_b").distinct()
+    cand = a.join(b.hint("merge"), join_cond).select("id_a", "id_b").distinct()
     arrs = ordered.select("id", "otoks")
     pairs = cand.join(
-        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")),
+        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")).hint("merge"),
         "id_a",
     ).join(
-        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")),
+        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")).hint("merge"),
         "id_b",
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -1218,7 +1218,7 @@ def containment_pairs(
     tok = d.select("id", *block_cols, F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     ordered = (
-        tok.join(freq, "tok")
+        tok.join(freq.hint("merge"), "tok")
         .groupBy("id", *block_cols)
         .agg(
             F.transform(
@@ -1249,13 +1249,13 @@ def containment_pairs(
     )
     for c in block_cols:
         join_cond = join_cond & (F.col(c) == F.col(f"__b_{c}"))
-    cand = pref_a.join(post_b, join_cond).select("id_a", "id_b").distinct()
+    cand = pref_a.join(post_b.hint("merge"), join_cond).select("id_a", "id_b").distinct()
     arrs = ordered.select("id", "otoks")
     pairs = cand.join(
-        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")),
+        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")).hint("merge"),
         "id_a",
     ).join(
-        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")),
+        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")).hint("merge"),
         "id_b",
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

@@ -124,13 +124,14 @@ def bm25_topk(
     # candidate generation: postings ⋈ (broadcast) query terms — cost is
     # ∝ postings of queried tokens, never ∝ corpus size; df rows are
     # likewise narrowed to queried tokens before they are broadcast.
-    # The doclen join keys on doc id: its shuffle carries two longs per
-    # document (not the corpus), and AQE broadcasts the candidate side
-    # instead when the query set is selective.
+    # The doclen join keys on doc id and carries two longs PER DOCUMENT —
+    # corpus-cardinality, so it must never be the broadcast side (Catalyst
+    # was statically broadcasting it: estimate-blind after the size()
+    # projection). Merge keeps it shuffled-and-spillable at any corpus.
     cand = (
         postings.join(F.broadcast(qterms), "token")
         .join(F.broadcast(df_by_token.join(F.broadcast(qtok), "token")), "token")
-        .join(doclen, "id")
+        .join(doclen.hint("merge"), "id")
         .crossJoin(F.broadcast(stats))
     )
     tf_part = (F.col("tf") * (F.lit(k1) + 1)) / (

@@ -15,6 +15,11 @@ exact `by` keys, which tighten blocks further), never |L|·|R|. At
 100 TB block additionally on a cheap exact key (language, category,
 first-token) or swap candidate generation to minhash_lsh_candidates and
 keep this as the verifier — identical to the dedup guidance.
+
+Join sides that scale with the corpus (gram postings, shingle frames,
+the right table) carry explicit merge hints: Catalyst's size estimates
+after explode are blind, and a mis-chosen broadcast of a corpus-scale
+frame is the 6.8 GiB-at-sf3 failure mode fixed in excise_duplicate_spans.
 """
 
 from __future__ import annotations
@@ -81,7 +86,7 @@ def fuzzy_join_lsh(
     )
     a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    j = cross.join(a, "id_a").join(b, "id_b")
+    j = cross.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -123,7 +128,7 @@ def fuzzy_join(
     sz_a, sz_b = F.size("__lt__"), F.size("__rt__")
     ratio_ok = F.least(sz_a, sz_b) >= F.greatest(sz_a, sz_b) * F.lit(threshold) - 1e-9
     return (
-        a.join(b, [*by, "__lb__"])
+        a.join(b.hint("merge"), [*by, "__lb__"])
         .where(ratio_ok)
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
@@ -190,7 +195,7 @@ def fuzzy_join_edit_distance(
 
     pg = p.select("pid", "ptxt", F.explode(grams(F.col("ptxt"))).alias("g"))
     cg = c.select("cid", "ctxt", F.explode(grams(F.col("ctxt"))).alias("g"))
-    shared = pg.join(cg, "g").groupBy("pid", "ptxt", "cid", "ctxt").agg(
+    shared = pg.join(cg.hint("merge"), "g").groupBy("pid", "ptxt", "cid", "ctxt").agg(
         F.count(F.lit(1)).cast("long").alias("common")
     )
     bound = (

@@ -91,7 +91,7 @@ def radius_join(
     dy = F.col("ly") - F.col("ry")
     dist2 = dx * dx + dy * dy
     return (
-        l.join(rgt, "cell")
+        l.join(rgt.hint("merge"), "cell")
         .where(dist2 <= F.lit(r * r).cast("long"))
         .select("lid", "rid", dist2.alias("dist2"))
     )
@@ -140,19 +140,19 @@ def dbscan(
     core = deg.where(F.col("sz") >= min_pts).select(F.col("lid").alias("id"))
     core_edges = (
         pairs.where(F.col("lid") < F.col("rid"))
-        .join(F.broadcast(core.withColumnRenamed("id", "lid")), "lid", "left_semi")
-        .join(F.broadcast(core.withColumnRenamed("id", "rid")), "rid", "left_semi")
+        .join(core.withColumnRenamed("id", "lid").hint("merge"), "lid", "left_semi")
+        .join(core.withColumnRenamed("id", "rid").hint("merge"), "rid", "left_semi")
     )
     cc = connected_components(core_edges, "lid", "rid", max_iter=max_iter)
     core_lbl = core.join(
         cc.withColumnRenamed("v", "id"), "id", "left"
     ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("cluster"))
     border_lbl = (
-        pairs.join(F.broadcast(core.withColumnRenamed("id", "lid")), "lid", "left_anti")
+        pairs.join(core.withColumnRenamed("id", "lid").hint("merge"), "lid", "left_anti")
         .join(
             core_lbl.withColumnRenamed("id", "rid").withColumnRenamed(
                 "cluster", "rcluster"
-            ),
+            ).hint("merge"),
             "rid",
         )
         .groupBy(F.col("lid").alias("id"))
@@ -160,8 +160,8 @@ def dbscan(
     )
     out = (
         pts.select("id")
-        .join(core_lbl.withColumnRenamed("cluster", "core_cluster"), "id", "left")
-        .join(border_lbl.withColumnRenamed("cluster", "border_cluster"), "id", "left")
+        .join(core_lbl.withColumnRenamed("cluster", "core_cluster").hint("merge"), "id", "left")
+        .join(border_lbl.withColumnRenamed("cluster", "border_cluster").hint("merge"), "id", "left")
     )
     role = (
         F.when(F.col("core_cluster").isNotNull(), "core")
