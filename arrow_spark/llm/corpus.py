@@ -62,7 +62,7 @@ def ngram_overlap(
         .withColumn("__hit__", F.lit(1))
     )
     return (
-        probe.join(corpus, "g", "left")
+        probe.join(corpus.hint("merge"), "g", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -341,7 +341,7 @@ def unigram_logprob_score(
         F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / denom) * 1e6 + F.lit(0.5)
     ).cast("long")
     return (
-        toks.join(vocab, "token", "left")
+        toks.join(vocab.hint("merge"), "token", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy("id")
         .agg(
@@ -418,9 +418,9 @@ def bigram_interp_score(
     logp_micro = F.floor(F.log(bterm + uterm) * 1e6 + F.lit(0.5)).cast("long")
     return (
         _pairs(score_docs)
-        .join(bi, ["prev", "cur"], "left")
-        .join(ctx, "prev", "left")
-        .join(vocab, "cur", "left")
+        .join(bi.hint("merge"), ["prev", "cur"], "left")
+        .join(ctx.hint("merge"), "prev", "left")
+        .join(vocab.hint("merge"), "cur", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy("id")
         .agg(
@@ -648,7 +648,7 @@ def keyness_terms(
     n_tot = a_tab.agg(F.sum("a").alias("n"))
     half = F.lit(0.5)
     scored = (
-        a_tab.join(w_tot, "word")
+        a_tab.join(w_tot.hint("merge"), "word")
         .join(F.broadcast(g_tot), "grp")
         .crossJoin(F.broadcast(n_tot))
         .withColumn("b", F.col("wt") - F.col("a"))
@@ -759,7 +759,7 @@ def tv_drift(
     nt = cells.agg(F.sum("c").cast("long").alias("n"))
     d = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     joined = (
-        cells.join(ref, "word")
+        cells.join(ref.hint("merge"), "word")
         .join(F.broadcast(gt), list(group_cols))
         .crossJoin(F.broadcast(nt))
     )

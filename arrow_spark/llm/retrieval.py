@@ -179,7 +179,7 @@ def tfidf_top_terms(
         F.col("tf") * F.log((1 + F.col("n_docs")) / (1 + F.col("df")))
     )
     scored = (
-        postings.join(F.broadcast(df_by_token), "token")
+        postings.join(df_by_token.hint("merge"), "token")
         .crossJoin(F.broadcast(stats))
         .withColumn("__s__", tfidf)
     )
@@ -251,7 +251,7 @@ def phrase_match(
             F.col("id"),
             F.transform("positions", lambda p: p - i).alias(f"p{i}"),
         )
-        acc = acc.join(nxt, "id").withColumn(
+        acc = acc.join(nxt.hint("merge"), "id").withColumn(
             "p0", F.array_intersect("p0", f"p{i}")
         ).drop(f"p{i}").where(F.size("p0") > 0)
     return acc.select(
@@ -285,7 +285,7 @@ def proximity_match(
         p = postings_pos.where(F.col("token") == t).select(
             F.col("id"), F.col("positions").alias(f"p{i}")
         )
-        acc = p if acc is None else acc.join(p, "id")
+        acc = p if acc is None else acc.join(p.hint("merge"), "id")
 
     def spans(vals: list) -> Column:
         # nested transforms accumulate one position per term, innermost

@@ -220,7 +220,7 @@ def encode_documents(
     )
     vocab = encode_words(doc_words.select("word").distinct(), merges)
     return (
-        doc_words.join(vocab.select("word", "n_tokens"), "word")
+        doc_words.join(vocab.select("word", "n_tokens").hint("merge"), "word")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

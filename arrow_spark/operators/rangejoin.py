@@ -61,4 +61,4 @@ def interval_join(
     owner = F.floor(F.greatest(F.col(l_start), F.col(r_start)) / bin_width).cast(
         "long"
     ) == F.col("__bin__")
-    return lb.join(rb, [*by, "__bin__"]).where(overlap & owner).drop("__bin__")
+    return lb.join(rb.hint("merge"), [*by, "__bin__"]).where(overlap & owner).drop("__bin__")
