@@ -610,7 +610,7 @@ def embedding_near_dup_pairs(
         left = sig.select("tbl", "sig", F.col("id").alias("id_a"))
         right = sig.select("tbl", "sig", F.col("id").alias("id_b"))
         cands = (
-            left.join(right, ["tbl", "sig"])
+            left.join(right.hint("merge"), ["tbl", "sig"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
