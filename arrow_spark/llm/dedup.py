@@ -528,8 +528,18 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     auto_scale: bool = True,
     target_bucket: int = 64,
+    top_k_per_id: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a<b) above threshold.
+
+    NOTE (behavior since auto_scale landed): with the default
+    ``auto_scale=True`` the lsh path runs one eager ``count()`` job at
+    index-build time, and above ~``target_bucket``·2^``n_planes`` rows
+    (~16k at the defaults) the effective (n_planes, n_tables) grow with
+    the corpus — so the approximate index's recall set for identical
+    inputs+seed depends on corpus size. Pass ``auto_scale=False`` for
+    size-independent reproducibility (at the documented quadratic
+    candidate-growth cost).
 
     blocking='lsh' (default, the 100 TB path): random-hyperplane LSH
     with multi-table OR-construction. Each vector gets ``n_tables``
@@ -597,11 +607,19 @@ def embedding_near_dup_pairs(
             )
             if p_auto > n_planes:
                 c = 1.0 - _m.acos(min(max(threshold, -1.0), 1.0)) / _m.pi
-                baseline_miss = (1.0 - c**n_planes) ** n_tables
-                t_auto = _m.ceil(
-                    _m.log(baseline_miss) / _m.log(1.0 - c**p_auto)
-                )
-                n_planes, n_tables = p_auto, max(n_tables, t_auto)
+                # Boundary guard: threshold=1.0 gives c=1 (baseline_miss=0,
+                # log(0) raises) and threshold<=-1 gives c=0 (both logs are
+                # 0.0, division raises). At either edge the table-count
+                # solve is meaningless — an exact-cosine threshold needs no
+                # extra tables and c=0 means no pair ever collides — so
+                # only raise the plane count.
+                if 0.0 < c < 1.0 - 1e-12:
+                    baseline_miss = (1.0 - c**n_planes) ** n_tables
+                    t_auto = _m.ceil(
+                        _m.log(baseline_miss) / _m.log(1.0 - c**p_auto)
+                    )
+                    n_tables = max(n_tables, t_auto)
+                n_planes = p_auto
         planes = deterministic_planes(n_tables * n_planes, dim, seed)
         # one numpy matmul per Arrow batch beats 96 codegen'd folds —
         # see lsh_signatures_vectorized
@@ -617,9 +635,25 @@ def embedding_near_dup_pairs(
         )
         pairs = cands.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
     cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
-    return pairs.select(
+    out = pairs.select(
         "id_a", "id_b", (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos")
     ).where(F.col("cos") >= threshold)
+    if top_k_per_id is not None:
+        # EMISSION GUARD (mirrors containment_pairs' top_k_per_doc and
+        # fuzzy_join's top_k_per_probe): on a near-dup-dense corpus the
+        # qualifying pair RELATION is quadratic by definition (measured
+        # rows exp +2.00 sf1→sf3 while per-output-row cost fell — the
+        # plan is sublinear, the emission isn't). Keep each id_a's k
+        # most-similar partners (rounded cos DESC, id_b ASC — both sides
+        # rank on the same rounded value, so ties break identically in
+        # the rank-cut oracle), bounding output at k·n rows.
+        wk = W.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+        out = (
+            out.withColumn("__rk", F.row_number().over(wk))
+            .where(F.col("__rk") <= int(top_k_per_id))
+            .drop("__rk")
+        )
+    return out
 
 
 def connected_components(

@@ -146,6 +146,8 @@ def fuzzy_join_edit_distance(
     max_dist: int = 2,
     q: int = 3,
     top_k_per_probe: int | None = None,
+    broadcast_probe: bool | None = None,
+    probe_gram_budget: int = 4_000_000,
 ) -> DataFrame:
     """Edit-distance join: (probe_id, corpus_id, dist) for all pairs
     with levenshtein ≤ ``max_dist`` — via LOSSLESS q-gram count
@@ -173,7 +175,27 @@ def fuzzy_join_edit_distance(
     output-bound, not plan-bound). ``top_k_per_probe`` keeps only each
     probe's k closest matches (dist ASC, corpus id ASC —
     deterministic), bounding output at k·|probe| rows; default off so
-    the full relation stays oracle-provable."""
+    the full relation stays oracle-provable.
+
+    CONTRACT — ids must be unique: the gram stage carries ids only and
+    aggregates shared-gram counts by (probe_id, corpus_id), then
+    re-attaches texts by id. A duplicated id with DIFFERENT texts would
+    merge gram counts across the duplicates and fan the re-attach out —
+    silently wrong counts. Deduplicate on id upstream if your table can
+    violate this (the old texts-in-the-gram-join shape tolerated
+    duplicates, at corpus-broadcast cost).
+
+    BROADCAST GUARD: the exploded probe gram frame is broadcast ONLY
+    when the probe is provably small. ``broadcast_probe=None`` (default)
+    runs one cheap aggregate over the probe — estimated gram rows
+    (Σ max(len−q+1, 1)) must be ≤ ``probe_gram_budget`` (default 4M
+    rows ≈ low hundreds of MB serialized) — because ``F.broadcast``
+    bypasses autoBroadcastJoinThreshold and a forced broadcast of an
+    unbounded probe is exactly the estimate-blind failure class the
+    round-11 audit removed elsewhere. Pass True/False to skip the
+    estimate when the caller already knows; the fallback is a
+    merge-hinted shuffle join on the gram key (spillable at any
+    scale)."""
     p = probe.select(
         F.col(probe_id).alias("pid"), F.col(probe_text).alias("ptxt")
     )
@@ -203,12 +225,25 @@ def fuzzy_join_edit_distance(
     # at gen-sf1 vs the old texts-in-the-gram-join plan: same 22.2 M
     # output rows; the old plan's corpus-side broadcast is the
     # 100 TB killer this shape removes.
+    if broadcast_probe is None:
+        est_grams = p.select(
+            F.coalesce(
+                F.sum(F.greatest(F.length("ptxt") - (q - 1), F.lit(1))), F.lit(0)
+            ).alias("n")
+        ).first()["n"]
+        broadcast_probe = int(est_grams) <= int(probe_gram_budget)
     pg = p.select("pid", F.explode(grams(F.col("ptxt"))).alias("g"))
     cg = c.select("cid", F.explode(grams(F.col("ctxt"))).alias("g"))
-    shared = cg.join(F.broadcast(pg), "g").groupBy("pid", "cid").agg(
+    if broadcast_probe:
+        gram_join = cg.join(F.broadcast(pg), "g")
+        p_side = F.broadcast(p)
+    else:
+        gram_join = cg.hint("merge").join(pg.hint("merge"), "g")
+        p_side = p.hint("merge")
+    shared = gram_join.groupBy("pid", "cid").agg(
         F.count(F.lit(1)).cast("long").alias("common")
     )
-    cand = shared.join(F.broadcast(p), "pid").join(c.hint("merge"), "cid")
+    cand = shared.join(p_side, "pid").join(c.hint("merge"), "cid")
     bound = (
         F.greatest(F.length("ptxt"), F.length("ctxt"))
         - F.lit(q - 1)

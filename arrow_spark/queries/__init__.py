@@ -46,8 +46,14 @@ _MODULES = (
 )
 
 
-def _driver_verified() -> dict[str, int]:
+def _driver_verified(_max_round: int | None = None) -> dict[str, int]:
     """name → LATEST round in which the query was driver-green.
+
+    ``_max_round`` restricts the scan to CORRECTNESS_r01..r{N} — used by
+    the rotation_candidates.json consistency test to recompute the
+    ordering from exactly the rounds the committed artifact saw, so the
+    artifact stays self-consistent even after the driver writes a newer
+    CORRECTNESS file.
 
     The driver samples a prefix of the registry in insertion order, so
     ``load_all`` floats never-yet-driver-verified queries to the front:
@@ -65,6 +71,8 @@ def _driver_verified() -> dict[str, int]:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
         round_no = int(m.group(1)) if m else 0
+        if _max_round is not None and round_no > _max_round:
+            continue
         try:
             with open(path) as f:
                 report = json.load(f)
@@ -99,6 +107,18 @@ def load_all() -> dict[str, QueryDef]:
     for mod in _MODULES:
         importlib.import_module(f"arrow_spark.queries.{mod}")
     verified = _driver_verified()
+    return {name: REGISTRY[name] for name, _, _ in _rank_registry(verified)}
+
+
+def _rank_registry(verified: dict[str, int]) -> list[tuple[str, int, int | None]]:
+    """(name, block, last_green_round) in verification-priority order.
+
+    The single source of truth for the ordering contract — load_all's
+    returned dict order, tests/test_registry_order.py's pins, and the
+    committed rotation_candidates.json artifact all derive from here,
+    so the driver's sample and the repo's bookkeeping cannot drift.
+    """
+    _ORDER = {k: i for i, k in enumerate(REGISTRY)}
 
     def rank(name: str, qd: QueryDef) -> tuple[int, int, int]:
         if qd.oracle is None:
@@ -120,8 +140,8 @@ def load_all() -> dict[str, QueryDef]:
             block = 1
         return block, _ORDER[name], 0
 
-    _ORDER = {k: i for i, k in enumerate(REGISTRY)}
-    return dict(sorted(REGISTRY.items(), key=lambda kv: rank(*kv)))
+    ranked = sorted(REGISTRY.items(), key=lambda kv: rank(*kv))
+    return [(name, rank(name, qd)[0], verified.get(name)) for name, qd in ranked]
 
 
 #: Never-green queries that MUST land in this round's sampled prefix
@@ -213,4 +233,7 @@ _DEFER_NEW: tuple[str, ...] = (
     # sole newcomer sorts first among block-2 and the remaining ~49
     # slots re-verify the stalest greens (block-4 rotation).
     "agg_quantile_modes",
+    # round 12: the embedding emission guard (VERDICT r11 #2) — sole
+    # newcomer, sorts first; the rest of the sample rotates stalest-green.
+    "dedup_embedding_topk",
 )

@@ -291,13 +291,19 @@ def recommend_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .where(F.col("c") >= 2)
     )
+    # freq is PER-ITEM counts — item cardinality scales with the corpus
+    # (TPC-H parts grow with SF), so a forced broadcast never
+    # auto-disables: exactly the estimate-blind hazard class the r11
+    # audit removed elsewhere (caught by the r12 broadcast gate).
+    # Merge-hinted shuffle joins are spillable at any item count; nord
+    # stays broadcast (single row).
     scored = (
         pairs.join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("p1"), F.col("f").alias("n1"))),
+            freq.select(F.col("l_partkey").alias("p1"), F.col("f").alias("n1")).hint("merge"),
             "p1",
         )
         .join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("p2"), F.col("f").alias("n2"))),
+            freq.select(F.col("l_partkey").alias("p2"), F.col("f").alias("n2")).hint("merge"),
             "p2",
         )
         .crossJoin(F.broadcast(nord))

@@ -240,6 +240,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.95)
 
 
+EMB_TOPK_ORACLE = """
+WITH d AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 AS cos
+  FROM d a JOIN d b ON a.id < b.id
+  WHERE floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 >= 0.95
+)
+SELECT id_a, id_b, cos
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) <= 3
+"""
+
+
+@query("dedup_embedding_topk", oracle=EMB_TOPK_ORACLE)
+def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emission-GUARDED embedding near-dup relation a 100 TB
+    pipeline should run: same LSH-blocked plan as
+    dedup_embedding_cosine, plus top_k_per_id=3 — each id_a keeps its 3
+    most-similar partners (rounded cos DESC, id_b ASC, deterministic),
+    bounding output at 3n rows on a near-dup-dense corpus where the
+    full qualifying relation is quadratic (measured rows exp +2.00
+    sf1→sf3, SCALE.md second-decade sweep). The oracle expresses the
+    cap as the identical rank cut (QUALIFY row_number) over the
+    unblocked all-pairs relation — the hash match proves hyperplane
+    blocking losslessness AND the guard semantics together, mirroring
+    dedup_containment_capped / fuzzy_join_topk."""
+    return embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.95, top_k_per_id=3
+    )
+
+
 def _clusters_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     return f"""
 WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_band_ctes(num_hashes, bands)},

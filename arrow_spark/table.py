@@ -222,8 +222,10 @@ def _function_options_dict(opts) -> dict:
     rep = repr(opts)
     # strip quoted substrings up front: an '=' INSIDE a string value
     # (e.g. a delimiter option of 'a=b') must neither parse as a scalar
-    # field nor mint phantom names in the unparsed-field guard below
-    stripped = re.sub(r"'[^']*'|\"[^\"]*\"", "''", rep)
+    # field nor mint phantom names in the unparsed-field guard below.
+    # The patterns honor backslash escapes (repr of "a'b" is 'a\'b') so
+    # an escaped quote can't leave a dangling fragment behind.
+    stripped = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", "''", rep)
     for key, val in re.findall(r"(\w+)=([\w.+-]+)", stripped):
         if val in ("true", "false"):
             out[key] = val == "true"

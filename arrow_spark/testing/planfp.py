@@ -60,9 +60,27 @@ PLAN_OPS = (
 )
 
 
-def fingerprint(df) -> dict[str, int]:
-    """Operator counts of the frame's executed plan (pre-AQE shape)."""
-    text = df._jdf.queryExecution().executedPlan().toString()
+def plan_text(df) -> str:
+    """Executed-plan string of a frame (pre-AQE shape)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: name@sf_dir → executed-plan string. Building a query's physical plan
+#: is the expensive part of both the fingerprint test and the broadcast
+#: gate; caching lets the two parametrized test files share one build
+#: per registered query within a pytest session.
+_PLAN_TEXT_CACHE: dict[str, str] = {}
+
+
+def cached_plan_text(name: str, fn, spark, sf_dir: str) -> str:
+    key = f"{name}@{sf_dir}"
+    if key not in _PLAN_TEXT_CACHE:
+        _PLAN_TEXT_CACHE[key] = plan_text(fn(spark, sf_dir))
+    return _PLAN_TEXT_CACHE[key]
+
+
+def fingerprint_text(text: str) -> dict[str, int]:
+    """Operator counts of an executed-plan string."""
     counts: dict[str, int] = {}
     for line in text.splitlines():
         for op in PLAN_OPS:
@@ -70,6 +88,11 @@ def fingerprint(df) -> dict[str, int]:
                 counts[op] = counts.get(op, 0) + 1
                 break
     return counts
+
+
+def fingerprint(df) -> dict[str, int]:
+    """Operator counts of the frame's executed plan (pre-AQE shape)."""
+    return fingerprint_text(plan_text(df))
 
 
 def baseline_path() -> str:

@@ -9,12 +9,13 @@ explodes (sequence over interval lengths, shingle fan-out) do not,
 because Catalyst's estimate is unrelated to their true size and the
 broadcast never auto-disables as the corpus grows.
 
-This script flags the textual SIGNATURE (a BroadcastExchange whose
-subtree contains Generate or an ObjectHashAggregate/collect_list) and
-prints the first operator under each flagged exchange so a human can
-classify it bounded vs corpus-scale. It is a triage tool, not a gate:
-constant-fan-out explodes and query-side frames flag as false
-positives by design — the point is that every flag gets LOOKED AT.
+This script prints each flagged exchange's signature (shared with the
+committed regression gate — see arrow_spark/testing/broadcast_audit.py
+and tests/test_broadcast_gate.py) plus its allowlist status, so a
+human can classify new flags bounded vs corpus-scale. Constant-fan-out
+explodes and query-side frames flag as false positives by design — the
+point is that every flag gets LOOKED AT (then recorded in
+tests/data/broadcast_allowlist.json via gen_broadcast_allowlist.py).
 
 Usage: python scripts/audit_broadcasts.py [sf_dir] [name ...]
 """
@@ -28,21 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from arrow_spark import get_spark
 from arrow_spark.queries import load_all
-
-
-def subtree_flags(lines: list[str], i: int) -> list[str]:
-    ln = lines[i]
-    ind = len(ln) - len(ln.lstrip(" +-:"))
-    hits = []
-    for nxt in lines[i + 1:]:
-        nind = len(nxt) - len(nxt.lstrip(" +-:"))
-        if nxt.strip() and nind <= ind:
-            break
-        if "Generate" in nxt:
-            hits.append("explode")
-        if "collect_list" in nxt or "ObjectHashAggregate" in nxt:
-            hits.append("collect_list")
-    return sorted(set(hits))
+from arrow_spark.testing.broadcast_audit import (
+    audit_plan_text,
+    flag_signature,
+    load_allowlist,
+)
+from arrow_spark.testing.planfp import plan_text
 
 
 def main() -> int:
@@ -51,28 +43,28 @@ def main() -> int:
     only = set(args[1:])
     spark = get_spark("broadcast-audit")
     qs = load_all()
+    try:
+        allow = load_allowlist()
+    except FileNotFoundError:
+        allow = {}
     n_flag = n_err = 0
     for name, qd in sorted(qs.items()):
         if only and name not in only:
             continue
         try:
-            plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            plan = plan_text(qd.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:60]}")
             n_err += 1
             continue
-        lines = plan.splitlines()
-        for i, ln in enumerate(lines):
-            if "BroadcastExchange" not in ln:
-                continue
-            hits = subtree_flags(lines, i)
-            if hits:
-                below = next(
-                    (x.strip()[:100] for x in lines[i + 1: i + 3] if x.strip()), ""
-                )
-                print(f"FLAG {name} [{','.join(hits)}] -> {below}")
-                n_flag += 1
-    print(f"\nflags: {n_flag}, errors: {n_err} (each flag needs a bounded/corpus-scale classification)")
+        known = {e["sig"]: e["why"] for e in allow.get(name, [])}
+        for f in audit_plan_text(plan):
+            sig = flag_signature(f)
+            status = known.get(sig, "*** NOT IN ALLOWLIST ***")
+            print(f"FLAG {name} [{sig}] — {status}")
+            n_flag += 1
+    print(f"\nflags: {n_flag}, errors: {n_err} "
+          "(every flag needs a bounded/corpus-scale classification)")
     return 0
 
 

@@ -192,3 +192,37 @@ def test_edit_distance_top_k_per_probe(spark):
 
     counts = Counter(r["pid"] for r in capped)
     assert all(v <= 2 for v in counts.values())
+
+
+def test_edit_distance_broadcast_gate(spark):
+    # ADVICE r11: F.broadcast(pg) bypasses autoBroadcastJoinThreshold, so
+    # an unbounded probe must NOT be force-broadcast. The guard estimates
+    # probe gram rows and falls back to a merge-hinted shuffle join; both
+    # paths must return identical results.
+    from arrow_spark.operators.fuzzyjoin import fuzzy_join_edit_distance
+
+    probe = spark.createDataFrame(
+        [(1, "kitten"), (2, "flawless")], "pid long, t string"
+    )
+    corpus = spark.createDataFrame(
+        [(10, "kitten"), (11, "mitten"), (12, "sitting"), (13, "flawless")],
+        "cid long, t string",
+    )
+    expected = {(1, 10): 0, (1, 11): 1, (2, 13): 0}
+
+    shuffled = fuzzy_join_edit_distance(
+        probe, corpus, "pid", "t", "cid", "t", max_dist=1, q=3,
+        broadcast_probe=False,
+    )
+    assert {(r["pid"], r["cid"]): r["dist"] for r in shuffled.collect()} == expected
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan  # nothing force-broadcast
+
+    # a tiny gram budget must auto-select the shuffle path
+    auto = fuzzy_join_edit_distance(
+        probe, corpus, "pid", "t", "cid", "t", max_dist=1, q=3,
+        probe_gram_budget=1,
+    )
+    assert {(r["pid"], r["cid"]): r["dist"] for r in auto.collect()} == expected
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan

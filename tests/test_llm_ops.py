@@ -277,6 +277,52 @@ def test_embedding_lsh_blocking_equals_exact(spark):
     assert lsh == exact
 
 
+def test_embedding_top_k_per_id_guard(spark):
+    # VERDICT r11 #2: the emission guard must equal the rank cut over the
+    # full relation — k most-similar partners per id_a, ties (rounded
+    # cos) broken by id_b ASC.
+    from collections import defaultdict
+
+    from arrow_spark.llm.dedup import embedding_near_dup_pairs
+
+    emb = _planted_embeddings(spark)
+    # drop the threshold so ranks actually cut something (planted decoys)
+    full = embedding_near_dup_pairs(emb, threshold=0.2, blocking="lsh").collect()
+    by_a = defaultdict(list)
+    for r in full:
+        by_a[r.id_a].append((-r.cos, r.id_b))
+    expected = {
+        (a, id_b)
+        for a, parts in by_a.items()
+        for _, id_b in sorted(parts)[:2]
+    }
+    capped = embedding_near_dup_pairs(
+        emb, threshold=0.2, blocking="lsh", top_k_per_id=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == expected
+    counts = defaultdict(int)
+    for r in capped:
+        counts[r.id_a] += 1
+    assert all(v <= 2 for v in counts.values())
+
+
+def test_embedding_auto_scale_boundary_thresholds(spark):
+    # ADVICE r11: the auto-scale table-count solve crashed on threshold=1.0
+    # (c=1 → log(0)) once n_rows exceeded target_bucket·2^n_planes. Force
+    # the solve with tiny knobs; exact-cosine threshold must just raise
+    # the plane count and run.
+    from arrow_spark.llm.dedup import embedding_near_dup_pairs
+
+    emb = _planted_embeddings(spark)  # 80 rows > 4·2^2
+    out = embedding_near_dup_pairs(
+        emb, threshold=1.0, blocking="lsh", n_planes=2, n_tables=2,
+        target_bucket=4,
+    ).collect()
+    exact = embedding_near_dup_pairs(emb, threshold=1.0, blocking="exact").collect()
+    # exact-cosine verify admits no false positive, so lsh ⊆ exact
+    assert {(r.id_a, r.id_b) for r in out} <= {(r.id_a, r.id_b) for r in exact}
+
+
 def test_vectorized_signatures_match_jvm_folds(spark):
     # the numpy matmul signature path must agree bit-for-bit with the
     # codegen'd lsh_signature folds it replaces

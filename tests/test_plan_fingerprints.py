@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 from arrow_spark.queries import load_all
-from arrow_spark.testing.planfp import fingerprint, load_baseline
+from arrow_spark.testing.planfp import cached_plan_text, fingerprint_text, load_baseline
 
 QUERIES = load_all()
 BASELINE = load_baseline()
@@ -23,7 +23,7 @@ def test_baseline_covers_registry():
 def test_plan_shape_unchanged(spark, sf_dir, name):
     if name not in QUERIES:
         pytest.skip("query retired; regenerate baseline")
-    got = fingerprint(QUERIES[name].fn(spark, sf_dir))
+    got = fingerprint_text(cached_plan_text(name, QUERIES[name].fn, spark, sf_dir))
     assert got == BASELINE[name], (
         f"{name}: plan shape changed vs baseline.\n"
         f"  baseline: {BASELINE[name]}\n"

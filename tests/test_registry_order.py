@@ -69,3 +69,25 @@ def test_reverification_rotates_oldest_green_first():
         if n in VERIFIED and QUERIES[n].oracle is not None and _block(n) == 4
     ]
     assert green_rounds == sorted(green_rounds)
+
+
+def test_rotation_candidates_artifact_consistent():
+    """rotation_candidates.json (VERDICT r11 #6) must equal the ordering
+    recomputed from exactly the CORRECTNESS rounds it says it saw — the
+    driver's sample and the repo's bookkeeping cannot drift. Regenerate
+    with scripts/gen_rotation_candidates.py after each driver round."""
+    import json
+    import os
+
+    from arrow_spark.queries import _rank_registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "rotation_candidates.json")) as f:
+        artifact = json.load(f)
+    max_round = max(artifact["rounds_seen"])
+    verified = _driver_verified(max_round)
+    expected = [
+        {"name": name, "block": block, "last_green_round": last}
+        for name, block, last in _rank_registry(verified)
+    ]
+    assert artifact["order"] == expected
