@@ -656,11 +656,41 @@ def embedding_near_dup_pairs(
     return out
 
 
+def ckpt_reset_stats(df: DataFrame) -> DataFrame:
+    """localCheckpoint + statistics reset — REQUIRED for iterative join
+    loops (use this, not bare localCheckpoint, for loop-carried state).
+
+    Spark's localCheckpoint preserves the ORIGIN plan's estimated
+    statistics on the resulting LogicalRDD (verified on 4.1: a join
+    estimated at 64 MB checkpoints to a frame still claiming 64 MB —
+    the checkpoint does NOT reset to measured size). In a loop whose
+    round contains a join, the size estimates therefore COMPOUND
+    multiplicatively across rounds (visitJoin multiplies child
+    estimates) until java.math.BigInteger itself overflows at ~2^31
+    bits: 'ArithmeticException: BigInteger would overflow supported
+    range' raised from SizeInBytesOnlyStatsPlanVisitor during PLANNING,
+    before any task runs — hit by the CC loop at gen-sf3 around round
+    25 (r12 second-decade sweep). Rebuilding the Dataset over the
+    checkpointed RDD drops the origin stats: the frame then reports
+    defaultSizeInBytes (Long.MaxValue), which (a) stays bounded
+    round-over-round and (b) can never be elected a broadcast build
+    side — the conservative direction for loop-carried state.
+    """
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    spark = ck.sparkSession
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, spark)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 40,
+    shortcuts_per_round: int = 2,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -668,28 +698,44 @@ def connected_components(
     where component is the smallest vertex id in the connected component.
 
     Distributed iterative algorithm (the piece Arrow cannot express —
-    Acero has no iteration; Spark runs it as a loop of joins):
-    each round every vertex adopts min(own label, neighbors' labels),
-    converging in O(diameter) rounds. Near-dup graphs are near-cliques
-    (similarity is almost transitive), so the diameter is tiny; worst
-    case chains still converge within max_iter and convergence is
+    Acero has no iteration; Spark runs it as a loop of joins): each
+    round every vertex adopts min(own label, neighbors' labels), then
+    runs ``shortcuts_per_round`` pointer jumps — adopting its LABEL's
+    label — the path-shortcutting idea behind large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014). Plain neighbor-min converges in O(diameter) rounds, and
+    the r12 second-decade sweep PROVED the pre-r12 "near-dup graphs are
+    near-cliques, diameter is tiny" assumption wrong at scale: gen-sf3
+    builds a 76,814-doc template-chain component, the loop hit its
+    25-round cap, and a driver-side replay of the exact recurrence on
+    the extracted 722,788-edge graph measured convergence at 36 rounds
+    with one jump (≈ 2·log2 of the giant component), 10-ish with two
+    jumps on a 100k-chain. A jump is a label-frame self-join — far
+    cheaper than the round's edge join — so extra jumps per round trade
+    the cheap operation for fewer expensive ones. Convergence is
     asserted, not assumed.
 
-    Scale notes: the symmetrized edge list is localCheckpoint-ed once so
-    the (possibly expensive) pair-generation lineage is computed exactly
+    Scale notes: the symmetrized edge list is checkpointed once so the
+    (possibly expensive) pair-generation lineage is computed exactly
     once; each round is one shuffle (groupBy dst) + one broadcast-free
-    equi-join, and each round's labels are localCheckpoint-ed to truncate
-    lineage — the classic Spark iterative pattern (GraphX Pregel does the
-    same materialization per superstep). No .cache() anywhere: checkpoint
-    blocks don't enter the CacheManager, so later unrelated queries can't
-    pick them up via ReusedExchange (see SCALE.md round-1 lesson).
+    equi-join + ``shortcuts_per_round`` self-joins, and each round's
+    labels are checkpointed to truncate lineage — the classic Spark
+    iterative pattern (GraphX Pregel does the same materialization per
+    superstep). Checkpoints go through ckpt_reset_stats, NOT bare
+    localCheckpoint: Spark preserves the origin plan's size ESTIMATE
+    across localCheckpoint, so a loop whose round contains a join
+    compounds estimates multiplicatively until BigInteger overflow
+    (hit at gen-sf3, round ~25 — see ckpt_reset_stats). No .cache()
+    anywhere: checkpoint blocks don't enter the CacheManager, so later
+    unrelated queries can't pick them up via ReusedExchange (SCALE.md
+    round-1 lesson).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = ckpt_reset_stats(sym)
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     for _ in range(max_iter):
         nbr_min = (
@@ -697,15 +743,35 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        upd = (
+        # Stats-reset-checkpointed BEFORE the self-join below (see
+        # ckpt_reset_stats: a bare localCheckpoint PRESERVES the origin
+        # estimate, so the self-join would square it every round until
+        # BigInteger overflow).
+        half = (
             labels.join(nbr_min, labels.v == nbr_min.a, "left")
             .select(
                 "v",
                 F.col("label").alias("old_label"),
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        half = ckpt_reset_stats(half)
+        # pointer jumps: every vertex adopts its LABEL's label. A label
+        # is always the id of a vertex in the same component (init v;
+        # neighbor-min takes neighbors' labels; a jump takes the label
+        # vertex's label), so correctness is untouched while each jump
+        # squares the propagation reach. The jump chain is lazy over the
+        # checkpointed `half` (a jump's both sides re-derive from it —
+        # recomputing a cheap self-join beats materializing per jump).
+        cur = half
+        for _ in range(max(int(shortcuts_per_round), 1)):
+            lk = cur.select(F.col("v").alias("__lv"), F.col("label").alias("__ll"))
+            cur = cur.join(lk, cur.label == lk.__lv, "left").select(
+                "v",
+                "old_label",
+                F.least("label", F.coalesce("__ll", "label")).alias("label"),
+            )
+        upd = ckpt_reset_stats(cur)
         changed = upd.where(F.col("label") < F.col("old_label")).count()
         labels = upd.select("v", "label")
         if changed == 0:
@@ -719,7 +785,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: tuple = (),
-    max_iter: int = 25,
+    max_iter: int = 40,
     pair_source: str = "lsh",
     num_hashes: int = 16,
     bands: int = 4,
@@ -774,7 +840,7 @@ def clusters_from_pairs(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 40,
     keeper_by: str | None = None,
 ) -> DataFrame:
     """Cluster assignment from an arbitrary near-dup edge list (exact
@@ -1284,12 +1350,30 @@ def containment_pairs(
     for c in block_cols:
         join_cond = join_cond & (F.col(c) == F.col(f"__b_{c}"))
     cand = pref_a.join(post_b.hint("merge"), join_cond).select("id_a", "id_b").distinct()
+    # VERIFY-JOIN STRATEGY (r12): the token arrays attach to candidate
+    # pairs via SHUFFLED-HASH joins, hash-built on the per-doc array
+    # frame. Why not the two alternatives, both measured at gen-sf1:
+    # - merge hints (the r11 shape) SORT the candidate-pair stream with
+    #   a full token array on every row — on this dup-dense corpus the
+    #   candidate relation is ~quadratic, and the sort allocated 1 GiB
+    #   pages, spilled >40 GB, and died of GC starvation in a 16 g heap;
+    # - a skinny-row rewrite (explode A's tokens over its candidate
+    #   pairs, count matches against B's postings) never sorts arrays
+    #   but shuffles Σ_cand |A| rows ≈ 10⁹ at gen-sf1 — 2.3× slower at
+    #   gen-sf0.1 and >50 GB of shuffle at gen-sf1.
+    # Shuffled-hash keeps the per-pair array_intersect (vectorized, no
+    # row explosion) while never sorting an array-carrying row: the
+    # build side of each join is the doc-count-scale array frame whose
+    # per-partition slice is bounded by docs/shuffle-partitions, and
+    # Spark's ShuffledHashJoin spills the build map when it doesn't
+    # fit. No broadcast anywhere — the frame Catalyst used to broadcast
+    # here is aggregate-derived (estimate-blind, the r11 hazard class).
     arrs = ordered.select("id", "otoks")
     pairs = cand.join(
-        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")).hint("merge"),
+        arrs.select(F.col("id").alias("id_a"), F.col("otoks").alias("toks_a")).hint("shuffle_hash"),
         "id_a",
     ).join(
-        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")).hint("merge"),
+        arrs.select(F.col("id").alias("id_b"), F.col("otoks").alias("toks_b")).hint("shuffle_hash"),
         "id_b",
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

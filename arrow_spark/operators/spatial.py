@@ -104,7 +104,7 @@ def dbscan(
     y_col: str = "y",
     eps: int = 1000,
     min_pts: int = 4,
-    max_iter: int = 25,
+    max_iter: int = 40,
 ) -> DataFrame:
     """DBSCAN density clustering (Ester et al. 1996) COMPOSED from two
     already-verified primitives: the grid-blocked ``radius_join`` for

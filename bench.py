@@ -235,6 +235,10 @@ HEADLINE = [
     "embedding_covariance",
     "exact_quantiles_grouped",
     "dedup_containment_pairs",
+    # round-12 addition: the emission-guarded embedding near-dup relation
+    # (top_k_per_id rank cut over the LSH-blocked pair set) — the 100 TB
+    # variant of dedup_embedding_cosine, benched beside it.
+    "dedup_embedding_topk",
 ]
 
 # The driver records only the LAST ~2000 characters of stdout, so the
@@ -324,8 +328,14 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,join_inner" runs just those.
     only = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
     headline = [q for q in HEADLINE if q in only] if only else HEADLINE
-    # Warm the JVM + parquet footer caches with the cheapest query once.
-    qs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM + parquet footer caches with the cheapest query.
+    # THREE iterations since r12: a 10-run profiled series (SCALE.md
+    # round-12) showed codegen/JIT warmup decaying 1.52 → 0.73 s across
+    # ~5 runs — a single warmup left the first few MEASURED queries
+    # carrying ~35% session-warmup bias (q1, measured first, read 2× its
+    # steady state). min-of-2 semantics per query are unchanged.
+    for _ in range(3):
+        qs["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in headline:

@@ -40,7 +40,15 @@ def main() -> int:
         root, "scale_sweep.json"
     )
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-    names = [n for n in bench.HEADLINE if only is None or n in only]
+    # default sweep = the bench headliners; an explicit only-list may
+    # name ANY registered query (e.g. the emission-guarded production
+    # variants that aren't headliners)
+    if only is None:
+        names = list(bench.HEADLINE)
+    else:
+        names = [n for n in bench.HEADLINE if n in only] + sorted(
+            only - set(bench.HEADLINE)
+        )
     spark = get_spark("scale-sweep")
     qs = load_all()
     results: dict[str, dict] = {n: {} for n in names}
@@ -68,8 +76,21 @@ def main() -> int:
         if t0 and t1 and t0 > 0:
             row["exp"] = round(math.log10(t1 / t0), 3)
     calib = bench._host_calibration(spark)
+    # Partial sweeps MERGE into an existing artifact instead of
+    # clobbering it: the re-swept rows replace their old values (tagged
+    # with this run's calibration so cross-row comparisons stay honest),
+    # every other row is preserved.
+    out = {"queries": results, "calibration": calib}
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        for name, row in results.items():
+            row["calibration_matmul"] = calib.get("matmul")
+        merged = dict(prior.get("queries", {}))
+        merged.update(results)
+        out = {**prior, "queries": merged, "calibration_last_partial": calib}
     with open(out_path, "w") as f:
-        json.dump({"queries": results, "calibration": calib}, f, indent=1)
+        json.dump(out, f, indent=1)
     print(f"wrote {out_path}")
     return 0
 

@@ -148,6 +148,22 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
 
 
+def test_connected_components_long_chain_converges(spark):
+    # r12 regression: the gen-sf3 corpus built a 76k-doc template-chain
+    # component whose diameter exceeded the old 25-round O(diameter)
+    # budget. Pointer jumps give O(log diameter): a 600-vertex chain
+    # (diameter 599 >> max_iter) must converge and label everything
+    # with the chain minimum.
+    from arrow_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(600)], "id_a long, id_b long"
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == 601
+    assert {r.component for r in out} == {0}
+
+
 def test_near_dup_clusters_transitive_merge(spark):
     from arrow_spark.llm.dedup import near_dup_clusters
 
