@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoint import ckpt_reset_stats
+
 
 def normalize_text(col):
     """Whitespace/case normalization applied before fingerprinting."""
@@ -529,6 +531,7 @@ def embedding_near_dup_pairs(
     auto_scale: bool = True,
     target_bucket: int = 64,
     top_k_per_id: int | None = None,
+    target_miss: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a<b) above threshold.
 
@@ -620,6 +623,32 @@ def embedding_near_dup_pairs(
                     )
                     n_tables = max(n_tables, t_auto)
                 n_planes = p_auto
+        if target_miss is not None:
+            # THRESHOLD-AWARE table solve (r13): the (12, 8) defaults are
+            # tuned for production thresholds (miss ≤ 1.3e-3 at t=0.95),
+            # but the per-plane collision probability c = 1 − acos(t)/π
+            # decays fast as t drops — at t=0.40, c^8 = 0.025 and the
+            # default OR-construction captures only ~26% of qualifying
+            # pairs (measured 17/59 on the sf0.01 fixture, the recall
+            # hole the vacuous 0.95-threshold driver greens hid, VERDICT
+            # r12 #3). Callers below ~0.8 MUST either pass an explicit
+            # (n_planes, n_tables) or set target_miss: given the current
+            # plane count P, the table count is solved from the miss
+            # bound (1 − c^P)^T ≤ target_miss — the same algebra the
+            # auto_scale branch uses, anchored to an absolute bound
+            # instead of the defaults' baseline.
+            import math as _m2
+
+            c2 = 1.0 - _m2.acos(min(max(threshold, -1.0), 1.0)) / _m2.pi
+            if 0.0 < c2 < 1.0 - 1e-12:
+                per_table = c2 ** n_planes
+                if 0.0 < per_table < 1.0:
+                    n_tables = max(
+                        n_tables,
+                        _m2.ceil(
+                            _m2.log(target_miss) / _m2.log(1.0 - per_table)
+                        ),
+                    )
         planes = deterministic_planes(n_tables * n_planes, dim, seed)
         # one numpy matmul per Arrow batch beats 96 codegen'd folds —
         # see lsh_signatures_vectorized
@@ -656,33 +685,10 @@ def embedding_near_dup_pairs(
     return out
 
 
-def ckpt_reset_stats(df: DataFrame) -> DataFrame:
-    """localCheckpoint + statistics reset — REQUIRED for iterative join
-    loops (use this, not bare localCheckpoint, for loop-carried state).
-
-    Spark's localCheckpoint preserves the ORIGIN plan's estimated
-    statistics on the resulting LogicalRDD (verified on 4.1: a join
-    estimated at 64 MB checkpoints to a frame still claiming 64 MB —
-    the checkpoint does NOT reset to measured size). In a loop whose
-    round contains a join, the size estimates therefore COMPOUND
-    multiplicatively across rounds (visitJoin multiplies child
-    estimates) until java.math.BigInteger itself overflows at ~2^31
-    bits: 'ArithmeticException: BigInteger would overflow supported
-    range' raised from SizeInBytesOnlyStatsPlanVisitor during PLANNING,
-    before any task runs — hit by the CC loop at gen-sf3 around round
-    25 (r12 second-decade sweep). Rebuilding the Dataset over the
-    checkpointed RDD drops the origin stats: the frame then reports
-    defaultSizeInBytes (Long.MaxValue), which (a) stays bounded
-    round-over-round and (b) can never be elected a broadcast build
-    side — the conservative direction for loop-carried state.
-    """
-    ck = df.localCheckpoint(eager=True)
-    jdf = ck._jdf
-    spark = ck.sparkSession
-    new_jdf = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(new_jdf, spark)
+# ckpt_reset_stats moved to arrow_spark/checkpoint.py in r13 so the six
+# graph operators (pagerank/labelprop/kcore/ktruss/shortest_paths/
+# triangles) can share the one audited implementation; re-exported here
+# because every r12-era caller and test imports it from this module.
 
 
 def connected_components(
@@ -764,7 +770,7 @@ def connected_components(
         # checkpointed `half` (a jump's both sides re-derive from it —
         # recomputing a cheap self-join beats materializing per jump).
         cur = half
-        for _ in range(max(int(shortcuts_per_round), 1)):
+        for _ in range(max(int(shortcuts_per_round), 0)):
             lk = cur.select(F.col("v").alias("__lv"), F.col("label").alias("__ll"))
             cur = cur.join(lk, cur.label == lk.__lv, "left").select(
                 "v",
@@ -1296,7 +1302,13 @@ def containment_pairs(
     integers; the oracle's unblocked directed all-pairs hash match is
     the losslessness proof. Scale: B's posting frame is the same
     inverted index the BM25 ops build; A's prefix holds only its
-    RAREST tokens, so the join touches short postings.
+    RAREST tokens, so the join touches short postings. Candidates then
+    pass a LOSSLESS POSITIONAL FILTER (r13) before the verify joins:
+    per pair, m matched prefix tokens plus the positional headroom
+    min(ceil(t·|A|)−1, |B|−max_pb−1) must reach ceil(t·|A|) — see the
+    inline proof at the aggregation below. This prunes the candidate
+    set the r12 sweep measured as the quadratic verify driver without
+    touching recall.
 
     EMISSION GUARDS (the pair set itself is ~quadratic on a
     boilerplate-dense corpus — 662 s at sf1 was output-bound, not
@@ -1336,20 +1348,52 @@ def containment_pairs(
     contained = ordered.where(size >= int(min_tokens)) if min_tokens > 1 else ordered
     pref_a = contained.select(
         F.col("id").alias("id_a"),
+        size.alias("sz_a"),
         *block_cols,
         F.explode(F.slice("otoks", 1, plen)).alias("ptok"),
     )
-    post_b = tok.select(
+    post_b = ordered.select(
         F.col("id").alias("id_b"),
+        F.size("otoks").alias("sz_b"),
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],
-        F.col("tok").alias("__b_tok"),
+        F.posexplode("otoks").alias("pb", "__b_tok"),
     )
     join_cond = (F.col("ptok") == F.col("__b_tok")) & (
         F.col("id_a") != F.col("id_b")
     )
     for c in block_cols:
         join_cond = join_cond & (F.col(c) == F.col(f"__b_{c}"))
-    cand = pref_a.join(post_b.hint("merge"), join_cond).select("id_a", "id_b").distinct()
+    # POSITIONAL FILTER (r13, lossless — the PPJoin Lemma-2 idea adapted
+    # to the directed predicate): aggregate the prefix matches per pair
+    # instead of distinct-ing them away. m = |prefix(A) ∩ B| EXACTLY
+    # (prefix tokens of A joined against B's full ordered postings, all
+    # tokens distinct per doc); every common token of A's SUFFIX orders
+    # after every matched prefix token under the shared global
+    # (freq, tok) order, so in B's ordered array it sits at a position
+    # strictly greater than max_pb — distinct common suffix tokens
+    # therefore number ≤ |B| − max_pb − 1, and also ≤ |A| − plen =
+    # ceil(t·|A|) − 1. A qualifying pair needs |A∩B| = m + |suffix∩B| ≥
+    # ceil(t·|A|), so pairs failing
+    #     m + min(ceil(t·|A|) − 1, |B| − max_pb − 1) ≥ ceil(t·|A|)
+    # provably cannot qualify and never reach the array-attach verify
+    # joins — the stage VERDICT r12 measured as candidate-bound
+    # (~quadratic scoring on dup-dense corpora even with capped output).
+    # The groupBy shuffles the same (id_a, id_b) key the old .distinct()
+    # did, carrying three ints; losslessness is re-proven every round by
+    # the unblocked all-pairs oracle hash match at sf0.001/sf0.01.
+    matched = pref_a.join(post_b.hint("merge"), join_cond)
+    agg = matched.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.max("pb").alias("__max_pb"),
+        F.first("sz_a").alias("__sz_a"),
+        F.first("sz_b").alias("__sz_b"),
+    )
+    ceil_a = F.floor((F.col("__sz_a") * num + den - 1) / den)
+    cand = agg.where(
+        F.col("__m")
+        + F.least(ceil_a - 1, F.col("__sz_b") - F.col("__max_pb") - 1)
+        >= ceil_a
+    ).select("id_a", "id_b")
     # VERIFY-JOIN STRATEGY (r12): the token arrays attach to candidate
     # pairs via SHUFFLED-HASH joins, hash-built on the per-doc array
     # frame. Why not the two alternatives, both measured at gen-sf1:

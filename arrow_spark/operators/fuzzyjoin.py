@@ -195,7 +195,15 @@ def fuzzy_join_edit_distance(
     round-11 audit removed elsewhere. Pass True/False to skip the
     estimate when the caller already knows; the fallback is a
     merge-hinted shuffle join on the gram key (spillable at any
-    scale)."""
+    scale).
+
+    LAZINESS CAVEAT (ADVICE r12): with ``broadcast_probe=None`` the
+    estimate is an EAGER Spark job at DataFrame-construction time, and
+    the probe lineage is recomputed once more at execution — callers
+    building plans without executing them (fingerprint/audit tooling)
+    should pass an explicit True/False or rely on cached_plan_text to
+    amortize; pipelines with an expensive probe derivation should
+    checkpoint the probe before calling."""
     p = probe.select(
         F.col(probe_id).alias("pid"), F.col(probe_text).alias("ptxt")
     )

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import ckpt_reset_stats
+
 __all__ = ["undirected_edges", "k_core"]
 
 
@@ -66,7 +68,11 @@ def k_core(
     it like shortest_paths sizes its relaxation rounds (the fixpoint is
     reached once no vertex falls below k; extra rounds are no-ops but
     still cost a pass, so don't oversize it)."""
-    cur = und.localCheckpoint(eager=True)
+    # Loop-carried edge frame: stats-reset checkpoint, not bare
+    # localCheckpoint — the per-round semi-joins would compound preserved
+    # origin-size estimates to BigInteger overflow at planning time (the
+    # CC-loop discovery, arrow_spark/checkpoint.py).
+    cur = ckpt_reset_stats(und)
     for _ in range(rounds):
         ends = cur.select(F.col("lo").alias("n")).unionAll(
             cur.select(F.col("hi").alias("n"))
@@ -84,8 +90,8 @@ def k_core(
             .join(
                 F.broadcast(alive.withColumnRenamed("n", "hi")), "hi", "left_semi"
             )
-            .localCheckpoint(eager=True)
         )
+        cur = ckpt_reset_stats(cur)
     ends = cur.select(F.col("lo").alias("node")).unionAll(
         cur.select(F.col("hi").alias("node"))
     )

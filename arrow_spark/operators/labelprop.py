@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoint import ckpt_reset_stats
+
 __all__ = ["label_propagation"]
 
 
@@ -49,11 +51,15 @@ def label_propagation(
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
-    labels = (
+    # Loop-carried state goes through ckpt_reset_stats, not bare
+    # localCheckpoint: each round joins labels back against the edge
+    # frame, so preserved origin-size estimates compound multiplicatively
+    # until BigInteger overflow at planning time (proven in the CC loop
+    # at gen-sf3 — see arrow_spark/checkpoint.py).
+    labels = ckpt_reset_stats(
         und.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
     pick = W.partitionBy("node").orderBy(
         F.col("s").desc(), F.col("label").asc()
@@ -70,11 +76,10 @@ def label_propagation(
             .where(F.col("__rn__") == 1)
             .select("node", F.col("label").alias("new_label"))
         )
-        labels = (
+        labels = ckpt_reset_stats(
             labels.join(winner, "node", "left")
             .select(
                 "node", F.coalesce("new_label", "label").alias("label")
             )
-            .localCheckpoint()
         )
     return labels

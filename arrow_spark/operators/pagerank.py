@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import ckpt_reset_stats
+
 __all__ = ["pagerank", "transition_edges"]
 
 
@@ -86,9 +88,18 @@ def pagerank(
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     sources = e.select("src").distinct()
 
-    ranks = nodes.crossJoin(F.broadcast(cnt)).select(
-        "n", (F.lit(1.0) / F.col("c")).alias("r")
-    ).localCheckpoint(eager=True)
+    # Loop-carried state goes through ckpt_reset_stats, not bare
+    # localCheckpoint: the per-round plan joins ranks back into itself,
+    # so preserved origin-size estimates would compound multiplicatively
+    # until BigInteger overflow at planning time (proven in the CC loop
+    # at gen-sf3 round ~25 — see arrow_spark/checkpoint.py). `nodes`
+    # above stays a bare checkpoint deliberately: it is checkpointed
+    # once, never re-derived in the loop, so its estimate is constant.
+    ranks = ckpt_reset_stats(
+        nodes.crossJoin(F.broadcast(cnt)).select(
+            "n", (F.lit(1.0) / F.col("c")).alias("r")
+        )
+    )
 
     for _ in range(max(1, n_iters)):
         contrib = (
@@ -113,8 +124,8 @@ def pagerank(
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("d") / F.col("c"))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = ckpt_reset_stats(ranks)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -159,11 +170,14 @@ def personalized_pagerank(
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     out_nodes = e.select("src").distinct()
 
-    ranks = flagged.crossJoin(F.broadcast(scnt)).select(
-        "n",
-        "in_s",
-        (F.col("in_s").cast("double") / F.col("sc")).alias("r"),
-    ).localCheckpoint(eager=True)
+    # loop-carried → stats-reset checkpoint (see pagerank above)
+    ranks = ckpt_reset_stats(
+        flagged.crossJoin(F.broadcast(scnt)).select(
+            "n",
+            "in_s",
+            (F.col("in_s").cast("double") / F.col("sc")).alias("r"),
+        )
+    )
 
     for _ in range(max(1, n_iters)):
         contrib = (
@@ -193,8 +207,8 @@ def personalized_pagerank(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = ckpt_reset_stats(ranks)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -228,11 +242,14 @@ def hits(
         .localCheckpoint(eager=True)
     )
     cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
-    scores = nodes.crossJoin(F.broadcast(cnt)).select(
-        "n",
-        (F.lit(1.0) / F.col("c")).alias("a"),
-        (F.lit(1.0) / F.col("c")).alias("h"),
-    ).localCheckpoint(eager=True)
+    # loop-carried → stats-reset checkpoint (see pagerank above)
+    scores = ckpt_reset_stats(
+        nodes.crossJoin(F.broadcast(cnt)).select(
+            "n",
+            (F.lit(1.0) / F.col("c")).alias("a"),
+            (F.lit(1.0) / F.col("c")).alias("h"),
+        )
+    )
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
         tot = df.agg(F.sum(col).alias("__t__"))
@@ -259,7 +276,7 @@ def hits(
                 "h",
             )
         )
-        scores = _norm(scores, "a").localCheckpoint(eager=True)
+        scores = ckpt_reset_stats(_norm(scores, "a"))
         h_new = (
             e.join(scores.select(F.col("n").alias("dn"), "a"), e.dst == F.col("dn"))
             .groupBy("src")
@@ -274,7 +291,7 @@ def hits(
                 F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h"),
             )
         )
-        scores = _norm(scores, "h").localCheckpoint(eager=True)
+        scores = ckpt_reset_stats(_norm(scores, "h"))
     return scores.select(
         F.col("n").alias("node"),
         F.col("a").alias("authority"),

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import ckpt_reset_stats
+
 __all__ = ["shortest_paths"]
 
 
@@ -64,21 +66,24 @@ def shortest_paths(
         e = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
-    dist = (
+    # Loop-carried state goes through ckpt_reset_stats, not bare
+    # localCheckpoint: each relaxation round joins dist against the edge
+    # frame, so preserved origin-size estimates compound multiplicatively
+    # until BigInteger overflow at planning time (proven in the CC loop
+    # at gen-sf3 — see arrow_spark/checkpoint.py).
+    dist = ckpt_reset_stats(
         sources.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint()
     )
     for _ in range(n_iters):
         relaxed = (
             dist.join(e, dist["node"] == e["u"])
             .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        dist = (
+        dist = ckpt_reset_stats(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
         )
     return dist

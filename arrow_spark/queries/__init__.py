@@ -236,4 +236,9 @@ _DEFER_NEW: tuple[str, ...] = (
     # round 12: the embedding emission guard (VERDICT r11 #2) — sole
     # newcomer, sorts first; the rest of the sample rotates stalest-green.
     "dedup_embedding_topk",
+    # round 13: the NON-VACUOUS embedding-guard twin (VERDICT r12 #3) —
+    # threshold 0.40 makes the pair relation non-empty on the fixture,
+    # so the QUALIFY-oracle hash match finally exercises LSH recall and
+    # the rank-cut semantics on real rows.
+    "dedup_embedding_topk_dense",
 )

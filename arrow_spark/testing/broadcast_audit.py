@@ -73,11 +73,16 @@ def audit_plan_text(plan: str) -> list[dict]:
                 break
             if not nxt.strip():
                 continue
+            # match the PARSED operator name, not the raw line: a column
+            # alias containing "Generate"/"HashAggregate" (e.g.
+            # `GeneratedAt`) in an expression list must not false-flag
+            # the exchange (ADVICE r12)
+            op = _op_name(nxt)
             if not anchor:
-                anchor = _op_name(nxt)
-            if "Generate" in nxt:
+                anchor = op
+            if op == "Generate":
                 kinds.add("explode")
-            if any(a in nxt for a in _AGG_NODES):
+            if op in _AGG_NODES:
                 kinds.add("agg")
         if kinds:
             flags.append({"kinds": sorted(kinds), "anchor": anchor})

@@ -85,7 +85,7 @@ def main() -> int:
         with open(out_path) as f:
             prior = json.load(f)
         for name, row in results.items():
-            row["calibration_matmul"] = calib.get("matmul")
+            row["calibration_matmul"] = calib.get("matmul_sec")
         merged = dict(prior.get("queries", {}))
         merged.update(results)
         out = {**prior, "queries": merged, "calibration_last_partial": calib}
