@@ -1284,6 +1284,7 @@ def containment_pairs(
     block_cols: tuple = (),
     min_tokens: int = 1,
     top_k_per_doc: int | None = None,
+    stopgram_df_cap: int | None = None,
 ) -> DataFrame:
     """DIRECTED token-set containment pairs C(A→B) = |A∩B|/|A| ≥ t,
     A ≠ B — the asymmetric near-dup relation Jaccard misses: a 20-token
@@ -1320,7 +1321,23 @@ def containment_pairs(
     fixed A ordering by containment ≡ ordering by the integer |A∩B|),
     bounding output at k·n rows. Both default off so the unguarded
     relation stays oracle-provable; production pipelines at 100 TB
-    should set both."""
+    should set both.
+
+    ``stopgram_df_cap`` (r13, default off — an EXPLICIT RECALL KNOB,
+    not lossless): drop prefix tokens whose corpus document frequency
+    exceeds the cap from CANDIDATE GENERATION. The r13 decomposition
+    showed this corpus is output-bound (74% of positionally-filtered
+    candidates qualify at gen-sf0.1), so no lossless candidate bound
+    can break the quadratic: the qualifying relation itself is the
+    work. On template-heavy corpora the explosion routes through a few
+    ultra-common template tokens; capping their posting participation
+    bounds candidates at Σ_{df(g)≤cap} df(g)² while MISSING exactly
+    the pairs whose every prefix token is a stopgram (a doc made
+    ENTIRELY of template tokens loses its containers). That is a
+    recall trade a 100 TB pipeline usually wants (such docs are the
+    boilerplate dedup deletes anyway) and an oracle hash-match never
+    can — which is why it defaults off and has no registered-query
+    consumer; planted-data unit tests pin the semantics."""
     num, den = int(round(threshold * 1000)), 1000
     d = docs.select(
         F.col(id_col).alias("id"),
@@ -1352,6 +1369,14 @@ def containment_pairs(
         *block_cols,
         F.explode(F.slice("otoks", 1, plen)).alias("ptok"),
     )
+    if stopgram_df_cap is not None:
+        # recall knob (see docstring): prefix tokens with document
+        # frequency above the cap never generate candidates. The join
+        # is prefix-row-scale against the vocabulary-scale freq table.
+        rare = freq.where(F.col("f") <= int(stopgram_df_cap)).select(
+            F.col("tok").alias("ptok")
+        )
+        pref_a = pref_a.join(rare.hint("merge"), "ptok", "left_semi")
     post_b = ordered.select(
         F.col("id").alias("id_b"),
         F.size("otoks").alias("sz_b"),

@@ -33,19 +33,21 @@ from arrow_spark.llm.dedup import containment_pairs, tokens
 
 
 def candidate_counts(spark, sf_dir: str, threshold: float = 0.8) -> dict:
-    """Re-derive the candidate stage (same algebra as containment_pairs)
-    and count raw vs positionally-filtered candidates."""
+    """Re-derive the candidate stage (same algebra as containment_pairs,
+    INCLUDING the registered query's lang blocking) and count raw vs
+    positionally-filtered candidates."""
     num, den = int(round(threshold * 1000)), 1000
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        F.col("lang"),
     ).where(F.size("toks") >= 1)
-    tok = d.select("id", F.explode("toks").alias("tok"))
+    tok = d.select("id", "lang", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     ordered = (
         tok.join(freq.hint("merge"), "tok")
-        .groupBy("id")
+        .groupBy("id", "lang")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("f", "tok"))),
@@ -58,17 +60,21 @@ def candidate_counts(spark, sf_dir: str, threshold: float = 0.8) -> dict:
     plen = (size - ceil_tn + 1).cast("int")
     pref_a = ordered.select(
         F.col("id").alias("id_a"),
+        F.col("lang"),
         size.alias("sz_a"),
         F.explode(F.slice("otoks", 1, plen)).alias("ptok"),
     )
     post_b = ordered.select(
         F.col("id").alias("id_b"),
+        F.col("lang").alias("__b_lang"),
         F.size("otoks").alias("sz_b"),
         F.posexplode("otoks").alias("pb", "__b_tok"),
     )
     matched = pref_a.join(
         post_b.hint("merge"),
-        (F.col("ptok") == F.col("__b_tok")) & (F.col("id_a") != F.col("id_b")),
+        (F.col("ptok") == F.col("__b_tok"))
+        & (F.col("id_a") != F.col("id_b"))
+        & (F.col("lang") == F.col("__b_lang")),
     )
     agg = matched.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("m"),
@@ -76,13 +82,18 @@ def candidate_counts(spark, sf_dir: str, threshold: float = 0.8) -> dict:
         F.first("sz_a").alias("sz_a"),
         F.first("sz_b").alias("sz_b"),
     )
-    raw = agg.count()
     ceil_a = F.floor((F.col("sz_a") * num + den - 1) / den)
-    kept = agg.where(
+    keep = (
         F.col("m") + F.least(ceil_a - 1, F.col("sz_b") - F.col("max_pb") - 1)
         >= ceil_a
-    ).count()
-    return {"raw_cand": raw, "kept_cand": kept}
+    )
+    # one pass for both counts — at gen-sf1 the candidate stage is the
+    # expensive part, don't run it twice
+    row = agg.select(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(keep.cast("long")).alias("kept"),
+    ).first()
+    return {"raw_cand": row["raw"], "kept_cand": int(row["kept"])}
 
 
 def main() -> int:
@@ -97,15 +108,18 @@ def main() -> int:
         sf_dir = rel if os.path.isabs(rel) else os.path.join(root, rel)
         row = candidate_counts(spark, sf_dir)
         docs = table(spark, sf_dir, "documents")
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            containment_pairs(docs, threshold=0.8).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        row["t_full"] = round(best, 3)
-        row["out_rows"] = containment_pairs(docs, threshold=0.8).count()
+        # single timed run (not min-of-2): at gen-sf1 the query is
+        # hundreds of seconds — one warm-session run is the honest
+        # affordable instrument, noted in the artifact
+        t0 = time.perf_counter()
+        containment_pairs(docs, threshold=0.8, block_cols=("lang",)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        row["t_full"] = round(time.perf_counter() - t0, 3)
+        row["timing"] = "single-run"
+        row["out_rows"] = containment_pairs(
+            docs, threshold=0.8, block_cols=("lang",)
+        ).count()
         out["dirs"][rel] = row
         print(rel, row, flush=True)
     with open(out_path, "w") as f:
