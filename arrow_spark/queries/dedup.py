@@ -912,7 +912,17 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         )
 
-    pairs = a.join(b, ["cid"]).where(F.col("ida") < F.col("idb"))
+    # SHUFFLE-HASH, not broadcast (r13 gate-hardening find): both join
+    # sides are the FULL corpus assignment, but the localCheckpoint leaf
+    # hides the corpus lineage from Catalyst AND from the broadcast
+    # audit (the build subtree is just Scan ExistingRDD), so the
+    # preserved fixture-scale estimate elected a corpus-scale broadcast
+    # — the r11 excise-OOM class, invisible to the r12 gate. The hint
+    # keeps the within-cluster pair join shuffled on cid: build side =
+    # per-partition cluster slice, bounded by corpus/partitions,
+    # spillable — and array-carrying rows are never sort-buffered (the
+    # r12 containment SMJ lesson).
+    pairs = a.join(b.hint("shuffle_hash"), ["cid"]).where(F.col("ida") < F.col("idb"))
     pcos = pairs.select(
         "ida", "idb",
         (dot.cast("double") / (_norm(F.col("ea")) * _norm(F.col("eb")))).alias("cos"),

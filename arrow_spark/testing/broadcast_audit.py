@@ -20,11 +20,24 @@ a bug (query-side frames and constant-fan-out explodes flag by
 design); an UNCLASSIFIED flag is — it means a new or re-planned query
 broadcasts an estimate-blind frame nobody has justified as bounded.
 
-Signatures are lexical and id-free: kind set (explode / agg) plus the
-operator NAME of the first node under the exchange, so they are stable
-across sessions while still distinguishing the exchanges within one
-query. Plan node ids, expression ids, and codegen stage numbers are
-stripped.
+Signatures are lexical and id-free: kind set (explode / agg / ckpt)
+plus the operator NAME of the first node under the exchange, so they
+are stable across sessions while still distinguishing the exchanges
+within one query. Plan node ids, expression ids, and codegen stage
+numbers are stripped.
+
+r13 addition — the CHECKPOINT blind spot: a ``localCheckpoint`` (or a
+driver-created frame) scans as ``Scan ExistingRDD``, which hides the
+origin subtree from this audit — a broadcast of a checkpointed
+AGGREGATE-derived corpus frame showed no Generate/agg under the
+exchange and sailed through the r12 gate (found live in
+dedup_semantic_prune: Catalyst elected the full cluster-assignment
+side as build because the checkpoint PRESERVED its fixture-scale
+origin estimate — the r12 ckpt_reset_stats discovery, in broadcast
+form). Builds whose subtree reaches an ExistingRDD leaf with NO
+visible agg/explode now flag as kind "ckpt"; builds where agg/explode
+are already visible keep their existing signature (the prior
+classification already covers them).
 """
 
 from __future__ import annotations
@@ -84,6 +97,14 @@ def audit_plan_text(plan: str) -> list[dict]:
                 kinds.add("explode")
             if op in _AGG_NODES:
                 kinds.add("agg")
+            if op == "Scan" and "ExistingRDD" in nxt:
+                kinds.add("ckpt")
+        # "ckpt" marks the PREVIOUSLY-INVISIBLE shape only: if an
+        # agg/explode is already visible in the build subtree, the
+        # pre-r13 signature (and its human classification) covers the
+        # exchange — keep it stable.
+        if "ckpt" in kinds and kinds != {"ckpt"}:
+            kinds.discard("ckpt")
         if kinds:
             flags.append({"kinds": sorted(kinds), "anchor": anchor})
     return flags

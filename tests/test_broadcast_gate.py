@@ -100,3 +100,26 @@ def test_clean_broadcast_not_flagged(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     assert audit_plan_text(plan_text(j)) == []
+
+
+def test_gate_fires_on_checkpointed_broadcast(spark):
+    # synthetic negative (r13): a localCheckpoint hides the aggregate
+    # origin of a frame from the subtree walk (the build side becomes a
+    # bare Scan ExistingRDD), which is exactly how dedup_semantic_prune's
+    # corpus-scale broadcast sailed through the r12 gate. The "ckpt"
+    # kind must flag it.
+    base = spark.range(1000).withColumn("g", F.col("id") % 7)
+    agg_ckpt = base.groupBy("g").count().localCheckpoint(eager=True)
+    j = base.join(F.broadcast(agg_ckpt), "g")
+    flags = audit_plan_text(plan_text(j))
+    assert any("ckpt" in f["kinds"] for f in flags), flags
+
+
+def test_ckpt_kind_defers_to_visible_agg(spark):
+    # when the aggregate IS visible in the build subtree (no checkpoint
+    # in between), the signature must stay the pre-r13 "agg" form so the
+    # existing human classifications remain valid
+    base = spark.range(1000).withColumn("g", F.col("id") % 7)
+    j = base.join(F.broadcast(base.groupBy("g").count()), "g")
+    flags = audit_plan_text(plan_text(j))
+    assert flags and all("ckpt" not in f["kinds"] for f in flags), flags
