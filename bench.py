@@ -239,6 +239,10 @@ HEADLINE = [
     # (top_k_per_id rank cut over the LSH-blocked pair set) — the 100 TB
     # variant of dedup_embedding_cosine, benched beside it.
     "dedup_embedding_topk",
+    # round-13 addition: the NON-VACUOUS guard twin (threshold 0.40,
+    # threshold-aware 28-table LSH solve) — the query whose driver rows
+    # actually exercise blocking recall; benched beside its 0.95 sibling.
+    "dedup_embedding_topk_dense",
 ]
 
 # The driver records only the LAST ~2000 characters of stdout, so the
