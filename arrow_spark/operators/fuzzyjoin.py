@@ -258,10 +258,15 @@ def fuzzy_join_edit_distance(
         - F.lit(q * max_dist)
     )
     cand = cand.where(F.col("common") >= F.greatest(bound, F.lit(1)))
-    dist = F.levenshtein(F.col("ptxt"), F.col("ctxt"))
+    # Bounded verify: the 3-arg levenshtein (Spark 3.5+) runs a banded
+    # O(max_dist · min(|x|,|y|)) DP with early abort and returns -1 past
+    # the threshold — vs the full O(|x|·|y|) matrix of the 2-arg form.
+    # Returned distances ≤ threshold are exact, so emitted rows are
+    # byte-identical to the unbounded verify (oracle-provable).
+    dist = F.levenshtein(F.col("ptxt"), F.col("ctxt"), threshold=int(max_dist))
     out = (
         cand.withColumn("dist", dist.cast("long"))
-        .where(F.col("dist") <= max_dist)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("pid", "cid", "dist")
     )
     if top_k_per_probe is not None:
