@@ -20,7 +20,15 @@ via list_reduce over an ORDER BY list, so survival values are
 bit-identical (operators/smoothing.py posture).
 
 Scale: per-group state is the distinct event times (bounded by time
-resolution, not subjects); the only shuffle is the group key.
+resolution, not subjects); the only shuffle is the group key. The
+in-row prefix fold is O(T²) CPU in distinct times per group (row i
+copies and re-folds an i-element prefix) — negligible at day
+granularity (T ≤ a few 10³), quadratic-dominant when callers pass
+second- or millisecond-granular durations. ``linear_fold=True``
+switches to a per-group Arrow-batched cumulative product
+(``np.multiply.accumulate`` — the identical left-to-right IEEE-754
+double rounding sequence, so results stay bit-exact with the fold;
+pinned by tests/test_survival_linear.py) at O(T) CPU per group.
 
 Reference anchor: composes the reference's group-by aggregates and
 cumulative kernels (vector_cumulative_ops.cc has sum/prod — but only
@@ -40,11 +48,19 @@ def kaplan_meier(
     keys: Sequence[str],
     duration_col: str,
     event_col: str,
+    linear_fold: bool = False,
 ) -> DataFrame:
     """Survival curve per key group: one row per (keys…, t) event time
     with (n_at_risk, d_events, n_censored, survival). Censored-only
     times appear with survival unchanged (the standard KM step
-    function); ``event_col`` is 0/1."""
+    function); ``event_col`` is 0/1.
+
+    ``linear_fold=True`` computes the cumulative product with one
+    Arrow-batched pass per group instead of the per-row window fold —
+    bit-identical output (same left-to-right double multiplies), O(T)
+    instead of O(T²) CPU in distinct durations per group. Use it when
+    durations are finer-grained than the group's row budget suggests;
+    the default stays JVM-side (no Python in the hot path)."""
     keys = list(keys)
     per_t = df.groupBy(*keys, F.col(duration_col).alias("t")).agg(
         F.sum(F.col(event_col).cast("long")).alias("d_events"),
@@ -62,10 +78,27 @@ def kaplan_meier(
         "double"
     )
     per_t = per_t.withColumn("__f__", factor)
+    out_cols = [*keys, "t", "n_at_risk", "d_events", "n_censored", "survival"]
+    if linear_fold:
+        import numpy as np
+
+        base = per_t.select(*keys, "t", "n_at_risk", "d_events", "n_censored", "__f__")
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in base.schema.fields
+            if f.name != "__f__"
+        ) + ", survival double"
+
+        def _cumprod(pdf):
+            # t is unique within the group (per_t groups on it), so the
+            # sort fixes the fold order unambiguously.
+            pdf = pdf.sort_values("t", kind="mergesort")
+            pdf["survival"] = np.multiply.accumulate(pdf["__f__"].to_numpy())
+            return pdf.drop(columns="__f__")
+
+        return base.groupBy(*keys).applyInPandas(_cumprod, schema).select(*out_cols)
     prefix = F.collect_list("__f__").over(
         ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     survival = F.aggregate(prefix, F.lit(1.0), lambda acc, x: acc * x)
-    return per_t.withColumn("survival", survival).select(
-        *keys, "t", "n_at_risk", "d_events", "n_censored", "survival"
-    )
+    return per_t.withColumn("survival", survival).select(*out_cols)
