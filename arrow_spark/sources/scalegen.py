@@ -41,7 +41,20 @@ def events(spark: SparkSession, sf: float) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props): a
     30-day window starting 2024-01-01, event time non-decreasing-ish in
     event_id (uniform stride + bounded jitter, like the fixture), JSON
-    props carrying an integer k in [0, 100)."""
+    props carrying an integer k in [0, 100).
+
+    k MUST be hash-derived, not linear in event_id: a user's events sit
+    at event_ids in arithmetic progression (stride = the user count, by
+    construction of user_id), so any linear ``k = m*i mod 100`` makes
+    each user's k sequence an AP mod 100 — the per-user transition
+    graph collapses to at most one (k, k+Δ) edge shape, and when the
+    user count is a multiple of 100 (sf ∈ {0.1, 1, 3, 10}) Δ = 0:
+    every transition is a self-loop and the click graph is EMPTY. The
+    fixture's graph is dense (~6.3k distinct edges at sf0.01); the
+    seeded portable hash reproduces that shape at every scale. Found
+    r13 via a vacuous graph_ktruss scale row — see SCALE.md."""
+    from arrow_spark.functions.portable_hash import portable_hash64
+
     n = max(int(1_000_000 * sf), 100)
     n_users = max(int(15_000 * sf), 10)
     i = F.col("id")
@@ -60,7 +73,11 @@ def events(spark: SparkSession, sf: float) -> DataFrame:
         ).alias("event_type"),
         (F.pmod(i * 48_271, F.lit(56_022)) / F.lit(100.0)).alias("value"),
         F.concat(
-            F.lit('{"k": '), F.pmod(i * 31, F.lit(100)).cast("string"), F.lit("}")
+            F.lit('{"k": '),
+            F.pmod(portable_hash64(i.cast("string"), seed=31), F.lit(100)).cast(
+                "string"
+            ),
+            F.lit("}"),
         ).alias("props"),
     )
 
