@@ -34,12 +34,17 @@ Spark-native extension, so this hazard has no reference analog.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-__all__ = ["ckpt_reset_stats"]
+__all__ = ["ckpt_reset_stats", "ckpt_release"]
 
 
-def ckpt_reset_stats(df: DataFrame) -> DataFrame:
+def ckpt_reset_stats(
+    df: DataFrame,
+    release: DataFrame | None = None,
+    storage_level: StorageLevel | None = None,
+) -> DataFrame:
     """localCheckpoint + statistics reset — REQUIRED for iterative join
     loops (use this, not bare localCheckpoint, for loop-carried state).
 
@@ -66,8 +71,34 @@ def ckpt_reset_stats(df: DataFrame) -> DataFrame:
     upgrades, so incompatibility fails LOUDLY here — at the helper, with
     a message naming the contract — rather than deep inside an iterative
     loop as an opaque Py4J error (ADVICE r12).
+
+    Memory contract (r13, found at E=30M connected components): each
+    call persists ONE new RDD generation. Spark's default
+    ``localCheckpoint`` level is MEMORY_AND_DISK **deserialized**, and
+    nothing ever unpersists old generations — a loop therefore
+    accumulates rounds × |state| of deserialized on-heap blocks, and
+    the unroll of a new generation across every executor thread at once
+    is exactly where the 30M-edge CC sweep OOM'd the 16 GB local JVM
+    (``MemoryStore.putIteratorAsValues`` in the traceback; Spark's
+    ContextCleaner only reclaims dropped generations on driver-GC
+    cadence, far behind executor heap pressure). Two fixes, both
+    defaults here: generations persist SERIALIZED
+    (``StorageLevel.MEMORY_AND_DISK``; pass ``storage_level`` to
+    override), and passing the PREVIOUS generation's frame as
+    ``release`` unpersists it as soon as the new generation has
+    materialized — the loop then holds exactly one serialized copy of
+    its state. In-loop shape::
+
+        state = ckpt_reset_stats(seed)
+        for _ in range(rounds):
+            state = ckpt_reset_stats(step(state), release=state)
+
+    The final generation stays persisted (the returned frame reads it);
+    call ``ckpt_release`` on the result when the consumer is done.
     """
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(
+        eager=True, storageLevel=storage_level or StorageLevel.MEMORY_AND_DISK
+    )
     spark = ck.sparkSession
     if not hasattr(spark, "_jsparkSession"):
         raise RuntimeError(
@@ -92,4 +123,34 @@ def ckpt_reset_stats(df: DataFrame) -> DataFrame:
             "loops compound size estimates to BigInteger overflow at "
             "planning time; fix this helper before re-enabling the loops."
         ) from exc
-    return DataFrame(new_jdf, spark)
+    out = DataFrame(new_jdf, spark)
+    # handle for ckpt_release: the checkpoint Dataset whose analyzed plan
+    # (a LogicalRDD) owns the persisted RDD generation
+    out._ckpt_src = ck
+    if release is not None:
+        ckpt_release(release)
+    return out
+
+
+def ckpt_release(frame: DataFrame) -> bool:
+    """Unpersist the checkpoint generation behind a frame returned by
+    ``ckpt_reset_stats``. Returns False (no-op) for frames this module
+    did not produce or already-released frames; raises loudly — same
+    private-API canary posture as the checkpoint itself — if the
+    LogicalRDD handle cannot be reached on a frame that has one."""
+    ck = getattr(frame, "_ckpt_src", None)
+    if ck is None:
+        return False
+    try:
+        plan = ck._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception as exc:  # pragma: no cover - Spark-upgrade canary
+        raise RuntimeError(
+            "ckpt_release: reaching the persisted RDD via "
+            "QueryExecution.analyzed().rdd() (a LogicalRDD accessor, "
+            "verified on PySpark 4.1) failed — a Spark upgrade likely "
+            "changed the plan shape. Without the release, iterative loops "
+            "re-accumulate one persisted generation per round."
+        ) from exc
+    frame._ckpt_src = None
+    return True

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..checkpoint import ckpt_reset_stats
+from ..checkpoint import ckpt_release, ckpt_reset_stats
 
 
 def normalize_text(col):
@@ -743,6 +743,7 @@ def connected_components(
     )
     sym = ckpt_reset_stats(sym)
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
+    prev = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.v)
@@ -761,7 +762,7 @@ def connected_components(
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
-        half = ckpt_reset_stats(half)
+        half = ckpt_reset_stats(half, release=prev)
         # pointer jumps: every vertex adopts its LABEL's label. A label
         # is always the id of a vertex in the same component (init v;
         # neighbor-min takes neighbors' labels; a jump takes the label
@@ -777,10 +778,14 @@ def connected_components(
                 "old_label",
                 F.least("label", F.coalesce("__ll", "label")).alias("label"),
             )
-        upd = ckpt_reset_stats(cur)
+        upd = ckpt_reset_stats(cur, release=half)
         changed = upd.where(F.col("label") < F.col("old_label")).count()
         labels = upd.select("v", "label")
+        prev = upd
         if changed == 0:
+            # the returned frame reads only upd's generation; the edge
+            # frame is done
+            ckpt_release(sym)
             return labels.select("v", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

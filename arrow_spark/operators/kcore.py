@@ -83,7 +83,7 @@ def k_core(
             .where(F.col("d") >= k)
             .select("n")
         )
-        cur = (
+        nxt = (
             cur.join(
                 F.broadcast(alive.withColumnRenamed("n", "lo")), "lo", "left_semi"
             )
@@ -91,7 +91,7 @@ def k_core(
                 F.broadcast(alive.withColumnRenamed("n", "hi")), "hi", "left_semi"
             )
         )
-        cur = ckpt_reset_stats(cur)
+        cur = ckpt_reset_stats(nxt, release=cur)
     ends = cur.select(F.col("lo").alias("node")).unionAll(
         cur.select(F.col("hi").alias("node"))
     )

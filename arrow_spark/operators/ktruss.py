@@ -75,7 +75,8 @@ def k_truss(und: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     for _ in range(rounds):
         sup = edge_support(cur).where(F.col("support") >= k - 2)
         cur = ckpt_reset_stats(
-            cur.join(sup.select("lo", "hi"), ["lo", "hi"], "left_semi")
+            cur.join(sup.select("lo", "hi"), ["lo", "hi"], "left_semi"),
+            release=cur,
         )
     return cur.join(edge_support(cur), ["lo", "hi"], "left").select(
         "lo", "hi", F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support")

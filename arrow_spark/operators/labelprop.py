@@ -80,6 +80,7 @@ def label_propagation(
             labels.join(winner, "node", "left")
             .select(
                 "node", F.coalesce("new_label", "label").alias("label")
-            )
+            ),
+            release=labels,
         )
     return labels

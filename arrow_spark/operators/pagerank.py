@@ -112,7 +112,7 @@ def pagerank(
             ranks.join(sources, ranks.n == sources.src, "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("d"))
         )
-        ranks = (
+        nxt = (
             nodes.crossJoin(F.broadcast(cnt))
             .crossJoin(F.broadcast(dang))
             .join(contrib, nodes.n == contrib.dst, "left")
@@ -125,7 +125,7 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        ranks = ckpt_reset_stats(ranks)
+        ranks = ckpt_reset_stats(nxt, release=ranks)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -190,7 +190,7 @@ def personalized_pagerank(
             ranks.join(out_nodes, ranks.n == out_nodes.src, "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("d"))
         )
-        ranks = (
+        nxt = (
             flagged.crossJoin(F.broadcast(scnt))
             .crossJoin(F.broadcast(dang))
             .join(contrib, flagged.n == contrib.dst, "left")
@@ -208,7 +208,7 @@ def personalized_pagerank(
                 ).alias("r"),
             )
         )
-        ranks = ckpt_reset_stats(ranks)
+        ranks = ckpt_reset_stats(nxt, release=ranks)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -267,7 +267,7 @@ def hits(
             .groupBy("dst")
             .agg(_snap9(F.sum("h")).alias("a_raw"))
         )
-        scores = (
+        nxt = (
             nodes.join(a_new, nodes.n == a_new.dst, "left")
             .join(scores.select("n", "h"), "n")
             .select(
@@ -276,13 +276,13 @@ def hits(
                 "h",
             )
         )
-        scores = ckpt_reset_stats(_norm(scores, "a"))
+        scores = ckpt_reset_stats(_norm(nxt, "a"), release=scores)
         h_new = (
             e.join(scores.select(F.col("n").alias("dn"), "a"), e.dst == F.col("dn"))
             .groupBy("src")
             .agg(_snap9(F.sum("a")).alias("h_raw"))
         )
-        scores = (
+        nxt = (
             nodes.join(h_new, nodes.n == h_new.src, "left")
             .join(scores.select("n", "a"), "n")
             .select(
@@ -291,7 +291,7 @@ def hits(
                 F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h"),
             )
         )
-        scores = ckpt_reset_stats(_norm(scores, "h"))
+        scores = ckpt_reset_stats(_norm(nxt, "h"), release=scores)
     return scores.select(
         F.col("n").alias("node"),
         F.col("a").alias("authority"),

@@ -84,6 +84,7 @@ def shortest_paths(
         dist = ckpt_reset_stats(
             dist.unionByName(relaxed)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist")),
+            release=dist,
         )
     return dist

@@ -115,7 +115,7 @@ def test_connect_guard_message():
     fail loudly AT the helper with a message naming the contract."""
 
     class _FakeConnectDF:
-        def localCheckpoint(self, eager=True):
+        def localCheckpoint(self, eager=True, storageLevel=None):
             return self
 
         @property
@@ -127,3 +127,58 @@ def test_connect_guard_message():
 
     with pytest.raises(RuntimeError, match="Spark Connect"):
         ckpt_reset_stats(_FakeConnectDF())
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_frees_generation_and_keeps_values(spark):
+    """r13 (E=30M CC OOM): generations accumulate unless released. A
+    release must free the block while the SUCCESSOR generation — built
+    from the released one — stays correct."""
+    from arrow_spark.checkpoint import ckpt_release
+
+    base = _n_persistent(spark)
+    g1 = ckpt_reset_stats(
+        spark.range(1000).select(F.col("id").alias("v"), F.lit(1).cast("long").alias("x"))
+    )
+    g2 = ckpt_reset_stats(_self_join_round(g1), release=g1)
+    assert _n_persistent(spark) == base + 1  # g1's block gone, g2's live
+    assert g1._ckpt_src is None
+    assert g2.agg(F.sum("x")).collect()[0][0] == 2000
+    # releasing a frame this module didn't produce is a no-op
+    from arrow_spark.checkpoint import ckpt_release as rel
+
+    assert rel(spark.range(3)) is False
+    assert rel(g1) is False  # already released
+    assert rel(g2) is True
+    assert _n_persistent(spark) == base
+
+
+def test_generations_persist_serialized(spark):
+    """Default storage must be the SERIALIZED memory+disk level: the
+    deserialized unroll across all executor threads at once is where
+    the 30M-edge CC sweep OOM'd (MemoryStore.putIteratorAsValues)."""
+    from arrow_spark.checkpoint import ckpt_release
+
+    g = ckpt_reset_stats(spark.range(10).select(F.col("id").alias("v")))
+    desc = g._ckpt_src._jdf.queryExecution().analyzed().rdd().getStorageLevel().description()
+    assert "Serialized" in desc and "Disk" in desc, desc
+    ckpt_release(g)
+
+
+def test_loop_holds_one_generation(spark):
+    """The documented loop shape must hold exactly one persisted
+    generation regardless of round count."""
+    from arrow_spark.checkpoint import ckpt_release
+
+    base = _n_persistent(spark)
+    state = ckpt_reset_stats(
+        spark.range(200).select(F.col("id").alias("v"), F.lit(1).cast("long").alias("x"))
+    )
+    for _ in range(6):
+        state = ckpt_reset_stats(_self_join_round(state), release=state)
+        assert _n_persistent(spark) == base + 1
+    ckpt_release(state)
+    assert _n_persistent(spark) == base
