@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..checkpoint import ckpt_reset_stats
+from ..checkpoint import ckpt_release, ckpt_reset_stats
 
 __all__ = ["label_propagation"]
 
@@ -51,6 +51,12 @@ def label_propagation(
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
+    # Checkpoint the loop-invariant symmetrized edge frame ONCE (the
+    # CC-loop `sym` pattern): every round joins labels against it, so
+    # an unmaterialized edge lineage (event-scan + window + groupBy)
+    # would be recomputed per round. Stats-reset so the corpus-scale
+    # frame can never be elected a broadcast side.
+    und = ckpt_reset_stats(und)
     # Loop-carried state goes through ckpt_reset_stats, not bare
     # localCheckpoint: each round joins labels back against the edge
     # frame, so preserved origin-size estimates compound multiplicatively
@@ -83,4 +89,6 @@ def label_propagation(
             ),
             release=labels,
         )
+    # the returned frame reads only the final labels generation
+    ckpt_release(und)
     return labels

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import ckpt_reset_stats
+from ..checkpoint import ckpt_release, ckpt_reset_stats
 
 __all__ = ["pagerank", "transition_edges"]
 
@@ -78,6 +78,13 @@ def pagerank(
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
     )
+    # Checkpoint the loop-invariant edge frame ONCE (the CC-loop `sym`
+    # pattern): every round joins against `e` two-to-three times
+    # (contrib, outw, the dangling anti-join), so an unmaterialized
+    # edge lineage — typically an event-scan + window + groupBy — would
+    # be recomputed per use per round. Stats-reset (not bare) so the
+    # corpus-scale edge frame can never be elected a broadcast side.
+    e = ckpt_reset_stats(e)
     nodes = (
         e.select(F.col("src").alias("n"))
         .union(e.select(F.col("dst").alias("n")))
@@ -126,6 +133,8 @@ def pagerank(
             )
         )
         ranks = ckpt_reset_stats(nxt, release=ranks)
+    # the returned frame reads only the final ranks generation
+    ckpt_release(e)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -156,6 +165,8 @@ def personalized_pagerank(
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
     )
+    # loop-invariant edge frame: checkpoint once (see pagerank above)
+    e = ckpt_reset_stats(e)
     nodes = (
         e.select(F.col("src").alias("n"))
         .union(e.select(F.col("dst").alias("n")))
@@ -209,6 +220,7 @@ def personalized_pagerank(
             )
         )
         ranks = ckpt_reset_stats(nxt, release=ranks)
+    ckpt_release(e)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -235,6 +247,9 @@ def hits(
     Returns (node, authority, hub).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # loop-invariant edge frame: checkpoint once (see pagerank above) —
+    # HITS re-joins it twice per round (authority and hub half-steps)
+    e = ckpt_reset_stats(e)
     nodes = (
         e.select(F.col("src").alias("n"))
         .union(e.select(F.col("dst").alias("n")))
@@ -292,6 +307,7 @@ def hits(
             )
         )
         scores = ckpt_reset_stats(_norm(nxt, "h"), release=scores)
+    ckpt_release(e)
     return scores.select(
         F.col("n").alias("node"),
         F.col("a").alias("authority"),

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import ckpt_reset_stats
+from ..checkpoint import ckpt_release, ckpt_reset_stats
 
 __all__ = ["shortest_paths"]
 
@@ -66,6 +66,11 @@ def shortest_paths(
         e = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
+    # Checkpoint the loop-invariant edge frame ONCE (the CC-loop `sym`
+    # pattern): every relaxation round joins dist against it, so an
+    # unmaterialized edge lineage would be recomputed per round.
+    # Stats-reset so the corpus-scale frame is never broadcast-elected.
+    e = ckpt_reset_stats(e)
     # Loop-carried state goes through ckpt_reset_stats, not bare
     # localCheckpoint: each relaxation round joins dist against the edge
     # frame, so preserved origin-size estimates compound multiplicatively
@@ -87,4 +92,6 @@ def shortest_paths(
             .agg(F.min("dist").alias("dist")),
             release=dist,
         )
+    # the returned frame reads only the final dist generation
+    ckpt_release(e)
     return dist
