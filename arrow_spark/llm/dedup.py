@@ -696,98 +696,141 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 40,
-    shortcuts_per_round: int = 2,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
     Returns one row per vertex appearing in ``edges``: (v, component)
     where component is the smallest vertex id in the connected component.
 
-    Distributed iterative algorithm (the piece Arrow cannot express —
-    Acero has no iteration; Spark runs it as a loop of joins): each
-    round every vertex adopts min(own label, neighbors' labels), then
-    runs ``shortcuts_per_round`` pointer jumps — adopting its LABEL's
-    label — the path-shortcutting idea behind large-star/small-star
+    Algorithm (r13): alternating LARGE-STAR / SMALL-STAR rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC 2014). Plain neighbor-min converges in O(diameter) rounds, and
-    the r12 second-decade sweep PROVED the pre-r12 "near-dup graphs are
-    near-cliques, diameter is tiny" assumption wrong at scale: gen-sf3
-    builds a 76,814-doc template-chain component, the loop hit its
-    25-round cap, and a driver-side replay of the exact recurrence on
-    the extracted 722,788-edge graph measured convergence at 36 rounds
-    with one jump (≈ 2·log2 of the giant component), 10-ish with two
-    jumps on a 100k-chain. A jump is a label-frame self-join — far
-    cheaper than the round's edge join — so extra jumps per round trade
-    the cheap operation for fewer expensive ones. Convergence is
-    asserted, not assumed.
+    SoCC 2014, Alg. 2 "two-phase") on the canonical edge list itself —
+    large-star points every strictly-larger neighbor of a node at the
+    minimum of its closed neighborhood; small-star does the same for
+    the smaller neighbors. The edge set is loop state; at the fixpoint
+    it is a star forest whose roots are the component minima. This
+    replaces the r12 neighbor-min + pointer-jump label loop after an
+    r13 measurement falsified the jump speedup off sorted-id chains:
+    on a 5,000-vertex chain with HASH-SCRAMBLED vertex ids, the label
+    loop did not converge within 64 rounds at ANY jump count 1-4
+    (jumps compound reach only when a label's label is further along
+    the path, which sorted template-chain ids guarantee and scrambled
+    ids do not), while two-phase converged in 11 rounds (≈ log2 n, the
+    paper's bound — round count is geometry-independent). On the
+    dbscan ε-graph at sf0.1 the same swap cut 16 rounds to 6.
+    Convergence is checked by TWO-SIDED set equality of consecutive
+    edge sets (one-sided "no new edges" is insufficient: a round may
+    strictly shrink the set) and asserted, not assumed.
 
-    Scale notes: the symmetrized edge list is checkpointed once so the
-    (possibly expensive) pair-generation lineage is computed exactly
-    once; each round is one shuffle (groupBy dst) + one broadcast-free
-    equi-join + ``shortcuts_per_round`` self-joins, and each round's
-    labels are checkpointed to truncate lineage — the classic Spark
-    iterative pattern (GraphX Pregel does the same materialization per
-    superstep). Checkpoints go through ckpt_reset_stats, NOT bare
-    localCheckpoint: Spark preserves the origin plan's size ESTIMATE
-    across localCheckpoint, so a loop whose round contains a join
-    compounds estimates multiplicatively until BigInteger overflow
-    (hit at gen-sf3, round ~25 — see ckpt_reset_stats). No .cache()
-    anywhere: checkpoint blocks don't enter the CacheManager, so later
-    unrelated queries can't pick them up via ReusedExchange (SCALE.md
-    round-1 lesson).
+    Scale notes: the canonical edge frame is checkpointed once (the
+    possibly-expensive pair-generation lineage is computed exactly
+    once) and the per-round edge set is provably non-increasing (the
+    paper's monotonicity lemma), so peak state is the input edge list;
+    each round is two map-side-combinable min-aggregations + two
+    equi-joins + one dedupe, all keyed on vertex ids — broadcast-free.
+    Checkpoints go through ckpt_reset_stats, NOT bare localCheckpoint
+    (preserved origin-size estimates compound to BigInteger overflow in
+    join-bearing loops — see arrow_spark/checkpoint.py), and every
+    generation is released as soon as its successor materializes; the
+    returned frame is itself checkpointed so exactly ONE node-scale
+    generation outlives the call. No .cache() anywhere: checkpoint
+    blocks don't enter the CacheManager, so later unrelated queries
+    can't pick them up via ReusedExchange (SCALE.md round-1 lesson).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # one materialization of the pair-generation lineage; vertices
+    # (self-loop-only ones included) and the canonical simple edges
+    # both derive from it
+    ec = ckpt_reset_stats(e)
+    # round 0 consumes the raw frame directly (canonicalization inlined,
+    # no up-front distinct — the min-aggregations are duplicate-blind
+    # and the round's final dedupe canonicalizes): one fewer eager
+    # materialization. The fixpoint check starts at round 1, comparing
+    # consecutive ROUND OUTPUTS, so correctness is untouched.
+    cur = ec.where(F.col("u") != F.col("v")).select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     )
-    sym = ckpt_reset_stats(sym)
-    labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     prev = None
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.v)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+        # large-star: around every center c, point each LARGER neighbor
+        # n at m = min(closed neighborhood of c)
+        sym = cur.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            cur.select(F.col("v").alias("c"), F.col("u").alias("n"))
         )
-        # Stats-reset-checkpointed BEFORE the self-join below (see
-        # ckpt_reset_stats: a bare localCheckpoint PRESERVES the origin
-        # estimate, so the self-join would square it every round until
-        # BigInteger overflow).
-        half = (
-            labels.join(nbr_min, labels.v == nbr_min.a, "left")
-            .select(
-                "v",
-                F.col("label").alias("old_label"),
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            )
+        m = sym.groupBy("c").agg(F.min("n").alias("mn"))
+        m = m.select("c", F.least("c", "mn").alias("m"))
+        ls = (
+            sym.join(m, "c")
+            .where(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
         )
-        half = ckpt_reset_stats(half, release=prev)
-        # pointer jumps: every vertex adopts its LABEL's label. A label
-        # is always the id of a vertex in the same component (init v;
-        # neighbor-min takes neighbors' labels; a jump takes the label
-        # vertex's label), so correctness is untouched while each jump
-        # squares the propagation reach. The jump chain is lazy over the
-        # checkpointed `half` (a jump's both sides re-derive from it —
-        # recomputing a cheap self-join beats materializing per jump).
-        cur = half
-        for _ in range(max(int(shortcuts_per_round), 0)):
-            lk = cur.select(F.col("v").alias("__lv"), F.col("label").alias("__ll"))
-            cur = cur.join(lk, cur.label == lk.__lv, "left").select(
-                "v",
-                "old_label",
-                F.least("label", F.coalesce("__ll", "label")).alias("label"),
+        # small-star: canonicalize to (larger center, smaller neighbor),
+        # point every smaller neighbor (and the center) at the min
+        can = ls.select(
+            F.greatest("u", "v").alias("c"), F.least("u", "v").alias("n")
+        )
+        m2 = can.groupBy("c").agg(F.min("n").alias("m"))
+        ss = (
+            can.join(m2, "c")
+            .select(F.col("n").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("c").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+        )
+        new = ckpt_reset_stats(ss)
+        # convergence = two-sided set equality of consecutive ROUND
+        # OUTPUTS (round 0 has no materialized predecessor to compare).
+        # Cheap sound filter first: different cardinalities can never be
+        # equal sets (a count over the just-persisted generation), so the
+        # two-anti-join check — rows in exactly one of {new, prev} — only
+        # runs in the final round or two when counts have stabilized.
+        changed = 1
+        if prev is not None and new.count() == prev.count():
+            changed = (
+                new.join(prev, ["u", "v"], "left_anti")
+                .select(F.lit(1).alias("one"))
+                .union(
+                    prev.join(new, ["u", "v"], "left_anti").select(
+                        F.lit(1).alias("one")
+                    )
+                )
+                .count()
             )
-        upd = ckpt_reset_stats(cur, release=half)
-        changed = upd.where(F.col("label") < F.col("old_label")).count()
-        labels = upd.select("v", "label")
-        prev = upd
+        if prev is not None:
+            ckpt_release(prev)
+        prev = new
+        cur = new
         if changed == 0:
-            # the returned frame reads only upd's generation; the edge
-            # frame is done
-            ckpt_release(sym)
-            return labels.select("v", F.col("label").alias("component"))
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint = star forest (child v → root u = component min); emit
+    # every vertex of the original edge list, singletons labelling
+    # themselves
+    comp = (
+        cur.select(F.col("v").alias("vtx"), F.col("u").alias("component"))
+        .union(cur.select(F.col("u").alias("vtx"), F.col("u").alias("component")))
+        .groupBy("vtx")
+        .agg(F.min("component").alias("component"))
+    )
+    verts = ec.select(F.col("u").alias("x")).union(
+        ec.select(F.col("v").alias("x"))
+    ).distinct()
+    out = ckpt_reset_stats(
+        verts.join(comp, verts.x == comp.vtx, "left").select(
+            F.col("x").alias("v"),
+            F.coalesce("component", F.col("x")).alias("component"),
+        )
+    )
+    ckpt_release(ec)
+    ckpt_release(cur)
+    return out
 
 
 def near_dup_clusters(

@@ -58,15 +58,18 @@ def radius_join(
     r = int(radius)
     lcell_x = F.floor(F.col(x_col) / r).cast("long")
     lcell_y = F.floor(F.col(y_col) / r).cast("long")
+    # integer composite cell key (r13): the join key used to be the
+    # string "cx:cy" — two casts + a concat per probed cell, string
+    # hashing/sorting in the exchange. A (long, long) composite key
+    # carries the same lossless blocking with integer comparisons and
+    # 16-byte fixed-width shuffle keys.
     probe_cells = F.flatten(
         F.transform(
             F.sequence(F.lit(-1), F.lit(1)),
             lambda dx: F.transform(
                 F.sequence(F.lit(-1), F.lit(1)),
-                lambda dy: F.concat(
-                    (lcell_x + dx).cast("string"),
-                    F.lit(":"),
-                    (lcell_y + dy).cast("string"),
+                lambda dy: F.struct(
+                    (lcell_x + dx).alias("cx"), (lcell_y + dy).alias("cy")
                 ),
             ),
         )
@@ -76,22 +79,19 @@ def radius_join(
         F.col(x_col).cast("long").alias("lx"),
         F.col(y_col).cast("long").alias("ly"),
         F.explode(probe_cells).alias("cell"),
-    )
+    ).select("lid", "lx", "ly", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
     rgt = right.select(
         F.col(right_id).alias("rid"),
         F.col(x_col).cast("long").alias("rx"),
         F.col(y_col).cast("long").alias("ry"),
-        F.concat(
-            F.floor(F.col(x_col) / r).cast("long").cast("string"),
-            F.lit(":"),
-            F.floor(F.col(y_col) / r).cast("long").cast("string"),
-        ).alias("cell"),
+        F.floor(F.col(x_col) / r).cast("long").alias("cx"),
+        F.floor(F.col(y_col) / r).cast("long").alias("cy"),
     )
     dx = F.col("lx") - F.col("rx")
     dy = F.col("ly") - F.col("ry")
     dist2 = dx * dx + dy * dy
     return (
-        l.join(rgt.hint("merge"), "cell")
+        l.join(rgt.hint("merge"), ["cx", "cy"])
         .where(dist2 <= F.lit(r * r).cast("long"))
         .select("lid", "rid", dist2.alias("dist2"))
     )
@@ -130,12 +130,21 @@ def dbscan(
     """
     from arrow_spark.llm.dedup import connected_components
 
+    from arrow_spark.checkpoint import ckpt_reset_stats
+
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     )
     pairs = radius_join(pts, pts, "id", "id", x_col="x", y_col="y", radius=eps)
+    # The ε-neighborhood frame feeds THREE consumers (degree count, the
+    # core-edge filter into CC, border assignment) — materialize the
+    # 9-cell-explode self-join once instead of recomputing it per
+    # consumer. Stats-reset so the density-scale pair frame is never
+    # broadcast-elected; stays persisted until the caller's action ends
+    # (the output plan reads it).
+    pairs = ckpt_reset_stats(pairs)
     deg = pairs.groupBy("lid").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     core = deg.where(F.col("sz") >= min_pts).select(F.col("lid").alias("id"))
     core_edges = (
