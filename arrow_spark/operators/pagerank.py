@@ -92,8 +92,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    sources = e.select("src").distinct()
+    # node-scale loop invariants: materialize once instead of
+    # re-aggregating the (persisted) edge frame every round
+    outw = ckpt_reset_stats(e.groupBy("src").agg(F.sum("w").alias("ow")))
+    sources = ckpt_reset_stats(e.select("src").distinct())
 
     # Loop-carried state goes through ckpt_reset_stats, not bare
     # localCheckpoint: the per-round plan joins ranks back into itself,
@@ -135,6 +137,8 @@ def pagerank(
         ranks = ckpt_reset_stats(nxt, release=ranks)
     # the returned frame reads only the final ranks generation
     ckpt_release(e)
+    ckpt_release(outw)
+    ckpt_release(sources)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -178,8 +182,9 @@ def personalized_pagerank(
     flagged = nodes.join(
         F.broadcast(s.withColumn("__in_s__", F.lit(1))), "n", "left"
     ).select("n", F.coalesce(F.col("__in_s__"), F.lit(0)).alias("in_s"))
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    out_nodes = e.select("src").distinct()
+    # node-scale loop invariants (see pagerank above)
+    outw = ckpt_reset_stats(e.groupBy("src").agg(F.sum("w").alias("ow")))
+    out_nodes = ckpt_reset_stats(e.select("src").distinct())
 
     # loop-carried → stats-reset checkpoint (see pagerank above)
     ranks = ckpt_reset_stats(
@@ -221,6 +226,8 @@ def personalized_pagerank(
         )
         ranks = ckpt_reset_stats(nxt, release=ranks)
     ckpt_release(e)
+    ckpt_release(outw)
+    ckpt_release(out_nodes)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
