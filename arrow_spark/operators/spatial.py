@@ -156,6 +156,9 @@ def dbscan(
     core_lbl = core.join(
         cc.withColumnRenamed("v", "id"), "id", "left"
     ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("cluster"))
+    # consumed twice (border assignment + final output join): materialize
+    # the node-scale label frame once
+    core_lbl = ckpt_reset_stats(core_lbl)
     border_lbl = (
         pairs.join(core.withColumnRenamed("id", "lid").hint("merge"), "lid", "left_anti")
         .join(
