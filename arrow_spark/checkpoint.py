@@ -44,6 +44,7 @@ def ckpt_reset_stats(
     df: DataFrame,
     release: DataFrame | None = None,
     storage_level: StorageLevel | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """localCheckpoint + statistics reset — REQUIRED for iterative join
     loops (use this, not bare localCheckpoint, for loop-carried state).
@@ -95,9 +96,28 @@ def ckpt_reset_stats(
 
     The final generation stays persisted (the returned frame reads it);
     call ``ckpt_release`` on the result when the consumer is done.
+
+    ``eager=False`` (r14) defers materialization: the checkpoint RDD is
+    only MARKED for local checkpointing, and the caller's FIRST action on
+    the returned frame (typically a convergence ``count()``) computes and
+    persists it — folding what used to be two Spark actions per loop
+    round (eager checkpoint + count) into one. Two caller obligations in
+    lazy mode, both enforced here: ``release`` is forbidden (unpersisting
+    the predecessor before the new generation materializes would free
+    blocks its computation still reads — localCheckpoint truncates
+    lineage, so those blocks are unrecoverable), and the caller must run
+    exactly one materializing action before releasing the predecessor
+    itself.
     """
+    if not eager and release is not None:
+        raise ValueError(
+            "ckpt_reset_stats(eager=False) cannot release the previous "
+            "generation: the new one has not materialized yet and its "
+            "computation still reads the predecessor's checkpoint blocks. "
+            "Materialize (count/action) first, then ckpt_release(prev)."
+        )
     ck = df.localCheckpoint(
-        eager=True, storageLevel=storage_level or StorageLevel.MEMORY_AND_DISK
+        eager=eager, storageLevel=storage_level or StorageLevel.MEMORY_AND_DISK
     )
     spark = ck.sparkSession
     if not hasattr(spark, "_jsparkSession"):

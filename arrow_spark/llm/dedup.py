@@ -751,6 +751,7 @@ def connected_components(
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     )
     prev = None
+    prev_count = -1
     converged = False
     for _ in range(max_iter):
         # large-star: around every center c, point each LARGER neighbor
@@ -764,7 +765,7 @@ def connected_components(
             sym.join(m, "c")
             .where(F.col("n") > F.col("c"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
+            # no self-loop filter needed: m <= c < n, so u=n > v=m always
         )
         # small-star: canonicalize to (larger center, smaller neighbor),
         # point every smaller neighbor (and the center) at the min
@@ -780,15 +781,24 @@ def connected_components(
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
             .distinct()
         )
-        new = ckpt_reset_stats(ss)
+        # LAZY checkpoint + count-as-materializer (r14): the convergence
+        # count below is the round's ONE action — it computes the round,
+        # persists the generation, and returns the cardinality, where the
+        # r13 shape paid two actions (eager checkpoint, then a count over
+        # the persisted blocks). prev's generation is released only AFTER
+        # the count materializes new (lazy mode forbids `release=`: new's
+        # computation still reads prev's checkpoint blocks).
+        new = ckpt_reset_stats(ss, eager=False)
+        n_new = new.count()
         # convergence = two-sided set equality of consecutive ROUND
         # OUTPUTS (round 0 has no materialized predecessor to compare).
         # Cheap sound filter first: different cardinalities can never be
-        # equal sets (a count over the just-persisted generation), so the
+        # equal sets — prev's count is carried in a Python variable
+        # (ADVICE r13: it was re-counted every round), so the
         # two-anti-join check — rows in exactly one of {new, prev} — only
         # runs in the final round or two when counts have stabilized.
         changed = 1
-        if prev is not None and new.count() == prev.count():
+        if prev is not None and n_new == prev_count:
             changed = (
                 new.join(prev, ["u", "v"], "left_anti")
                 .select(F.lit(1).alias("one"))
@@ -802,11 +812,17 @@ def connected_components(
         if prev is not None:
             ckpt_release(prev)
         prev = new
+        prev_count = n_new
         cur = new
         if changed == 0:
             converged = True
             break
     if not converged:
+        # release the live generations before raising (ADVICE r13: the
+        # error path leaked the persisted ec + final-round blocks)
+        ckpt_release(ec)
+        if prev is not None:
+            ckpt_release(prev)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
