@@ -61,8 +61,11 @@ def label_propagation(
     # localCheckpoint: each round joins labels back against the edge
     # frame, so preserved origin-size estimates compound multiplicatively
     # until BigInteger overflow at planning time (proven in the CC loop
-    # at gen-sf3 — see arrow_spark/checkpoint.py).
-    labels = ckpt_reset_stats(
+    # at gen-sf3 — see arrow_spark/checkpoint.py). Generation 0 is a
+    # plain projection over the (persisted) und checkpoint; round 1
+    # materializes it inside its own checkpoint action (r14 — one fewer
+    # eager entry action).
+    labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
@@ -77,16 +80,15 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.sum("w").alias("s"))
         )
-        winner = (
+        # r14: the winner frame already covers EVERY node, so the old
+        # labels⋈winner left join + coalesce was dead weight (one
+        # shuffle join per round for an impossible miss): nodes are
+        # defined by edges, und is symmetrized, and every neighbor is
+        # itself a node — so every node receives at least one vote.
+        labels = ckpt_reset_stats(
             votes.withColumn("__rn__", F.row_number().over(pick))
             .where(F.col("__rn__") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = ckpt_reset_stats(
-            labels.join(winner, "node", "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
-            ),
+            .select("node", "label"),
             release=labels,
         )
     # the returned frame reads only the final labels generation

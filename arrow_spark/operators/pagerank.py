@@ -79,66 +79,72 @@ def pagerank(
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
     )
     # Checkpoint the loop-invariant edge frame ONCE (the CC-loop `sym`
-    # pattern): every round joins against `e` two-to-three times
-    # (contrib, outw, the dangling anti-join), so an unmaterialized
-    # edge lineage — typically an event-scan + window + groupBy — would
-    # be recomputed per use per round. Stats-reset (not bare) so the
-    # corpus-scale edge frame can never be elected a broadcast side.
-    e = ckpt_reset_stats(e)
-    nodes = (
-        e.select(F.col("src").alias("n"))
-        .union(e.select(F.col("dst").alias("n")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # pattern) WITH the out-weight invariant pre-folded in (r14): the
+    # r13 shape materialized a separate `outw` frame and re-joined it
+    # every round — one extra shuffle + join per iteration for values
+    # that never change. Carrying `ow` as an edge column keeps the
+    # per-row arithmetic (r * w / ow over identical w, ow values)
+    # byte-identical while the contribution step becomes a single
+    # edges⋈ranks join. Stats-reset (not bare) so the corpus-scale edge
+    # frame can never be elected a broadcast side.
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = ckpt_reset_stats(e.join(outw, "src"))
+    # Node set with a has_out flag (r14): dangling mass was an
+    # anti-join of ranks against a separate source-set frame every
+    # round; the flag rides inside the loop-carried rank frame instead,
+    # so the round's dangling aggregate is a filtered sum over the
+    # already-persisted ranks — no join, no second frame.
+    nodes = ckpt_reset_stats(
+        e.select(F.col("src").alias("n"), F.lit(1).alias("has_out"))
+        .union(e.select(F.col("dst").alias("n"), F.lit(0).alias("has_out")))
+        .groupBy("n")
+        .agg(F.max("has_out").alias("has_out"))
     )
-    cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
-    # node-scale loop invariants: materialize once instead of
-    # re-aggregating the (persisted) edge frame every round
-    outw = ckpt_reset_stats(e.groupBy("src").agg(F.sum("w").alias("ow")))
-    sources = ckpt_reset_stats(e.select("src").distinct())
+    # N as a driver-side literal (r14): the node count is loop-invariant
+    # scalar metadata; the old shape paid a crossJoin(broadcast(cnt))
+    # per round. 1.0/N, (1-d)/N and d/N below are the same IEEE double
+    # operations the old column divisions performed.
+    n_nodes = nodes.count()
 
     # Loop-carried state goes through ckpt_reset_stats, not bare
     # localCheckpoint: the per-round plan joins ranks back into itself,
     # so preserved origin-size estimates would compound multiplicatively
     # until BigInteger overflow at planning time (proven in the CC loop
-    # at gen-sf3 round ~25 — see arrow_spark/checkpoint.py). `nodes`
-    # above stays a bare checkpoint deliberately: it is checkpointed
-    # once, never re-derived in the loop, so its estimate is constant.
-    ranks = ckpt_reset_stats(
-        nodes.crossJoin(F.broadcast(cnt)).select(
-            "n", (F.lit(1.0) / F.col("c")).alias("r")
-        )
-    )
+    # at gen-sf3 round ~25 — see arrow_spark/checkpoint.py). Generation
+    # 0 is a plain projection over the `nodes` checkpoint — the first
+    # round materializes it inside its own checkpoint action.
+    ranks = nodes.select("n", "has_out", F.lit(1.0 / n_nodes).alias("r"))
 
     for _ in range(max(1, n_iters)):
         contrib = (
             e.join(ranks, e.src == ranks.n)
-            .join(outw, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
         )
         dang = (
-            ranks.join(sources, ranks.n == sources.src, "left_anti")
+            ranks.where(F.col("has_out") == 0)
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("d"))
         )
         nxt = (
-            nodes.crossJoin(F.broadcast(cnt))
-            .crossJoin(F.broadcast(dang))
-            .join(contrib, nodes.n == contrib.dst, "left")
+            ranks.crossJoin(F.broadcast(dang))
+            .join(contrib, ranks.n == contrib.dst, "left")
             .select(
                 "n",
+                "has_out",
                 _snap9(
-                    (1 - F.lit(damping)) / F.col("c")
+                    F.lit((1 - damping) / n_nodes)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("d") / F.col("c"))
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("d") / F.lit(float(n_nodes))
+                    )
                 ).alias("r"),
             )
         )
         ranks = ckpt_reset_stats(nxt, release=ranks)
     # the returned frame reads only the final ranks generation
     ckpt_release(e)
-    ckpt_release(outw)
-    ckpt_release(sources)
+    ckpt_release(nodes)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -169,65 +175,72 @@ def personalized_pagerank(
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
     )
-    # loop-invariant edge frame: checkpoint once (see pagerank above)
-    e = ckpt_reset_stats(e)
-    nodes = (
-        e.select(F.col("src").alias("n"))
-        .union(e.select(F.col("dst").alias("n")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # loop-invariant edge frame with the out-weight pre-folded in, and
+    # the node frame carrying BOTH per-node flags the round needs
+    # (in_s for teleport/restart mass, has_out for dangling mass) — see
+    # pagerank above: no per-round outw join, no per-round anti-join,
+    # no per-round seed-count broadcast.
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = ckpt_reset_stats(e.join(outw, "src"))
     s = sources.select(F.col(sources.columns[0]).alias("n")).distinct()
-    scnt = s.agg(F.count(F.lit(1)).alias("sc"))
-    flagged = nodes.join(
-        F.broadcast(s.withColumn("__in_s__", F.lit(1))), "n", "left"
-    ).select("n", F.coalesce(F.col("__in_s__"), F.lit(0)).alias("in_s"))
-    # node-scale loop invariants (see pagerank above)
-    outw = ckpt_reset_stats(e.groupBy("src").agg(F.sum("w").alias("ow")))
-    out_nodes = ckpt_reset_stats(e.select("src").distinct())
-
-    # loop-carried → stats-reset checkpoint (see pagerank above)
-    ranks = ckpt_reset_stats(
-        flagged.crossJoin(F.broadcast(scnt)).select(
+    nodes = ckpt_reset_stats(
+        e.select(F.col("src").alias("n"), F.lit(1).alias("has_out"))
+        .union(e.select(F.col("dst").alias("n"), F.lit(0).alias("has_out")))
+        .groupBy("n")
+        .agg(F.max("has_out").alias("has_out"))
+        .join(F.broadcast(s.withColumn("__in_s__", F.lit(1))), "n", "left")
+        .select(
             "n",
-            "in_s",
-            (F.col("in_s").cast("double") / F.col("sc")).alias("r"),
+            "has_out",
+            F.coalesce(F.col("__in_s__"), F.lit(0)).alias("in_s"),
         )
+    )
+    # seed count as a driver-side literal (seed sets are query-sized);
+    # in_s/sc below is the same IEEE double division the old
+    # crossJoin(broadcast(scnt)) column form performed
+    n_seeds = s.count()
+
+    # loop-carried → stats-reset checkpoint (see pagerank above);
+    # generation 0 is a projection over the nodes checkpoint
+    ranks = nodes.select(
+        "n",
+        "has_out",
+        "in_s",
+        (F.col("in_s").cast("double") / F.lit(float(n_seeds))).alias("r"),
     )
 
     for _ in range(max(1, n_iters)):
         contrib = (
             e.join(ranks, e.src == ranks.n)
-            .join(outw, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("cs"))
         )
         dang = (
-            ranks.join(out_nodes, ranks.n == out_nodes.src, "left_anti")
+            ranks.where(F.col("has_out") == 0)
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("d"))
         )
         nxt = (
-            flagged.crossJoin(F.broadcast(scnt))
-            .crossJoin(F.broadcast(dang))
-            .join(contrib, flagged.n == contrib.dst, "left")
+            ranks.crossJoin(F.broadcast(dang))
+            .join(contrib, ranks.n == contrib.dst, "left")
             .select(
                 "n",
+                "has_out",
                 "in_s",
                 _snap9(
                     (1 - F.lit(damping))
-                    * F.col("in_s").cast("double") / F.col("sc")
+                    * F.col("in_s").cast("double") / F.lit(float(n_seeds))
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("cs"), F.lit(0.0))
-                        + F.col("d") * F.col("in_s").cast("double") / F.col("sc")
+                        + F.col("d") * F.col("in_s").cast("double")
+                        / F.lit(float(n_seeds))
                     )
                 ).alias("r"),
             )
         )
         ranks = ckpt_reset_stats(nxt, release=ranks)
     ckpt_release(e)
-    ckpt_release(outw)
-    ckpt_release(out_nodes)
+    ckpt_release(nodes)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))
 
 
@@ -257,20 +270,20 @@ def hits(
     # loop-invariant edge frame: checkpoint once (see pagerank above) —
     # HITS re-joins it twice per round (authority and hub half-steps)
     e = ckpt_reset_stats(e)
-    nodes = (
+    nodes = ckpt_reset_stats(
         e.select(F.col("src").alias("n"))
         .union(e.select(F.col("dst").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    cnt = nodes.agg(F.count(F.lit(1)).alias("c"))
-    # loop-carried → stats-reset checkpoint (see pagerank above)
-    scores = ckpt_reset_stats(
-        nodes.crossJoin(F.broadcast(cnt)).select(
-            "n",
-            (F.lit(1.0) / F.col("c")).alias("a"),
-            (F.lit(1.0) / F.col("c")).alias("h"),
-        )
+    # N as a driver-side literal (r14, see pagerank): 1.0/N is the same
+    # IEEE double division the old crossJoin(broadcast(cnt)) performed
+    n_nodes = nodes.count()
+    # loop-carried → stats-reset checkpoint (see pagerank above);
+    # generation 0 is a projection over the nodes checkpoint
+    scores = nodes.select(
+        "n",
+        F.lit(1.0 / n_nodes).alias("a"),
+        F.lit(1.0 / n_nodes).alias("h"),
     )
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
@@ -284,14 +297,18 @@ def hits(
         ).select("n", "a", "h")
 
     for _ in range(max(1, n_iters)):
+        # r14: the loop-carried score frame IS the node universe (one
+        # row per node, invariant), so each half-step left-joins the new
+        # raw scores straight onto it — the r13 shape paid two joins per
+        # half-step (nodes⋈new, then ⋈scores to re-attach the other
+        # column).
         a_new = (
             e.join(scores, e.src == scores.n)
             .groupBy("dst")
             .agg(_snap9(F.sum("h")).alias("a_raw"))
         )
         nxt = (
-            nodes.join(a_new, nodes.n == a_new.dst, "left")
-            .join(scores.select("n", "h"), "n")
+            scores.join(a_new, scores.n == a_new.dst, "left")
             .select(
                 "n",
                 F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a"),
@@ -305,8 +322,7 @@ def hits(
             .agg(_snap9(F.sum("a")).alias("h_raw"))
         )
         nxt = (
-            nodes.join(h_new, nodes.n == h_new.src, "left")
-            .join(scores.select("n", "a"), "n")
+            scores.join(h_new, scores.n == h_new.src, "left")
             .select(
                 "n",
                 "a",
@@ -315,6 +331,7 @@ def hits(
         )
         scores = ckpt_reset_stats(_norm(nxt, "h"), release=scores)
     ckpt_release(e)
+    ckpt_release(nodes)
     return scores.select(
         F.col("n").alias("node"),
         F.col("a").alias("authority"),
