@@ -995,10 +995,15 @@ def parquet_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate re-applied (false positives cost I/O, not correctness).
     The probe key is min(o_orderkey) — one scalar of metadata — so the
     oracle is pure SQL."""
-    from arrow_spark.sources.bloom_index import build_bloom_index, point_lookup
+    from arrow_spark.sources.bloom_index import build_bloom_index, footer_min, point_lookup
 
     path = f"{sf_dir}/orders.parquet"
-    probe = spark.read.parquet(path).agg(F.min("o_orderkey")).collect()[0][0]
+    # r14: the probe scalar comes from parquet footer statistics (exact
+    # for int64) instead of a full scan+agg job — one less pass over
+    # orders per lookup; identical value, scan fallback if stats absent.
+    probe = footer_min(path, "o_orderkey")
+    if probe is None:
+        probe = spark.read.parquet(path).agg(F.min("o_orderkey")).collect()[0][0]
     index = build_bloom_index(spark, path, "o_orderkey")
     out = point_lookup(spark, path, "o_orderkey", int(probe), index)
     return out.select("o_orderkey", "o_custkey", "o_totalprice")

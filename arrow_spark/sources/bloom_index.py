@@ -116,6 +116,35 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     return [path]
 
 
+def footer_min(path: str, column: str):
+    """Exact column minimum from parquet footer statistics — the
+    metadata-only answer to ``agg(min(column))`` (bloom_filter_reader.cc's
+    sibling trade: consult footer stats before touching data pages).
+    Parquet min/max stats are exact for integer physical types, so this
+    replaces a full scan+agg job with a footer read per file. Returns
+    None (caller falls back to the scan) if any row group lacks stats or
+    the column isn't a plain integer type."""
+    import pyarrow.parquet as pq
+
+    mn = None
+    for fname in _list_parquet_files(None, path):
+        pf = pq.ParquetFile(fname)
+        md = pf.metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            if col.physical_type not in ("INT32", "INT64"):
+                return None
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+    return mn
+
+
 def write_bloom_index(index: DataFrame, path: str) -> None:
     """Persist a sidecar bloom index next to its dataset ("build once,
     serve many"): plain parquet, one row per (file, row_group). The
