@@ -24,7 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_TAG_DIR", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans")
     qs = load_all()
